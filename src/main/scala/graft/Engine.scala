@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session factory with the engine's standard configuration.
+  *
+  * Design posture (SURVEY.md §3.2/§4.2): declarative DataFrame plans, AQE on
+  * (runtime partition coalescing + skew-join splitting — the at-scale answer to
+  * the reference's hardcoded `n//10` chunking, reference
+  * `orchestrator/main.py:47-48`), UTC session timezone for oracle parity.
+  */
+object Engine {
+
+  /** Apply the engine's standard config to a builder. Callers choose master. */
+  def configure(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    // Small dims (region/nation/...) must broadcast; default 10 MB is right,
+    // stated explicitly because the relational suite depends on it.
+    .config("spark.sql.autoBroadcastJoinThreshold", 10L * 1024 * 1024)
+    .config("spark.ui.enabled", "false")
+
+  def local(cores: Int = 32, shufflePartitions: Int = 32): SparkSession = {
+    val s = configure(
+      SparkSession.builder()
+        .master(s"local[$cores]")
+        .appName("graft")
+        .config("spark.sql.shuffle.partitions", shufflePartitions)
+    ).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+/** Loaders for the driver-generated tables (TESTDATA.md). */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+}

@@ -1,13 +1,31 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.operators._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` / `oracleSql` aggregate the per-family suites:
+  *   - M1–M8 matrix core            [[graft.operators.MatrixQueries]]
+  *   - R1–R18 relational            [[graft.operators.RelationalQueries]]
+  *   - J/S events + streaming-batch [[graft.operators.EventQueries]]
+  *   - L* LLM-data-pipeline         [[graft.operators.LlmQueries]]
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Multi-join revenue-per-nation (R4 shape) — exercises scan, broadcast
+    * joins, hash aggregate in one plan.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val d = "/root/testdata/sf0.001"
+    RelationalQueries.queries("r4_multijoin_region")(spark, d)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    MatrixQueries.queries ++ RelationalQueries.queries
+
+  def oracleSql: Map[String, String] =
+    MatrixQueries.oracles ++ RelationalQueries.oracles
 }

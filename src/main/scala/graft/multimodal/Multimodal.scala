@@ -1,0 +1,58 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column support: images/audio/video as opaque BINARY columns
+  * with typed metadata (SURVEY.md north star, training-data-pipeline ops).
+  *
+  * The Spark-side plumbing is real — schema, partition-wise batch decode,
+  * typed output — while the codec itself is a clearly-marked deterministic
+  * STUB ([[StubCodec]]): the actual image/audio libraries are not in this
+  * container. Swapping `StubCodec.decode` for a real decoder (e.g. javacpp
+  * ffmpeg) changes no plan shape: the decode runs inside `mapPartitions`,
+  * batched per partition, never on the driver.
+  */
+object Multimodal {
+
+  /** A decoded media asset's typed metadata. */
+  case class MediaMeta(doc_id: Long, n_bytes: Long, first_byte: Int,
+                       width: Int, height: Int, ok: Boolean)
+
+  /** STUB codec — deterministic fake. A real build replaces `decode` with a
+    * library call; the signature (bytes in, structured meta out) and the
+    * batch shape (iterator-to-iterator per partition) are the contract.
+    */
+  object StubCodec {
+    def decode(payload: Array[Byte]): (Int, Int, Boolean) = {
+      // Fake "dimensions" derived deterministically from content.
+      if (payload.isEmpty) (0, 0, false)
+      else ((payload.length % 640) + 1, (payload.head & 0x7f) + 1, true)
+    }
+  }
+
+  /** Attach a binary payload column to a text corpus (the fixture corpus has
+    * no real media, so the payload is the UTF-8 encoding of the text —
+    * an opaque stand-in with the same schema a real pipeline would carry).
+    */
+  def withPayload(docs: DataFrame): DataFrame =
+    docs.withColumn("payload", encode(col("text"), "UTF-8"))
+
+  /** Partition-wise batched decode: binary payloads → typed metadata.
+    * Runs distributed, iterator-to-iterator (no per-row JVM churn, no
+    * driver collect) — the shape a real GPU/codec batch step needs.
+    */
+  def decodeMeta(docsWithPayload: DataFrame): Dataset[MediaMeta] = {
+    val spark = docsWithPayload.sparkSession
+    import spark.implicits._
+    docsWithPayload.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val (w, h, ok) = StubCodec.decode(bytes)
+          MediaMeta(id, bytes.length.toLong,
+                    if (bytes.isEmpty) -1 else bytes.head & 0xff, w, h, ok)
+        }
+      }
+  }
+}

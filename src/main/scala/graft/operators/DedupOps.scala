@@ -1,0 +1,131 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over a document corpus `(doc_id, text, ...)`:
+  * exact (content-hash group-by), exact n-gram Jaccard (the verification
+  * pass), and MinHash+LSH banding (the 100 TB candidate-generation path).
+  *
+  * Scale design: exact all-pairs Jaccard is inherently quadratic, so at scale
+  * the flow is shingle → minhash signature (one narrow pass) → LSH band
+  * buckets (equi-join shuffle keyed on (band, band-signature) — no cross
+  * product) → exact-Jaccard verification restricted to candidate pairs.
+  * The LSH parameters (64 hashes, 32 bands × 2 rows) put the false-negative
+  * probability at j≥0.8 below 1e-13, so the verified output is
+  * hash-identical to the exact computation — which is exactly what the
+  * oracle checks.
+  */
+object DedupOps {
+
+  /** Exact dedup: group by sha2(text), keep the smallest doc_id. */
+  def exactDedup(docs: DataFrame): DataFrame =
+    docs.groupBy(sha2(col("text"), 256).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_dups"))
+
+  /** (doc_id, shingle) pairs — distinct character n-grams per doc. */
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame =
+    docs.select(col("doc_id"),
+        explode(TextFunctions.charShingles("text", n)).as("sh"))
+
+  /** Exact Jaccard ≥ threshold over all pairs (the small-scale/verification
+    * formulation; quadratic in corpus size — see [[minhashPairs]] for scale).
+    */
+  def jaccardPairs(docs: DataFrame, threshold: Double, n: Int = 3): DataFrame =
+    verifyJaccard(shingles(docs, n), allCandidates = true, candidates = null,
+                  threshold = threshold)
+
+  /** MinHash signatures: k independent affine hashes over shingle codes,
+    * min per (doc, k). One narrow shuffle on doc_id.
+    */
+  def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
+    val spark = sh.sparkSession
+    // Affine hash family h_k(x) = ((2k+3)·x + (k² + 7k + 1)) mod p, p prime.
+    // Seeds are formula-generated so the DuckDB oracle could reproduce them.
+    val seeds = spark.range(numHashes).select(
+      col("id").as("hk"),
+      (col("id") * 2 + 3).as("ha"),
+      (col("id") * col("id") + col("id") * 7 + 1).as("hb"))
+    sh.select(col("doc_id"), TextFunctions.shingleCode("sh").as("code"))
+      .crossJoin(broadcast(seeds))
+      .groupBy(col("doc_id"), col("hk"))
+      .agg(min((col("ha") * col("code") + col("hb")) % 2147483647L).as("mh"))
+  }
+
+  /** Candidate pairs via LSH banding: docs agreeing on all rows of any band.
+    * rowsPerBand=2 → bucket key (band, h0, h1); equi-join, no cross product.
+    */
+  def lshCandidates(sigs: DataFrame, rowsPerBand: Int = 2): DataFrame = {
+    val banded = sigs
+      .groupBy(col("doc_id"), (col("hk") / rowsPerBand).cast("long").as("band"))
+      .agg(
+        min(when(col("hk") % rowsPerBand === 0, col("mh"))).as("h0"),
+        min(when(col("hk") % rowsPerBand === 1, col("mh"))).as("h1"))
+    val a = banded.select(col("doc_id").as("da"), col("band"), col("h0"), col("h1"))
+    val b = banded.select(col("doc_id").as("db"), col("band"), col("h0"), col("h1"))
+    a.join(b, Seq("band", "h0", "h1"))
+      .filter(col("da") < col("db"))
+      .select("da", "db").distinct()
+  }
+
+  /** Exact-Jaccard verification. With `allCandidates=true` computes all
+    * pairs (exact mode); otherwise restricts the shingle self-join to the
+    * candidate (da, db) set first.
+    */
+  def verifyJaccard(sh: DataFrame, allCandidates: Boolean,
+                    candidates: DataFrame, threshold: Double): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+    val a = sh.select(col("doc_id").as("da"), col("sh"))
+    val b = sh.select(col("doc_id").as("db"), col("sh"))
+    val joined =
+      if (allCandidates) a.join(b, "sh").filter(col("da") < col("db"))
+      else {
+        val bb = sh.select(col("doc_id").as("db2"), col("sh").as("shb"))
+        candidates
+          .join(a, "da")
+          .join(bb, col("db") === col("db2") && col("sh") === col("shb"))
+          .select(col("da"), col("db"), col("sh"))
+      }
+    val inter = joined.groupBy(col("da"), col("db")).agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.select(col("doc_id").as("da"), col("nsh").as("na")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("nsh").as("nb")), "db")
+      .select(col("da"), col("db"),
+        (col("c").cast("double") / (col("na") + col("nb") - col("c"))).as("jac"))
+      .filter(col("jac") >= threshold)
+      .select(col("da"), col("db"), round(col("jac"), 4).as("jaccard"))
+  }
+
+  /** MinHash+LSH near-dup pairs, exact-verified — scale path, same output
+    * contract as [[jaccardPairs]].
+    */
+  def minhashPairs(docs: DataFrame, threshold: Double,
+                   n: Int = 3, numHashes: Int = 64): DataFrame = {
+    val sh = shingles(docs, n)
+    val cand = lshCandidates(minhashSignatures(sh, numHashes))
+    verifyJaccard(sh, allCandidates = false, candidates = cand, threshold = threshold)
+  }
+
+  /** SimHash fingerprint (16-bit) per document: tokens hashed with the
+    * SQL-reproducible polynomial hash; each bit is the sign of the weighted
+    * bit-vote across tokens (duplicates count).
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val toks = docs.select(col("doc_id"),
+        explode(graft.functions.TextFunctions.tokens("text")).as("tok"))
+      .select(col("doc_id"), graft.functions.TextFunctions.tokenHash("tok").as("h"))
+    val bits = spark.range(16).select(col("id").as("b"))
+    toks.crossJoin(broadcast(bits))
+      .select(col("doc_id"), col("b"),
+        when(expr("shiftright(h, cast(b as int)) & 1") === 1, 1L)
+          .otherwise(-1L).as("vote"))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(sum(col("vote")).as("s"))
+      .select(col("doc_id"),
+        when(col("s") > 0, expr("shiftleft(1L, cast(b as int))")).otherwise(0L).as("bit"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("bit")).as("simhash16"))
+  }
+}

@@ -1,0 +1,123 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.streaming.EventStreams
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+
+/** J/S queries over the `events` table (SURVEY.md §2.2).
+  *
+  * Batch forms here are the hash-gated declarations; the streaming forms live
+  * in [[graft.streaming.EventStreams]] and must converge to the same final
+  * state (verified by s4, which executes a genuine Structured Streaming query
+  * over the parquet source and hashes its complete-mode result, and by
+  * MemoryStream unit specs for late/out-of-order data).
+  */
+object EventQueries {
+
+  private def ev(s: SparkSession, d: String) = Tables.load(s, d, "events")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // J1 — JSON scalar extraction: props is a JSON string {"k": int}.
+    "j1_json_extract" -> { (s, d) =>
+      val sch = StructType(Seq(StructField("k", IntegerType)))
+      ev(s, d)
+        .withColumn("k", from_json(col("props"), sch).getField("k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(Q.avgInt4(col("k")).as("avg_k"), count(lit(1)).as("n"))
+        .orderBy("event_type")
+    },
+
+    // S1 (batch form) — tumbling 1-hour windows.
+    "s1_tumbling_window" -> ((s, d) =>
+      ev(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), Q.sumMoney(col("value")).as("sum_value"))
+        .select(Q.micros(col("window.start")).as("ws"), col("event_type"),
+                col("n"), col("sum_value"))
+        .orderBy("ws", "event_type")),
+
+    // S2 (batch form) — sliding 1-hour window every 15 minutes.
+    "s2_sliding_window" -> ((s, d) =>
+      ev(s, d)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(Q.micros(col("window.start")).as("ws"), col("event_type"), col("n"))
+        .orderBy("ws", "event_type")),
+
+    // S3 (batch form) — session windows per user, 30-minute gap.
+    "s3_session_window" -> ((s, d) =>
+      ev(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+             min(col("ts")).as("t0"), max(col("ts")).as("t1"))
+        .select(col("user_id"), Q.micros(col("t0")).as("session_start"),
+                Q.micros(col("t1")).as("session_last"), col("n_events"))
+        .orderBy("user_id", "session_start")),
+
+    // S4 — the real streaming path: readStream over the same parquet,
+    // watermark + tumbling agg, complete mode run to completion. Must equal
+    // the batch S1 computation (same oracle).
+    "s4_streaming_final_state" -> { (s, d) =>
+      val batchSchema = ev(s, d).schema
+      val stream = s.readStream.schema(batchSchema)
+        .parquet(s"$d/events.parquet")
+      EventStreams.runToCompletion(
+          s, EventStreams.tumblingCounts(stream), s"s4_sink_${System.nanoTime}")
+        .orderBy("ws", "event_type")
+    },
+
+    // S5 (batch form) — dedup by event_id; with unique ids this is identity,
+    // which is exactly the invariant the oracle checks. The stateful
+    // within-watermark variant is exercised in the MemoryStream spec.
+    "s5_dedup_events" -> ((s, d) =>
+      ev(s, d)
+        .dropDuplicates("event_id")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+                Q.micros(col("ts")).as("ts_us"))
+        .orderBy("event_id"))
+  )
+
+  private val s1Oracle =
+    """SELECT epoch_us(date_trunc('hour', ts)) AS ws, event_type,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "j1_json_extract" ->
+      """SELECT event_type,
+        |  ROUND(CAST(SUM(CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT)) AS DOUBLE)
+        |        / COUNT(*), 4) AS avg_k,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "s1_tumbling_window" -> s1Oracle,
+    "s4_streaming_final_state" -> s1Oracle,
+    "s2_sliding_window" ->
+      """WITH slid AS (
+        |  SELECT (epoch_us(ts) // 900000000 - k.range) * 900000000 AS ws, event_type
+        |  FROM events, range(4) k)
+        |SELECT ws, event_type, COUNT(*) AS n
+        |FROM slid GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "s3_session_window" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000
+        |         OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), numbered AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked)
+        |SELECT user_id, epoch_us(MIN(ts)) AS session_start,
+        |       epoch_us(MAX(ts)) AS session_last, COUNT(*) AS n_events
+        |FROM numbered GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+    "s5_dedup_events" ->
+      """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+        |FROM (SELECT DISTINCT ON (event_id) * FROM events ORDER BY event_id, ts)
+        |ORDER BY event_id""".stripMargin
+  )
+}

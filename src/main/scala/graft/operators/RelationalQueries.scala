@@ -1,0 +1,352 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Declared relational queries R1–R18 (SURVEY.md §2.2 R-table): every operator
+  * family the judge checks — scan/filter/project, hash aggregate, all join
+  * shapes, windows, sort/limit, set ops, rollup, distinct agg, scalar
+  * functions, conditional agg, decorrelated subquery, HAVING.
+  *
+  * Plans are declarative DataFrame ops: filters/projections reach the parquet
+  * scan via Catalyst pushdown; small dims (region/nation) get explicit
+  * broadcast hints; aggregates are partial+final hash aggregates.
+  */
+object RelationalQueries {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // R1 — scan + range filter + projection (pushed to parquet).
+    "r1_filter_project" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("l_shipdate") <  lit("1997-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+                col("l_extendedprice"), Q.day(col("l_shipdate")).as("ship_day"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // R2 — pricing summary: partial+final hash aggregate with exact decimal sums.
+    "r2_pricing_summary" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          Q.sumMoney(col("l_quantity")).as("sum_qty"),
+          Q.sumMoney(col("l_extendedprice")).as("sum_base_price"),
+          Q.sumDiscounted(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
+          Q.avg4(col("l_quantity")).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // R3 — inner equi-join, revenue per market segment.
+    "r3_join_revenue" -> ((s, d) =>
+      t(s, d, "orders").join(t(s, d, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(Q.sumMoney(col("o_totalprice")).as("revenue"),
+             count(lit(1)).as("n_orders"))
+        .orderBy("c_mktsegment")),
+
+    // R4 — multi-way join with broadcast dims: revenue per nation in ASIA.
+    "r4_multijoin_region" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region").filter(col("r_name") === "ASIA")),
+              col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(Q.sumDiscounted(col("l_extendedprice"), col("l_discount")).as("revenue"))
+        .orderBy("n_name")),
+
+    // R5 — left outer join, null-aware count: 'F'-order count per customer
+    // including customers with none.
+    "r5_left_outer_count" -> ((s, d) =>
+      t(s, d, "customer").join(
+          t(s, d, "orders").filter(col("o_orderstatus") === "F"),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_f_orders"))
+        .orderBy("c_custkey")),
+
+    // R6 — left semi join (EXISTS).
+    "r6_semi_join" -> ((s, d) =>
+      t(s, d, "customer").join(
+          t(s, d, "orders").filter(col("o_orderstatus") === "F"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name").orderBy("c_custkey")),
+
+    // R7 — left anti join (NOT EXISTS): customers with no 'F' order.
+    "r7_anti_join" -> ((s, d) =>
+      t(s, d, "customer").join(
+          t(s, d, "orders").filter(col("o_orderstatus") === "F"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name").orderBy("c_custkey")),
+
+    // R8 — broadcast hash join of two tiny dims.
+    "r8_broadcast_dims" -> ((s, d) =>
+      t(s, d, "nation").join(broadcast(t(s, d, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_name", "r_name").orderBy("n_name")),
+
+    // R9 — window ranking: top-3 orders per customer by totalprice.
+    "r9_window_topk" -> { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, d, "orders")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "rn")
+    },
+
+    // R10 — window analytics: running sum (exact decimal) + lag per customer.
+    "r10_window_running" -> { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      t(s, d, "orders")
+        .withColumn("running_spend",
+          sum(Q.dec2(col("o_totalprice")))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast(DoubleType))
+        .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+        .select(col("o_custkey"), col("o_orderkey"), Q.day(col("o_orderdate")).as("order_day"),
+                col("running_spend"), col("prev_price"))
+        .orderBy("o_custkey", "order_day", "o_orderkey")
+    },
+
+    // R11 — global top-10 (TakeOrderedAndProject — no full sort at scale).
+    "r11_top10" -> ((s, d) =>
+      t(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")),
+
+    // R12 — set operations over custkey sets (distinct semantics).
+    "r12_union" -> ((s, d) => setOps(s, d, "union")),
+    "r12_intersect" -> ((s, d) => setOps(s, d, "intersect")),
+    "r12_except" -> ((s, d) => setOps(s, d, "except")),
+
+    // R13 — ROLLUP with grouping flags (NULL group keys coalesced to 'ALL'
+    // so null-ordering never enters the hash).
+    "r13_rollup" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(Q.sumMoney(col("l_quantity")).as("sum_qty"),
+             count(lit(1)).as("n"),
+             grouping(col("l_returnflag")).cast("long").as("g_flag"),
+             grouping(col("l_linestatus")).cast("long").as("g_status"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+                coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+                col("sum_qty"), col("n"), col("g_flag"), col("g_status"))
+        .orderBy("g_flag", "g_status", "flag", "status")),
+
+    // R14 — exact distinct aggregate (expand + two-phase agg).
+    "r14_count_distinct" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+             countDistinct(col("l_suppkey")).as("n_supps"))
+        .orderBy("l_returnflag")),
+
+    // R15 — scalar function library: string / date / math / conditional.
+    "r15_scalar_funcs" -> ((s, d) =>
+      t(s, d, "orders")
+        .filter(col("o_orderpriority").like("%URGENT%"))
+        .select(
+          col("o_orderkey"),
+          upper(substring(col("o_orderpriority"), 1, 1)).as("prio_code"),
+          concat(col("o_orderstatus"), lit("/"), col("o_orderpriority")).as("status_prio"),
+          year(col("o_orderdate")).cast("long").as("o_year"),
+          month(col("o_orderdate")).cast("long").as("o_month"),
+          datediff(lit("2002-01-01").cast("date"), col("o_orderdate").cast("date")).cast("long").as("days_to_2002"),
+          ((Q.dec2(col("o_totalprice")) * 100).cast("long") / 10000.0).as("price_hundreds"),
+          abs(col("o_totalprice") - 50000.0).as("dist_from_50k"),
+          when(col("o_totalprice") > 50000.0, "big").otherwise("small").as("size_class"))
+        .orderBy("o_orderkey")),
+
+    // R16 — conditional aggregation: urgent-revenue share per order status.
+    "r16_conditional_agg" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          Q.sumCents(when(col("o_orderpriority") === "1-URGENT", col("o_totalprice")).otherwise(0.0)).as("uc"),
+          Q.sumCents(col("o_totalprice")).as("tc"))
+        .select(col("o_orderstatus"),
+                (col("uc") / 100.0).as("urgent_rev"),
+                Q.round4Ratio(col("uc"), col("tc")).as("urgent_share"))
+        .orderBy("o_orderstatus")),
+
+    // R17 — correlated scalar subquery, decorrelated: orders above their
+    // customer's average order value (exact decimal average).
+    "r17_decorrelated_subquery" -> { (s, d) =>
+      val o = t(s, d, "orders")
+      val avgByCust = o.groupBy(col("o_custkey").as("ac_custkey"))
+        .agg(Q.sumCents(col("o_totalprice")).as("cc"), count(lit(1)).as("cn"))
+      o.join(avgByCust, col("o_custkey") === col("ac_custkey"))
+        .filter(col("o_totalprice") > col("cc") / (lit(100.0) * col("cn")))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+                Q.round4Ratio(col("cc"), col("cn") * 100L).as("cust_avg"))
+        .orderBy("o_orderkey")
+    },
+
+    // R18 — HAVING: post-aggregation filter.
+    "r18_having" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(Q.sumMoney(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 254000.0)
+        .orderBy("l_returnflag", "l_linestatus"))
+  )
+
+  private def setOps(s: SparkSession, d: String, op: String): DataFrame = {
+    val auto = t(s, d, "customer").filter(col("c_mktsegment") === "AUTOMOBILE")
+      .select("c_custkey")
+    val rich = t(s, d, "customer").filter(col("c_acctbal") > 5000.0)
+      .select("c_custkey")
+    val r = op match {
+      case "union"     => auto.union(rich).distinct()
+      case "intersect" => auto.intersect(rich)
+      case "except"    => auto.except(rich)
+    }
+    r.orderBy("c_custkey")
+  }
+
+  val oracles: Map[String, String] = Map(
+    "r1_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+        |       strftime(l_shipdate, '%Y-%m-%d') AS ship_day
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "r2_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  ((20000 * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) + COUNT(l_quantity) * 100)
+        |   // (2 * COUNT(l_quantity) * 100)) / 10000.0 AS avg_qty,
+        |  COUNT(*) AS count_order
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "r3_join_revenue" ->
+      """SELECT c_mktsegment,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "r4_multijoin_region" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "r5_left_outer_count" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_f_orders
+        |FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_orderstatus = 'F') o
+        |  ON c_custkey = o_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "r6_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+    "r7_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+    "r8_broadcast_dims" ->
+      """SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY n_name""".stripMargin,
+    "r9_window_topk" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "r10_window_running" ->
+      """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |       OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+        |  LAG(o_totalprice, 1) OVER (PARTITION BY o_custkey
+        |                             ORDER BY o_orderdate ASC, o_orderkey ASC) AS prev_price
+        |FROM orders ORDER BY o_custkey, order_day, o_orderkey""".stripMargin,
+    "r11_top10" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "r12_union" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+        |UNION
+        |SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0
+        |ORDER BY c_custkey""".stripMargin,
+    "r12_intersect" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+        |INTERSECT
+        |SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0
+        |ORDER BY c_custkey""".stripMargin,
+    "r12_except" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+        |EXCEPT
+        |SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0
+        |ORDER BY c_custkey""".stripMargin,
+    "r13_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+        |       COALESCE(l_linestatus, 'ALL') AS status,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       COUNT(*) AS n,
+        |       GROUPING(l_returnflag) AS g_flag, GROUPING(l_linestatus) AS g_status
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY g_flag, g_status, flag, status""".stripMargin,
+    "r14_count_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+        |       COUNT(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "r15_scalar_funcs" ->
+      """SELECT o_orderkey,
+        |  UPPER(SUBSTRING(o_orderpriority, 1, 1)) AS prio_code,
+        |  o_orderstatus || '/' || o_orderpriority AS status_prio,
+        |  CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(MONTH(o_orderdate) AS BIGINT) AS o_month,
+        |  CAST(DATEDIFF('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS BIGINT) AS days_to_2002,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) / 10000.0 AS price_hundreds,
+        |  ABS(o_totalprice - 50000.0) AS dist_from_50k,
+        |  CASE WHEN o_totalprice > 50000.0 THEN 'big' ELSE 'small' END AS size_class
+        |FROM orders WHERE o_orderpriority LIKE '%URGENT%'
+        |ORDER BY o_orderkey""".stripMargin,
+    "r16_conditional_agg" ->
+      """WITH g AS (
+        |  SELECT o_orderstatus,
+        |    CAST(SUM(CAST(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice ELSE 0.0 END AS DECIMAL(18,2))) * 100 AS BIGINT) AS uc,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS tc
+        |  FROM orders GROUP BY 1)
+        |SELECT o_orderstatus, uc / 100.0 AS urgent_rev,
+        |       ((20000 * uc + tc) // (2 * tc)) / 10000.0 AS urgent_share
+        |FROM g ORDER BY 1""".stripMargin,
+    "r17_decorrelated_subquery" ->
+      """WITH a AS (
+        |  SELECT o_custkey AS ac_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cc,
+        |    COUNT(*) AS cn
+        |  FROM orders GROUP BY 1)
+        |SELECT o_orderkey, o_custkey, o_totalprice,
+        |       ((20000 * cc + cn * 100) // (2 * cn * 100)) / 10000.0 AS cust_avg
+        |FROM orders JOIN a ON o_custkey = ac_custkey
+        |WHERE o_totalprice > cc / (100.0 * cn)
+        |ORDER BY o_orderkey""".stripMargin,
+    "r18_having" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY 1, 2
+        |HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 254000.0
+        |ORDER BY 1, 2""".stripMargin
+  )
+}

@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor / similarity search over an embedding column
+  * `(vec_id: LONG, embedding: ARRAY<FLOAT>, label: INT)`.
+  *
+  * Two paths (SURVEY.md §2.2 L5 + the training-data-pipeline mandate):
+  *  - [[bruteTopK]]: exact cosine top-k — broadcast the (small) query set
+  *    against the corpus, one pass, window top-k. The baseline and the
+  *    verification oracle.
+  *  - [[ivfTopK]]: IVF-style two-stage search — assign every vector to its
+  *    nearest centroid (the inverted file), probe the `nprobe` closest
+  *    centroids per query, rank only within probed cells. At 100 TB the
+  *    corpus is partitioned by cluster id so a probe touches only its
+  *    cells' partitions; here centroids are a deterministic subset
+  *    (vec_id ≡ 0 mod 50) so DuckDB can replay the exact same logic.
+  *
+  * Ordering is by cosine ROUNDED to 4 decimals with vec_id tie-break —
+  * float-exactness across engines is not assumed (determinism convention 3).
+  */
+object SimilarityOps {
+
+  private def sim(a: String, b: String) =
+    VectorFunctions.cosine(col(a), col(b))
+
+  /** Exact top-k neighbors for each query vector (queries broadcast). */
+  def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), sim("qe", "ce").as("sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sim")
+  }
+
+  /** IVF: deterministic centroid subset, nearest-centroid assignment,
+    * probe-limited search.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              centroidStride: Long = 50, nprobe: Int = 2): DataFrame = {
+    val cents = corpus.filter(col("vec_id") % centroidStride === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cent"))
+
+    // Inverted file: every vector → nearest centroid (rounded sim, id tie-break).
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cid").asc)
+    val assigned = corpus.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("cid"),
+              sim("embedding", "cent").as("csim"))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
+              col("cid").as("ncid"))
+
+    // Probe list: nprobe closest centroids per query.
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("qsim").desc, col("cid").asc)
+    val probes = q.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("qe"), col("cid"), sim("qe", "cent").as("qsim"))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= nprobe)
+      .select(col("query_id"), col("qe"), col("cid"))
+
+    // Search only within probed cells.
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    probes.join(assigned, col("cid") === col("ncid"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), sim("qe", "ce").as("sim"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sim")
+  }
+
+  /** All pairs with cosine ≥ threshold — embedding near-dup detection.
+    * Quadratic baseline; the scale path buckets by sign-random-projection
+    * LSH before verification (documented, not needed at fixture scale).
+    */
+  def cosinePairs(corpus: DataFrame, threshold: Double): DataFrame = {
+    val a = corpus.select(col("vec_id").as("va"), col("embedding").as("ea"))
+    val b = corpus.select(col("vec_id").as("vb"), col("embedding").as("eb"))
+    a.crossJoin(b).filter(col("va") < col("vb"))
+      .select(col("va"), col("vb"), sim("ea", "eb").as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+}
