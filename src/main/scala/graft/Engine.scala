@@ -41,5 +41,25 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") loadEvents(spark, dir)
+    else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The events fixture stores `ts` as Parquet TIMESTAMP(NANOS), which
+    * Spark's vectorized reader rejects outright. Read nanos as LONG
+    * (legacy conf) and truncate to microsecond timestamps — the same
+    * floor DuckDB's `epoch_us` applies, so oracle parity is preserved.
+    */
+  def loadEventsRaw(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+  }
+
+  /** nanos-LONG `ts` → microsecond TimestampType (floor division). */
+  def withEventTime(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  def loadEvents(spark: SparkSession, dir: String): DataFrame =
+    withEventTime(loadEventsRaw(spark, dir))
 }

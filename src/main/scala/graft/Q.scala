@@ -55,6 +55,39 @@ object Q {
   /** Deterministic AVG of an exact integer column. */
   def avgInt4(c: Column): Column = round4Ratio(sum(c), count(c))
 
+  /** ROUND(p/q, 4) for possibly-negative p (q > 0): round half AWAY FROM
+    * ZERO, the HALF_UP convention both engines use. Implemented as trunc
+    * division on |p| because DuckDB's `//` truncates toward zero for
+    * integers while Spark's [[intDiv]] floors — they agree only on
+    * non-negative operands, so the sign is split out first.
+    */
+  def round4RatioSigned(p: Column, q: Column): Column = {
+    val r = intDiv(abs(p) * 20000L + q, q * 2L)
+    when(p < 0, -r).otherwise(r) / 10000.0
+  }
+
+  /** DuckDB SQL for [[round4RatioSigned]]. */
+  def duckRound4RatioSigned(p: String, q: String): String =
+    s"(CASE WHEN ($p) < 0 THEN -((20000 * (-($p)) + ($q)) // (2 * ($q))) " +
+      s"ELSE ((20000 * ($p) + ($q)) // (2 * ($q))) END) / 10000.0"
+
+  /** Fixed-point shift for float-origin embedding values: 2^45.
+    *
+    * A float32 has a 24-bit mantissa, so for |v| ≥ 2^-22 (or v = 0) the
+    * double v·2^45 is an exact integer — multiplication by a power of two
+    * only shifts the exponent. Encoding each component this way makes
+    * vector sums exact LONG arithmetic: order-free, overflow-checked by
+    * range (|term| ≤ 2^45·|v|max), and bit-identical across engines —
+    * which is what lets the L6 centroid aggregate be a genuinely
+    * distributable [[graft.functions.VectorMean]] instead of an
+    * order-pinned fold. (FIXTURES.md embeddings satisfy the |v| ≥ 2^-22
+    * precondition; a production build would widen to BigInt on violation.)
+    */
+  val Fp45: Long = 1L << 45
+
+  /** Exact fixed-point encoding v·2^45 of a float-origin column. */
+  def fp45(c: Column): Column = (c.cast(DoubleType) * lit(Fp45.toDouble)).cast("long")
+
   /** Timestamp → epoch microseconds (matches DuckDB epoch_us). */
   def micros(c: Column): Column = unix_micros(c)
 

@@ -24,8 +24,10 @@ object SparkEntry {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    MatrixQueries.queries ++ RelationalQueries.queries
+    MatrixQueries.queries ++ RelationalQueries.queries ++
+      EventQueries.queries ++ LlmQueries.queries
 
   def oracleSql: Map[String, String] =
-    MatrixQueries.oracles ++ RelationalQueries.oracles
+    MatrixQueries.oracles ++ RelationalQueries.oracles ++
+      EventQueries.oracles ++ LlmQueries.oracles
 }

@@ -91,10 +91,15 @@ object DedupOps {
     inter
       .join(sizes.select(col("doc_id").as("da"), col("nsh").as("na")), "da")
       .join(sizes.select(col("doc_id").as("db"), col("nsh").as("nb")), "db")
+      // Threshold compares the unrounded double ratio — both engines divide
+      // the same exact integers, so the comparison is engine-agnostic; the
+      // REPORTED value is integer half-up rounding (tie-free cross-engine,
+      // graft.Q rationale) rather than round() of a double.
+      .filter(col("c").cast("double") / (col("na") + col("nb") - col("c"))
+                >= threshold)
       .select(col("da"), col("db"),
-        (col("c").cast("double") / (col("na") + col("nb") - col("c"))).as("jac"))
-      .filter(col("jac") >= threshold)
-      .select(col("da"), col("db"), round(col("jac"), 4).as("jaccard"))
+        graft.Q.round4Ratio(col("c"), col("na") + col("nb") - col("c"))
+          .as("jaccard"))
   }
 
   /** MinHash+LSH near-dup pairs, exact-verified — scale path, same output

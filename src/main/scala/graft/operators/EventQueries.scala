@@ -59,25 +59,38 @@ object EventQueries {
 
     // S4 — the real streaming path: readStream over the same parquet,
     // watermark + tumbling agg, complete mode run to completion. Must equal
-    // the batch S1 computation (same oracle).
+    // the batch S1 computation (same oracle). The stream reads the raw
+    // nanos-LONG schema and applies the same micros truncation as the
+    // batch loader (Tables.withEventTime).
     "s4_streaming_final_state" -> { (s, d) =>
-      val batchSchema = ev(s, d).schema
-      val stream = s.readStream.schema(batchSchema)
-        .parquet(s"$d/events.parquet")
+      val rawSchema = Tables.loadEventsRaw(s, d).schema
+      // The streaming file source monitors directories; select just the
+      // events file from the sf dir via glob filter.
+      val stream = s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(d)
       EventStreams.runToCompletion(
-          s, EventStreams.tumblingCounts(stream), s"s4_sink_${System.nanoTime}")
+          s, EventStreams.tumblingCounts(Tables.withEventTime(stream)), "s4_sink")
         .orderBy("ws", "event_type")
     },
 
-    // S5 (batch form) — dedup by event_id; with unique ids this is identity,
-    // which is exactly the invariant the oracle checks. The stateful
-    // within-watermark variant is exercised in the MemoryStream spec.
-    "s5_dedup_events" -> ((s, d) =>
+    // S5 (batch form) — dedup by event_id keeping the MIN-ts row (total
+    // tie-break ts, user_id, event_type), so the semantics are deterministic
+    // even under real duplicates — matching the oracle's DISTINCT ON
+    // ordering instead of dropDuplicates' arbitrary-row choice. The
+    // stateful within-watermark variant is exercised in the MemoryStream
+    // spec.
+    "s5_dedup_events" -> { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_id"))
+        .orderBy(col("ts").asc, col("user_id").asc, col("event_type").asc)
       ev(s, d)
-        .dropDuplicates("event_id")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
         .select(col("event_id"), col("user_id"), col("event_type"),
                 Q.micros(col("ts")).as("ts_us"))
-        .orderBy("event_id"))
+        .orderBy("event_id")
+    }
   )
 
   private val s1Oracle =
@@ -87,12 +100,18 @@ object EventQueries {
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Sign-aware JSON extraction (json_extract_string keeps '-'), non-null
+    // count as the AVG divisor (matching Spark's count(k)), and the
+    // tie-free integer ROUND formula every other ratio oracle uses.
     "j1_json_extract" ->
-      """SELECT event_type,
-        |  ROUND(CAST(SUM(CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT)) AS DOUBLE)
-        |        / COUNT(*), 4) AS avg_k,
-        |  COUNT(*) AS n
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+      s"""WITH kv AS (
+         |  SELECT event_type,
+         |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+         |  FROM events)
+         |SELECT event_type,
+         |  ${Q.duckRound4Ratio("SUM(k)", "COUNT(k)")} AS avg_k,
+         |  COUNT(*) AS n
+         |FROM kv GROUP BY 1 ORDER BY 1""".stripMargin,
     "s1_tumbling_window" -> s1Oracle,
     "s4_streaming_final_state" -> s1Oracle,
     "s2_sliding_window" ->
@@ -117,7 +136,8 @@ object EventQueries {
         |FROM numbered GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
     "s5_dedup_events" ->
       """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
-        |FROM (SELECT DISTINCT ON (event_id) * FROM events ORDER BY event_id, ts)
+        |FROM (SELECT DISTINCT ON (event_id) * FROM events
+        |      ORDER BY event_id, ts, user_id, event_type)
         |ORDER BY event_id""".stripMargin
   )
 }

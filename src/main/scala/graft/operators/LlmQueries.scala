@@ -1,0 +1,227 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.{TextFunctions, VectorMean}
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Declared LLM-data-pipeline queries L1–L6 + the multimodal decode check
+  * (SURVEY.md §2.2 L-table; north-star training-data-pipeline mandate) over
+  * the `documents` / `embeddings` tables, with DuckDB oracles.
+  *
+  * The reference has no analogue for any of these (its only pipeline is the
+  * matrix multiply, reference `orchestrator/main.py`); they are the extended
+  * surface BASELINE.json mandates, built Spark-first:
+  *  - dedup routes through MinHash+LSH banding ([[DedupOps.minhashPairs]]) —
+  *    candidate generation is an equi-join on band buckets, never all-pairs;
+  *  - similarity search broadcasts the small query set ([[SimilarityOps]]);
+  *  - the centroid aggregate is a typed `Aggregator`
+  *    ([[graft.functions.VectorMean]]) with fixed-size exact buffers;
+  *  - text analytics are pure Catalyst expressions
+  *    ([[graft.functions.TextFunctions]]), whole-stage-codegen friendly.
+  */
+object LlmQueries {
+
+  private def docs(s: SparkSession, d: String) = Tables.load(s, d, "documents")
+  private def emb(s: SparkSession, d: String)  = Tables.load(s, d, "embeddings")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // L1 — exact dedup: content-hash group-by, keep min doc_id.
+    "l1_exact_dedup" -> ((s, d) =>
+      DedupOps.exactDedup(docs(s, d)).orderBy("content_hash")),
+
+    // L2 — near-dup pairs at Jaccard ≥ 0.8 over 3-char shingles, via the
+    // scale path: MinHash signatures → LSH band buckets → exact-Jaccard
+    // verification on candidates only. Output is identical to the exact
+    // all-pairs computation (the oracle): with 64 hashes / 32 bands the
+    // false-negative probability at j ≥ 0.8 is ≈ 5e-15 per pair.
+    "l2_near_dup" -> ((s, d) =>
+      DedupOps.minhashPairs(docs(s, d), 0.8).orderBy("da", "db")),
+
+    // L3 — token frequency: top-20 tokens per lang (count desc, token asc).
+    "l3_token_freq" -> { (s, d) =>
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("cnt").desc, col("token").asc)
+      docs(s, d)
+        .select(col("lang"), explode(TextFunctions.tokens("text")).as("token"))
+        .groupBy("lang", "token")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 20)
+        .select("lang", "rnk", "token", "cnt")
+        .orderBy("lang", "rnk")
+    },
+
+    // L4 — corpus stats per lang: doc count, avg chars (exact-int round),
+    // distinct sources.
+    "l4_corpus_stats" -> ((s, d) =>
+      docs(s, d)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+             Q.avgInt4(col("n_chars")).as("avg_chars"),
+             countDistinct(col("source")).as("n_sources"))
+        .orderBy("lang")),
+
+    // L5 — vector top-k: 5 nearest neighbors by cosine for query vectors
+    // vec_id 0..9 (broadcast queries, one corpus pass, window top-k).
+    "l5_vector_topk" -> ((s, d) =>
+      SimilarityOps.bruteTopK(emb(s, d), emb(s, d).filter(col("vec_id") <= 9), 5)
+        .orderBy("query_id", "rank")),
+
+    // L6 — label centroids: element-wise mean of the 64-dim embeddings per
+    // label via the VectorMean Aggregator (exact fixed-point sums — see
+    // graft.Q.Fp45 for why this is order-free AND hash-deterministic).
+    "l6_label_centroids" -> { (s, d) =>
+      val centroid = udaf(new VectorMean(64))
+      emb(s, d)
+        .groupBy(col("label"))
+        .agg(centroid(col("embedding")).as("centroid"))
+        .select(col("label"), posexplode(col("centroid")).as(Seq("dim", "centroid")))
+        .select(col("label"), col("dim").cast("long").as("dim"), col("centroid"))
+        .orderBy("label", "dim")
+    },
+
+    // L7 — SimHash fingerprints: 16-bit sign-of-weighted-bit-votes over the
+    // SQL-reproducible polynomial token hash; oracle replays it exactly.
+    "l7_simhash" -> ((s, d) =>
+      DedupOps.simhash(docs(s, d)).orderBy("doc_id")),
+
+    // MM1 — multimodal decode: binary payload → typed metadata through the
+    // distributed mapPartitions plumbing (codec = deterministic stub; the
+    // arithmetic is reproducible in SQL, which is the point of the gate).
+    "mm1_decode_meta" -> ((s, d) =>
+      Multimodal.decodeMeta(Multimodal.withPayload(docs(s, d)))
+        .toDF.orderBy("doc_id")),
+
+    // IVF similarity (scale path of L5): rows-only check here; its
+    // equivalence to bruteTopK on probed cells is unit-tested.
+    "l5b_ivf_topk" -> ((s, d) =>
+      SimilarityOps.ivfTopK(emb(s, d), emb(s, d).filter(col("vec_id") <= 9), 5)
+        .orderBy("query_id", "rank"))
+  )
+
+  /** DuckDB list-lambda fragment: Σ a[i]·b[i] folded in index order 1..64 —
+    * mirrors [[graft.functions.VectorFunctions.dot]]'s zip_with+aggregate
+    * fold bit-for-bit (same products, same addition order, 0.0 init).
+    */
+  private def duckDot(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> $a[i] * $b[i])), (acc, v) -> acc + v)"
+
+  private def duckNormSq(a: String): String =
+    s"list_reduce(list_prepend(0.0, list_transform($a, v -> v * v)), (acc, v) -> acc + v)"
+
+  private def duckCosine(a: String, b: String): String =
+    s"ROUND(${duckDot(a, b)} / (sqrt(${duckNormSq(a)}) * sqrt(${duckNormSq(b)})), 4)"
+
+  /** Shingle/token expansion shared by the L2/L3/L7 oracles. */
+  private val duckShingles =
+    """sh AS (
+      |  SELECT DISTINCT doc_id, sh FROM (
+      |    SELECT doc_id,
+      |      unnest(list_transform(range(1, length(text) - 1),
+      |                            i -> substring(text, i, 3))) AS sh
+      |    FROM documents WHERE length(text) >= 3))""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+
+    "l1_exact_dedup" ->
+      """SELECT sha256(text) AS content_hash, MIN(doc_id) AS keep_doc_id,
+        |       COUNT(*) AS n_dups
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "l2_near_dup" ->
+      s"""WITH $duckShingles,
+         |sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT da, db,
+         |  ${Q.duckRound4Ratio("c", "sa.nsh + sb.nsh - c")} AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = da
+         |JOIN sizes sb ON sb.doc_id = db
+         |WHERE CAST(c AS DOUBLE) / (sa.nsh + sb.nsh - c) >= 0.8
+         |ORDER BY da, db""".stripMargin,
+
+    "l3_token_freq" ->
+      """WITH toks AS (
+        |  SELECT lang,
+        |    unnest(list_filter(string_split(text, ' '), t -> t != '')) AS token
+        |  FROM documents),
+        |c AS (SELECT lang, token, COUNT(*) AS cnt FROM toks GROUP BY 1, 2),
+        |r AS (SELECT lang, token, cnt,
+        |        ROW_NUMBER() OVER (PARTITION BY lang
+        |                           ORDER BY cnt DESC, token ASC) AS rnk
+        |      FROM c)
+        |SELECT lang, rnk, token, cnt FROM r WHERE rnk <= 20
+        |ORDER BY lang, rnk""".stripMargin,
+
+    "l4_corpus_stats" ->
+      s"""SELECT lang, COUNT(*) AS n_docs,
+         |  ${Q.duckRound4Ratio("SUM(n_chars)", "COUNT(n_chars)")} AS avg_chars,
+         |  COUNT(DISTINCT source) AS n_sources
+         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "l5_vector_topk" ->
+      s"""WITH e AS (SELECT vec_id,
+         |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS a
+         |           FROM embeddings),
+         |sims AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         ${duckCosine("q.a", "c.a")} AS sim
+         |  FROM e q JOIN e c ON q.vec_id <= 9 AND c.vec_id != q.vec_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, sim,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |                       ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |  FROM sims)
+         |SELECT query_id, rank, neighbor_id, sim FROM ranked WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
+    "l6_label_centroids" ->
+      s"""WITH e AS (
+         |  SELECT label,
+         |    generate_subscripts(embedding, 1) - 1 AS dim,
+         |    CAST(CAST(unnest(embedding) AS DOUBLE) * ${Q.Fp45}.0 AS BIGINT) AS fp
+         |  FROM embeddings),
+         |s AS (SELECT label, dim, SUM(fp) AS p, COUNT(*) AS n
+         |      FROM e GROUP BY 1, 2)
+         |SELECT label, dim,
+         |  ${Q.duckRound4RatioSigned("p", s"n * ${Q.Fp45}")} AS centroid
+         |FROM s ORDER BY label, dim""".stripMargin,
+
+    "l7_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split(text, ' '), t -> t != '')) AS tok
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(range(1, length(tok) + 1),
+        |                       i -> CAST(ascii(substring(tok, i, 1)) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 1000003) AS h
+        |  FROM toks),
+        |votes AS (
+        |  SELECT doc_id, b.range AS b,
+        |    SUM(CASE WHEN (h // (1 << b.range)) % 2 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM h, range(16) b GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  SUM(CASE WHEN s > 0 THEN CAST(1 << b AS BIGINT) ELSE 0 END) AS simhash16
+        |FROM votes GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "mm1_decode_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  ascii(substring(text, 1, 1)) AS first_byte,
+        |  (CAST(octet_length(encode(text)) AS INT) % 640) + 1 AS width,
+        |  (ascii(substring(text, 1, 1)) & 127) + 1 AS height,
+        |  TRUE AS ok
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

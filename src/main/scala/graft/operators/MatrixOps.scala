@@ -89,6 +89,21 @@ object MatrixOps {
     partial.groupBy("i", "k").agg(sum("pv").as("v"))
   }
 
+  /** Density-dispatched multiply — the default entry point.
+    *
+    * Dense inputs route to [[blockMatmul]]: the row-level join emits
+    * |A⋈B| = m·n·p intermediate rows for dense operands (the scale-killer
+    * at 100×), while the block path shuffles O(tiles) grouped rows and
+    * does cache-friendly local GEMM per tile pair. Sparse inputs keep the
+    * row join ([[matmul]]), whose intermediate is proportional to the
+    * true nonzero structure. Callers state density (`denseHint`); an
+    * adaptive version would sample nnz/(rows·cols) — documented, not
+    * needed while all call sites know their operands.
+    */
+  def multiply(a: DataFrame, b: DataFrame, denseHint: Boolean = true,
+               bs: Int = 128): DataFrame =
+    if (denseHint) blockMatmul(a, b, bs) else matmul(a, b)
+
   /** Transpose: (i,j,v) → (j,i,v). Pure projection — no shuffle. */
   def transpose(a: DataFrame): DataFrame =
     a.select(col("j").as("i"), col("i").as("j"), col("v"))

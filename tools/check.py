@@ -24,16 +24,16 @@ def main():
         if only and name not in only:
             continue
         try:
-            files = glob.glob(f"{out_dir}/{name}/*.parquet")
+            # sorted(): part-file names sort in global row order after an
+            # orderBy write; glob order alone could scramble rows.
+            files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
             if not files:
                 print(f"FAIL {name}: no spark output")
                 n_fail += 1
                 continue
             got = con.sql(f"SELECT * FROM read_parquet({files!r})")
             gcols = sorted(got.columns)
-            got_rows = con.sql(
-                f"SELECT {', '.join(q(c) for c in gcols)} FROM got_t",
-            ) if False else got.project(', '.join(q(c) for c in gcols)).fetchall()
+            got_rows = got.project(', '.join(q(c) for c in gcols)).fetchall()
             exp = con.sql(oracle[name])
             ecols = sorted(exp.columns)
             exp_rows = exp.project(', '.join(q(c) for c in ecols)).fetchall()
