@@ -1,24 +1,93 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import graft.operators.{MatrixGen, MatrixOps, RelationalQueries}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Benchmark harness — driver-run per round → BENCH_r{N}.json.
+  *
+  * Fixes over round 1 (VERDICT.md "What's wrong" 1–3):
+  *  - sessions go through [[Engine.configure]] (AQE, UTC, broadcast
+  *    threshold) so the bench measures the engine as designed;
+  *  - a warm-up query absorbs JIT/codegen/parquet-footer costs;
+  *  - each query is timed against a `noop` sink (full plan execution —
+  *    `.count()` let Spark prune projections and sorts);
+  *  - failures are recorded per-query in the JSON (`errors`) and flip the
+  *    exit code — a crash can no longer masquerade as a timing;
+  *  - a matrix sweep (reference sizes 50/100/200 from
+  *    `/root/reference/test/test.py:76-82`, plus 400) measures scaling
+  *    instead of a constant 50×50 toy; sweep sizes are fixed so numbers
+  *    are comparable to BASELINE.md at any sf dir.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = Engine.configure(
+      SparkSession.builder()
+        .master(s"local[$cpus]")
+        .appName("graft-bench")
+        .config("spark.sql.shuffle.partitions", cpus)
+    ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    // Full-plan execution without result materialization on the driver.
+    def sink(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    // Warm-up (not timed): parquet scan + broadcast join + agg machinery,
+    // plus the ICU case-mapping tables (CollationAwareUTF8String <clinit>
+    // runs minutes on first upper()/initcap() — a JVM one-time cost that
+    // must not land inside a timed query).
+    try {
+      sink(RelationalQueries.queries("r4_multijoin_region")(spark, sfDir))
+      import org.apache.spark.sql.functions.{initcap, lit, lower, upper}
+      sink(spark.range(1).select(upper(lit("w")), lower(lit("W")), initcap(lit("w"))))
+    } catch { case _: Throwable => () }
+
+    // Matrix scaling sweep, mirroring the reference's size sweep.
+    val sweep: Seq[(String, (SparkSession, String) => DataFrame)] =
+      Seq(50, 100, 200, 400).map { n =>
+        (s"m1_sweep_$n", (s: SparkSession, _: String) =>
+          MatrixOps.multiply(MatrixGen.matA(s, n, n), MatrixGen.matB(s, n, n)))
+      }
+
+    val all = SparkEntry.queries.toSeq.sortBy(_._1) ++ sweep
+    var errors = Vector.empty[(String, String)]
+
+    // Two passes, min per query: Spark 4 pays heavy one-time JVM costs on
+    // first touch (e.g. CollationAwareUTF8String <clinit> builds ICU case
+    // tables for ~50 s inside the first upper() task) that say nothing
+    // about plan quality; the min isolates steady-state engine time.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
+    val timings = (1 to passes).map { pass =>
+      all.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try sink(fn(spark, sfDir))
+        catch {
+          case e: Throwable =>
+            if (pass == 1)
+              errors :+= (name -> e.toString.takeWhile(_ != '\n').take(200))
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bench] pass$pass $name%-28s $dt%9.3f s")
+        name -> dt
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val results = all.map { case (name, _) =>
+      name -> timings.map(_.toMap.apply(name)).min
+    }
+
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

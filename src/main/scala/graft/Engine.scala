@@ -20,6 +20,14 @@ object Engine {
     // Small dims (region/nation/...) must broadcast; default 10 MB is right,
     // stated explicitly because the relational suite depends on it.
     .config("spark.sql.autoBroadcastJoinThreshold", 10L * 1024 * 1024)
+    // Spark 4.1's checksummed checkpoint writer leaks parked executor
+    // threads in local mode: StateStoreSaveExec commits block forever in
+    // ChecksumCancellableFSDataOutputStream.close awaiting a checksum
+    // future that never completes after the streaming query stops. Each
+    // leaked thread holds a task slot, progressively starving every later
+    // query in the session (observed: >300 s stalls). Plain rename-based
+    // checkpointing is correct for our bounded state; disable checksums.
+    .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
     .config("spark.ui.enabled", "false")
 
   def local(cores: Int = 32, shufflePartitions: Int = 32): SparkSession = {

@@ -16,6 +16,19 @@ import org.apache.spark.sql.functions._
   * probability at j≥0.8 below 1e-13, so the verified output is
   * hash-identical to the exact computation — which is exactly what the
   * oracle checks.
+  *
+  * Two lessons from profiling are baked in:
+  *  - shingles travel as compact LONG codes ([[TextFunctions.shingleCode]],
+  *    injective for ASCII) from the first projection on — long equality and
+  *    hashing are several times cheaper than UTF8String's, and MinHash
+  *    needed the numeric form anyway;
+  *  - on corpora with HIGH background similarity (the fixture corpus draws
+  *    from a ~30-word vocabulary, background j ≈ 0.5) LSH banding cannot
+  *    prune — nearly every pair collides in some band. Verification must
+  *    therefore be strictly linear in candidates: one `array_intersect` of
+  *    the two docs' code sets per pair, explicitly repartitioned so AQE's
+  *    size-based coalescing (the arrays are small in BYTES) doesn't
+  *    serialize the CPU-heavy intersects into one task.
   */
 object DedupOps {
 
@@ -24,10 +37,15 @@ object DedupOps {
     docs.groupBy(sha2(col("text"), 256).as("content_hash"))
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_dups"))
 
-  /** (doc_id, shingle) pairs — distinct character n-grams per doc. */
+  /** (doc_id, code) pairs — distinct character n-gram codes per doc.
+    * Codes are the injective ASCII packing of the n-gram
+    * ([[TextFunctions.shingleCode]]), so Jaccard over codes equals Jaccard
+    * over the n-grams themselves.
+    */
   def shingles(docs: DataFrame, n: Int = 3): DataFrame =
     docs.select(col("doc_id"),
         explode(TextFunctions.charShingles("text", n)).as("sh"))
+      .select(col("doc_id"), TextFunctions.shingleCode("sh").as("code"))
 
   /** Exact Jaccard ≥ threshold over all pairs (the small-scale/verification
     * formulation; quadratic in corpus size — see [[minhashPairs]] for scale).
@@ -47,8 +65,7 @@ object DedupOps {
       col("id").as("hk"),
       (col("id") * 2 + 3).as("ha"),
       (col("id") * col("id") + col("id") * 7 + 1).as("hb"))
-    sh.select(col("doc_id"), TextFunctions.shingleCode("sh").as("code"))
-      .crossJoin(broadcast(seeds))
+    sh.crossJoin(broadcast(seeds))
       .groupBy(col("doc_id"), col("hk"))
       .agg(min((col("ha") * col("code") + col("hb")) % 2147483647L).as("mh"))
   }
@@ -70,24 +87,34 @@ object DedupOps {
   }
 
   /** Exact-Jaccard verification. With `allCandidates=true` computes all
-    * pairs (exact mode); otherwise restricts the shingle self-join to the
-    * candidate (da, db) set first.
+    * pairs via the shared-shingle join (exact mode — quadratic in hot
+    * shingles); otherwise verifies each candidate pair with one codegen'd
+    * `array_intersect` over the two docs' sorted code sets — cost strictly
+    * linear in |candidates|·avg-set-size, immune to hot-shingle fan-out
+    * (the round-1 caveat, VERDICT.md "What's wrong" 5).
     */
   def verifyJaccard(sh: DataFrame, allCandidates: Boolean,
                     candidates: DataFrame, threshold: Double): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
-    val a = sh.select(col("doc_id").as("da"), col("sh"))
-    val b = sh.select(col("doc_id").as("db"), col("sh"))
-    val joined =
-      if (allCandidates) a.join(b, "sh").filter(col("da") < col("db"))
-      else {
-        val bb = sh.select(col("doc_id").as("db2"), col("sh").as("shb"))
-        candidates
-          .join(a, "da")
-          .join(bb, col("db") === col("db2") && col("sh") === col("shb"))
-          .select(col("da"), col("db"), col("sh"))
+    val inter =
+      if (allCandidates) {
+        val a = sh.select(col("doc_id").as("da"), col("code"))
+        val b = sh.select(col("doc_id").as("db"), col("code"))
+        a.join(b, "code").filter(col("da") < col("db"))
+          .groupBy(col("da"), col("db")).agg(count(lit(1)).as("c"))
+      } else {
+        val nParts = sh.sparkSession.sparkContext.defaultParallelism
+        val sets = sh.groupBy(col("doc_id"))
+          .agg(sort_array(collect_list(col("code"))).as("codes"))
+        // Explicit repartition: the verification rows are tiny in bytes but
+        // CPU-heavy; AQE would coalesce them into one task otherwise.
+        candidates.repartition(nParts, col("da"))
+          .join(sets.select(col("doc_id").as("da"), col("codes").as("ca")), "da")
+          .join(sets.select(col("doc_id").as("db"), col("codes").as("cb")), "db")
+          .select(col("da"), col("db"),
+            size(array_intersect(col("ca"), col("cb"))).cast("long").as("c"))
+          .filter(col("c") > 0)
       }
-    val inter = joined.groupBy(col("da"), col("db")).agg(count(lit(1)).as("c"))
     inter
       .join(sizes.select(col("doc_id").as("da"), col("nsh").as("na")), "da")
       .join(sizes.select(col("doc_id").as("db"), col("nsh").as("nb")), "db")

@@ -14,9 +14,11 @@ object MatrixQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // M1 — the reference's exact live workload (50×50 dense multiply,
-    // orchestrator/main.py:43-48) as join-on-j + hash aggregate.
+    // orchestrator/main.py:43-48). Dense inputs dispatch to the block-GEMM
+    // path (MatrixOps.multiply); the row join plan stays the sparse path
+    // (M4). Same oracle either way — the paths are result-identical.
     "m1_matmul" -> ((s, _) =>
-      MatrixOps.matmul(A50(s), B50(s)).orderBy("i", "k")),
+      MatrixOps.multiply(A50(s), B50(s)).orderBy("i", "k")),
 
     // M2 — same product via 2-D block partitioning + local GEMM
     // (generalizes orchestrator/main.py:88-112's slabs); hash-identical to M1.
@@ -26,13 +28,14 @@ object MatrixQueries {
     // M3 — rectangular shapes: the case the reference's reducer loop bound
     // gets wrong (reducer/main.py:30). 30×50 · 50×20.
     "m3_matmul_rect" -> ((s, _) =>
-      MatrixOps.matmul(MatrixGen.matA(s, 30, 50), MatrixGen.matB(s, 50, 20))
+      MatrixOps.multiply(MatrixGen.matA(s, 30, 50), MatrixGen.matB(s, 50, 20))
         .orderBy("i", "k")),
 
-    // M4 — sparse path: drop exact zeros before the join; same product.
+    // M4 — sparse path: drop exact zeros, row-level join (denseHint=false).
     "m4_matmul_sparse" -> ((s, _) =>
-      MatrixOps.matmul(A50(s).filter(col("v") =!= 0),
-                       B50(s).filter(col("v") =!= 0)).orderBy("i", "k")),
+      MatrixOps.multiply(A50(s).filter(col("v") =!= 0),
+                         B50(s).filter(col("v") =!= 0),
+                         denseHint = false).orderBy("i", "k")),
 
     // M5 — transpose (narrow, no shuffle).
     "m5_transpose" -> ((s, _) =>
@@ -50,7 +53,17 @@ object MatrixQueries {
 
     // M8 — A·A self-join (alias disambiguation exercised).
     "m8_matpow" -> ((s, _) =>
-      MatrixOps.matmul(A50(s), A50(s)).orderBy("i", "k"))
+      MatrixOps.multiply(A50(s), A50(s)).orderBy("i", "k")),
+
+    // M9 — ingest the reference's ACTUAL storage format (dense JSON
+    // array-of-arrays, orchestrator/main.py:58-64) and multiply; the
+    // fixtures hold exactly the formula matrices, so the result shares
+    // the mm50 oracle.
+    "m9_dense_json_io" -> ((s, _) =>
+      MatrixOps.multiply(
+        graft.sources.MatrixIO.readDenseJson(s, "/root/repo/fixtures/matrix_A_50x50.json"),
+        graft.sources.MatrixIO.readDenseJson(s, "/root/repo/fixtures/matrix_B_50x50.json"))
+        .orderBy("i", "k"))
   )
 
   import MatrixGen.{duckA, duckB}
@@ -64,6 +77,7 @@ object MatrixQueries {
     "m1_matmul" -> mm50,
     "m2_matmul_block" -> mm50,
     "m4_matmul_sparse" -> mm50,
+    "m9_dense_json_io" -> mm50,
     "m3_matmul_rect" ->
       s"""WITH ${duckA("a", 30, 50)}, ${duckB("b", 50, 20)}
          |SELECT a.i AS i, b.j AS k, CAST(SUM(a.v * b.v) AS BIGINT) AS v

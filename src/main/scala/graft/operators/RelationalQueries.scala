@@ -153,6 +153,15 @@ object RelationalQueries {
              countDistinct(col("l_suppkey")).as("n_supps"))
         .orderBy("l_returnflag")),
 
+    // R14b — HLL sketch capability (declared non-hash-gated in SURVEY §2.2:
+    // sketch estimates are engine-specific, so the driver records a
+    // rows-only check — no oracleSql entry).
+    "r14b_approx_distinct" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .orderBy("l_returnflag")),
+
     // R15 — scalar function library: string / date / math / conditional.
     "r15_scalar_funcs" -> ((s, d) =>
       t(s, d, "orders")

@@ -1,0 +1,123 @@
+package graft
+
+import graft.functions.{TextFunctions, VectorFunctions, VectorMean}
+import graft.multimodal.Multimodal
+import graft.operators.{DedupOps, SimilarityOps}
+import org.apache.spark.sql.functions._
+
+/** LLM-pipeline operator semantics: dedup (exact + LSH-equivalence),
+  * similarity, text functions, the VectorMean Aggregator, multimodal
+  * plumbing.
+  */
+class LlmSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy dog"),     // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy cat"),     // near dup of 0
+    (3L, "completely different text with other content"),
+    (4L, "spark engines shuffle partitions across executors"),
+    (5L, "a b")                                              // shorter than a shingle
+  ).toDF("doc_id", "text")
+
+  test("exactDedup groups identical texts and keeps the min doc_id") {
+    val out = DedupOps.exactDedup(corpus).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    // five distinct texts; the duplicate pair keeps doc 0 with count 2
+    assert(out == Set((0L, 2L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L)))
+  }
+
+  test("minhashPairs (LSH + verify) equals exact all-pairs jaccardPairs") {
+    val exact = DedupOps.jaccardPairs(corpus, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = DedupOps.minhashPairs(corpus, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact.nonEmpty)             // dup + near-dup pairs exist
+    assert(lsh == exact)
+    assert(exact.exists { case (a, b, j) => a == 0L && b == 1L && j == 1.0 })
+  }
+
+  test("charShingles: empty below n, distinct, correct content") {
+    val sh = Seq((1L, "abab"), (2L, "ab")).toDF("doc_id", "text")
+      .select($"doc_id", TextFunctions.charShingles("text", 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    assert(sh(1L) == Set("aba", "bab"))
+    assert(sh(2L) == Set.empty)
+  }
+
+  test("tokens drops empties from repeated spaces") {
+    val t = Seq((1L, "a  b   c ")).toDF("doc_id", "text")
+      .select(TextFunctions.tokens("text")).as[Seq[String]].head()
+    assert(t == Seq("a", "b", "c"))
+  }
+
+  test("cosine of identical vectors is 1; orthogonal is 0") {
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f)),
+      (Array(1.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f))
+    ).toDF("a", "b")
+    val sims = df.select(VectorFunctions.cosine($"a", $"b")).as[Double].collect()
+    assert(sims(0) == 1.0 && sims(1) == 0.0)
+  }
+
+  test("VectorMean computes exact component means (incl. negatives)") {
+    val df = Seq(
+      (0, Seq(1.0f, -2.0f)),
+      (0, Seq(3.0f, -4.0f)),
+      (1, Seq(0.5f, 0.25f))
+    ).toDF("label", "embedding")
+    val centroid = udaf(new VectorMean(2))
+    val out = df.groupBy($"label").agg(centroid($"embedding").as("c"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(out(0) == Seq(2.0, -3.0))
+    assert(out(1) == Seq(0.5, 0.25))
+  }
+
+  test("VectorMean rounds half away from zero at 4 decimals") {
+    // mean of (0.5^11=0.00048828125, 0) = 0.000244140625 → 4dp → 0.0002;
+    // 3·0.00048828125 / 2 = 0.000732421875 → 0.0007;
+    // negative mirror rounds to -0.0002 / -0.0007.
+    val df = Seq(
+      (0, Seq(0.00048828125f)), (0, Seq(0.0f)),
+      (1, Seq(-0.00048828125f)), (1, Seq(0.0f))
+    ).toDF("label", "embedding")
+    val centroid = udaf(new VectorMean(1))
+    val out = df.groupBy($"label").agg(centroid($"embedding").as("c"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).head).toMap
+    assert(out(0) == 0.0002 && out(1) == -0.0002)
+  }
+
+  test("bruteTopK ranks by cosine desc with neighbor-id tie-break") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(1.0f, 0.0f), 0),   // identical to query 0 → sim 1.0
+      (2L, Array(0.9f, 0.1f), 0),
+      (3L, Array(0.0f, 1.0f), 0)    // orthogonal
+    ).toDF("vec_id", "embedding", "label")
+    val out = SimilarityOps.bruteTopK(vecs, vecs.filter($"vec_id" === 0), 3)
+      .orderBy("rank").collect().map(r => (r.getLong(2), r.getLong(1)))
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L))  // neighbor order
+  }
+
+  test("ivfTopK equals bruteTopK when every centroid is probed") {
+    val vecs = (0L until 30L).map { id =>
+      (id, Array.tabulate(4)(d => ((id * 7 + d * 3) % 11).toFloat - 5f), 0)
+    }.toDF("vec_id", "embedding", "label")
+    val queries = vecs.filter($"vec_id" < 3)
+    val brute = SimilarityOps.bruteTopK(vecs, queries, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // stride 10 → 3 centroids; nprobe 3 probes them all → exhaustive search
+    val ivf = SimilarityOps.ivfTopK(vecs, queries, 4, centroidStride = 10, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(ivf == brute)
+  }
+
+  test("multimodal decodeMeta emits deterministic stub metadata distributedly") {
+    val docs = Seq((7L, "hello")).toDF("doc_id", "text")
+    val meta = Multimodal.decodeMeta(Multimodal.withPayload(docs)).collect().head
+    assert(meta.doc_id == 7L && meta.n_bytes == 5L &&
+      meta.first_byte == 'h'.toInt && meta.width == 6 &&
+      meta.height == ('h'.toInt & 0x7f) + 1 && meta.ok)
+  }
+}

@@ -1,0 +1,103 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.EventStreams
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming semantics under out-of-order and late data
+  * (SURVEY.md §5.2 item 4): final state equals the batch computation, and
+  * watermark-expired events are dropped in append mode.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+  import StreamingSpec.Ev
+
+  private def t(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  /** Epoch micros of 2024-01-01 00:00 UTC + h hours — window-start values. */
+  private def ws(h: Int): Long = 1704067200000000L + h * 3600000000L
+
+  private def runStream(events: Seq[Seq[Ev]],
+                        build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+                        mode: String, name: String) = {
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = build(ms.toDF()).writeStream
+      .format("memory").queryName(name)
+      .outputMode(mode)
+      .start()
+    try {
+      events.foreach { batch => ms.addData(batch); q.processAllAvailable() }
+    } finally q.stop()
+    spark.table(name)
+  }
+
+  test("tumbling aggregate final state equals batch despite out-of-order delivery") {
+    // Three hours of events delivered shuffled across micro-batches.
+    val evs = Seq(
+      Ev(1, t(10), 1, "a", 1.0), Ev(2, t(70), 1, "a", 2.0),
+      Ev(3, t(130), 2, "b", 3.0), Ev(4, t(20), 2, "a", 4.0),
+      Ev(5, t(75), 1, "b", 5.0), Ev(6, t(15), 1, "a", 6.0))
+    val outOfOrder = Seq(Seq(evs(2), evs(0)), Seq(evs(4), evs(3)), Seq(evs(1), evs(5)))
+    val got = runStream(outOfOrder, EventStreams.tumblingCounts, "complete", "t_ooo")
+      .orderBy("ws", "event_type")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+
+    val batch = evs.toDF()
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"),
+           sum($"value".cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(unix_micros($"window.start").as("ws"), $"event_type", $"n", $"sum_value")
+      .orderBy("ws", "event_type")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+
+    assert(got.toSeq == batch.toSeq)
+  }
+
+  test("append-mode window emits once the watermark passes and drops too-late data") {
+    // Batch 1: events at minute 10 and 200 (watermark 2h → wm = 200-120 = 80,
+    // so the hour-0 window [0,60) closes and emits).
+    // Batch 2: a very late event at minute 5 — behind the watermark; it must
+    // NOT resurrect the already-emitted hour-0 window.
+    val batches = Seq(
+      Seq(Ev(1, t(10), 1, "a", 1.0), Ev(2, t(200), 1, "a", 2.0)),
+      Seq(Ev(3, t(5), 1, "a", 100.0)))
+    val got = runStream(batches, EventStreams.tumblingCounts, "append", "t_late")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // Only the hour-0 window has been finalized; it contains exactly event 1.
+    assert(got.toSeq == Seq((ws(0), "a", 1L, 1.0)))
+  }
+
+  test("streaming dedup keeps one row per event_id within the watermark") {
+    val batches = Seq(
+      Seq(Ev(1, t(10), 1, "a", 1.0), Ev(2, t(11), 1, "a", 2.0)),
+      Seq(Ev(1, t(12), 9, "z", 9.0)),   // duplicate id, different payload
+      Seq(Ev(3, t(13), 2, "b", 3.0)))
+    val got = runStream(batches, EventStreams.dedup, "append", "t_dedup")
+      .collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("session windows merge events within the gap and split across it") {
+    val evs = Seq(
+      Ev(1, t(0), 1, "a", 0), Ev(2, t(10), 1, "a", 0), Ev(3, t(25), 1, "a", 0),
+      // 31-minute silence → new session for user 1
+      Ev(4, t(56), 1, "a", 0),
+      Ev(5, t(100), 2, "a", 0))
+    val got = runStream(Seq(evs), EventStreams.sessions, "complete", "t_sess")
+      .orderBy("user_id", "session_start")
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 3L), (1L, 1L), (2L, 1L)))
+  }
+}
+
+object StreamingSpec {
+  /** Top-level so Spark can derive an Encoder (inner classes need outer
+    * scopes the analyzer can't reach).
+    */
+  case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+                event_type: String, value: Double)
+}
