@@ -45,7 +45,7 @@ object DedupOps {
   def shingles(docs: DataFrame, n: Int = 3): DataFrame =
     docs.select(col("doc_id"),
         explode(TextFunctions.charShingles("text", n)).as("sh"))
-      .select(col("doc_id"), TextFunctions.shingleCode("sh").as("code"))
+      .select(col("doc_id"), TextFunctions.shingleCode("sh").cast("long").as("code"))
 
   /** Exact Jaccard ≥ threshold over all pairs (the small-scale/verification
     * formulation; quadratic in corpus size — see [[minhashPairs]] for scale).
@@ -108,11 +108,14 @@ object DedupOps {
           .agg(sort_array(collect_list(col("code"))).as("codes"))
         // Explicit repartition: the verification rows are tiny in bytes but
         // CPU-heavy; AQE would coalesce them into one task otherwise.
+        // SortedIntersectCount replaces size(array_intersect): two-pointer
+        // merge over the sorted code sets, no per-row hash set or
+        // materialized result array (>10x at millions of candidates).
         candidates.repartition(nParts, col("da"))
           .join(sets.select(col("doc_id").as("da"), col("codes").as("ca")), "da")
           .join(sets.select(col("doc_id").as("db"), col("codes").as("cb")), "db")
           .select(col("da"), col("db"),
-            size(array_intersect(col("ca"), col("cb"))).cast("long").as("c"))
+            graft.functions.SortedIntersectCount(col("ca"), col("cb")).as("c"))
           .filter(col("c") > 0)
       }
     inter
@@ -129,14 +132,76 @@ object DedupOps {
           .as("jaccard"))
   }
 
-  /** MinHash+LSH near-dup pairs, exact-verified — scale path, same output
-    * contract as [[jaccardPairs]].
+  /** MinHash+LSH near-dup pairs, exact-verified — same output contract as
+    * [[jaccardPairs]]. The right scale path when background similarity is
+    * low (real web corpora): bucket joins touch only docs agreeing on a
+    * band. On corpora whose background Jaccard approaches the threshold
+    * (the fixture's shared ~30-word vocabulary, j≈0.5 everywhere) band
+    * buckets degenerate toward "all docs" and the bucket self-join costs
+    * Σ bucket² — use [[prefixJaccardPairs]] there.
     */
   def minhashPairs(docs: DataFrame, threshold: Double,
                    n: Int = 3, numHashes: Int = 64): DataFrame = {
     val sh = shingles(docs, n)
     val cand = lshCandidates(minhashSignatures(sh, numHashes))
     verifyJaccard(sh, allCandidates = false, candidates = cand, threshold = threshold)
+  }
+
+  /** Exact near-dup pairs via PREFIX FILTERING (Bayardo/Ma/Srikant,
+    * "Scaling Up All Pairs Similarity Search", WWW 2007; the PPJoin family
+    * refines it) — candidate generation with a hard no-false-negative
+    * guarantee that, unlike LSH banding, also prunes high-background
+    * corpora:
+    *
+    * Order every doc's shingle set by GLOBAL frequency (rarest first, code
+    * tie-break). If j(A,B) ≥ t then |A∩B| ≥ ⌈t·|A|⌉, so A and B must share
+    * at least one element within each one's first |A| − ⌈t·|A|⌉ + 1
+    * ordered elements (were all shared elements outside A's prefix, the
+    * intersection would be too small). Join docs only on PREFIX codes —
+    * hot shingles (the fan-out killers) are by construction the LAST
+    * thing a prefix contains. Verification stays one array_intersect per
+    * candidate ([[verifyJaccard]]).
+    */
+  def prefixJaccardPairs(docs: DataFrame, threshold: Double,
+                         n: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingles(docs, n)
+    val freq = sh.groupBy(col("code")).agg(count(lit(1)).as("cf"))
+    val byRarity = Window.partitionBy(col("doc_id"))
+      .orderBy(col("cf").asc, col("code").asc)
+    val ranked = sh.join(freq, "code")
+      .withColumn("r", row_number().over(byRarity))
+      .withColumn("nsh", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+    // All threshold arithmetic is SCALED LONG integers (T = ⌊t·10^6⌋):
+    // exact for the usual 1–6-decimal thresholds, and when t has more
+    // decimals T/10^6 < t only RELAXES every bound below (longer prefix,
+    // weaker pruning) — never a false negative. Integer compares also keep
+    // the per-join-row filters at nanoseconds; Decimal.compare per row was
+    // profiled as the candidate-join bottleneck at sf0.1.
+    val T = math.floor(threshold * 1e6).toLong
+    val M = 1000000L
+    // prefix length: r ≤ n − ⌈T·n/M⌉ + 1
+    val ceilTn = ((lit(T) * col("nsh") + lit(M - 1)) / lit(M)).cast("long")
+    val prefix = ranked.filter(col("r") <= col("nsh") - ceilTn + 1)
+    val a = prefix.select(col("doc_id").as("da"), col("r").as("ra"),
+                          col("nsh").as("na"), col("code"))
+    val b = prefix.select(col("doc_id").as("db"), col("r").as("rb"),
+                          col("nsh").as("nb"), col("code"))
+    // PPJoin-style pruning on top of the prefix join (both filters are
+    // necessary conditions of j ≥ t, so candidate recall stays exact):
+    //  - LENGTH: t·|A| ≤ |B| and t·|B| ≤ |A| (near-dup sets have
+    //    comparable sizes);
+    //  - POSITIONAL: a match at prefix positions (ra, rb) caps the overlap
+    //    at 1 + min(na−ra, nb−rb), which must still reach the equivalent
+    //    overlap bound α = t/(1+t)·(na+nb), i.e. (M+T)·cap ≥ T·(na+nb).
+    val cap = lit(1L) + least(col("na") - col("ra"), col("nb") - col("rb"))
+    val cand = a.join(b, "code")
+      .filter(col("da") < col("db"))
+      .filter(col("nb") * M >= col("na") * T && col("na") * M >= col("nb") * T)
+      .filter(cap * (M + T) >= (col("na") + col("nb")) * T)
+      .select("da", "db").distinct()
+    verifyJaccard(sh, allCandidates = false, candidates = cand,
+                  threshold = threshold)
   }
 
   /** SimHash fingerprint (16-bit) per document: tokens hashed with the

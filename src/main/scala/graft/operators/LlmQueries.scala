@@ -33,13 +33,16 @@ object LlmQueries {
     "l1_exact_dedup" -> ((s, d) =>
       DedupOps.exactDedup(docs(s, d)).orderBy("content_hash")),
 
-    // L2 — near-dup pairs at Jaccard ≥ 0.8 over 3-char shingles, via the
-    // scale path: MinHash signatures → LSH band buckets → exact-Jaccard
-    // verification on candidates only. Output is identical to the exact
-    // all-pairs computation (the oracle): with 64 hashes / 32 bands the
-    // false-negative probability at j ≥ 0.8 is ≈ 5e-15 per pair.
+    // L2 — near-dup pairs at Jaccard ≥ 0.8 over 3-char shingles, via
+    // prefix filtering (WWW'07 AllPairs): candidates only from docs
+    // sharing a globally-RARE shingle within their (1−t)·n prefix —
+    // exact by construction (no LSH false-negative epsilon) and robust
+    // to this corpus's high background similarity, where MinHash-LSH
+    // banding ([[DedupOps.minhashPairs]], the low-similarity scale path)
+    // degenerates to a quadratic bucket join. Same output contract; the
+    // oracle is the exact all-pairs computation.
     "l2_near_dup" -> ((s, d) =>
-      DedupOps.minhashPairs(docs(s, d), 0.8).orderBy("da", "db")),
+      DedupOps.prefixJaccardPairs(docs(s, d), 0.8).orderBy("da", "db")),
 
     // L3 — token frequency: top-20 tokens per lang (count desc, token asc).
     "l3_token_freq" -> { (s, d) =>
@@ -100,7 +103,25 @@ object LlmQueries {
     // equivalence to bruteTopK on probed cells is unit-tested.
     "l5b_ivf_topk" -> ((s, d) =>
       SimilarityOps.ivfTopK(emb(s, d), emb(s, d).filter(col("vec_id") <= 9), 5)
-        .orderBy("query_id", "rank"))
+        .orderBy("query_id", "rank")),
+
+    // L8 — document quality scoring: token counts, average token length,
+    // stopword ratio, alpha-space purity, composite keep/drop flag. One
+    // narrow projection pass — the shape of a 100 TB quality filter.
+    "l8_quality_score" -> ((s, d) =>
+      TextAnalysis.qualityScore(docs(s, d)).orderBy("doc_id")),
+
+    // L9 — language-ID heuristic: marker-token profile scoring (explode →
+    // broadcast profile join → argmax). The fixture corpus shares one
+    // vocabulary across its lang labels, so predictions are uniform — the
+    // operator's contract is the deterministic scoring itself.
+    "l9_lang_id" -> ((s, d) =>
+      TextAnalysis.langId(docs(s, d)).orderBy("doc_id")),
+
+    // L10 — embedding-cosine near-dup pairs (threshold 0.9; this corpus
+    // has none — the oracle confirms the empty result exactly).
+    "l10_cosine_dup" -> ((s, d) =>
+      SimilarityOps.cosinePairs(emb(s, d), 0.9).orderBy("va", "vb"))
   )
 
   /** DuckDB list-lambda fragment: Σ a[i]·b[i] folded in index order 1..64 —
@@ -214,6 +235,61 @@ object LlmQueries {
         |SELECT doc_id,
         |  SUM(CASE WHEN s > 0 THEN CAST(1 << b AS BIGINT) ELSE 0 END) AS simhash16
         |FROM votes GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "l8_quality_score" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text,
+         |    list_filter(string_split(text, ' '), t -> t != '') AS toks
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id, text,
+         |    CAST(len(toks) AS BIGINT) AS n_tokens,
+         |    CAST(list_reduce(list_prepend(0, list_transform(toks, t -> length(t))),
+         |                     (a, b) -> a + b) AS BIGINT) AS tok_chars,
+         |    CAST(len(list_filter(toks,
+         |          t -> list_contains(['the','a','of','and','to'], t))) AS BIGINT) AS n_stop,
+         |    CAST(length(regexp_replace(text, '[^a-z ]', '', 'g')) AS BIGINT) AS clean_chars
+         |  FROM t)
+         |SELECT doc_id, n_tokens,
+         |  ${Q.duckRound4Ratio("tok_chars", "greatest(n_tokens, 1)")} AS avg_token_len,
+         |  ${Q.duckRound4Ratio("n_stop", "greatest(n_tokens, 1)")} AS stopword_ratio,
+         |  ${Q.duckRound4Ratio("clean_chars", "greatest(length(text), 1)")} AS alpha_ratio,
+         |  (n_tokens BETWEEN 5 AND 1000 AND clean_chars = length(text)) AS keep
+         |FROM f ORDER BY doc_id""".stripMargin,
+
+    "l9_lang_id" ->
+      """WITH profiles(cand, marker) AS (
+        |  VALUES ('en','the'),('en','a'),('en','of'),
+        |         ('de','der'),('de','die'),('de','und'),
+        |         ('es','el'),('es','la'),('es','de'),
+        |         ('fr','le'),('fr','la'),('fr','et')),
+        |toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t != '')) AS tok
+        |  FROM documents),
+        |scores AS (
+        |  SELECT doc_id, cand, COUNT(*) AS score
+        |  FROM toks JOIN profiles ON tok = marker
+        |  GROUP BY 1, 2),
+        |best AS (
+        |  SELECT doc_id, cand, score,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, cand ASC) AS rn
+        |  FROM scores)
+        |SELECT d.doc_id,
+        |  COALESCE(b.cand, 'und') AS pred_lang,
+        |  CAST(COALESCE(b.score, 0) AS BIGINT) AS score
+        |FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+        |  ON d.doc_id = b.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "l10_cosine_dup" ->
+      s"""WITH e AS (SELECT vec_id,
+         |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS a
+         |           FROM embeddings)
+         |SELECT x.vec_id AS va, y.vec_id AS vb,
+         |       ${duckCosine("x.a", "y.a")} AS sim
+         |FROM e x JOIN e y ON x.vec_id < y.vec_id
+         |WHERE ${duckCosine("x.a", "y.a")} >= 0.9
+         |ORDER BY va, vb""".stripMargin,
 
     "mm1_decode_meta" ->
       """SELECT doc_id,

@@ -1,0 +1,25 @@
+package graft.plans
+
+import graft.functions.SortedIntersectCount
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Engine extension entry point, registered via `spark.sql.extensions`
+  * ([[graft.Engine.configure]]) — the public `SparkSessionExtensions` hook
+  * for custom expressions (and, later, rules/strategies if an operator
+  * ever needs planner participation; none does today — SURVEY.md §4.2).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName,
+                         "sorted_intersect_count"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "sorted_intersect_count expects exactly 2 arguments")
+        SortedIntersectCount(children(0), children(1))
+      }))
+  }
+}

@@ -28,14 +28,27 @@ class LlmSpec extends SparkSpec {
     assert(out == Set((0L, 2L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L)))
   }
 
-  test("minhashPairs (LSH + verify) equals exact all-pairs jaccardPairs") {
+  test("minhashPairs (LSH) and prefixJaccardPairs both equal exact all-pairs") {
     val exact = DedupOps.jaccardPairs(corpus, 0.5).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val lsh = DedupOps.minhashPairs(corpus, 0.5).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val prefix = DedupOps.prefixJaccardPairs(corpus, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(exact.nonEmpty)             // dup + near-dup pairs exist
     assert(lsh == exact)
+    assert(prefix == exact)
     assert(exact.exists { case (a, b, j) => a == 0L && b == 1L && j == 1.0 })
+  }
+
+  test("prefixJaccardPairs exactness holds across thresholds (prefix-length boundary)") {
+    for (t <- Seq(0.3, 0.6, 0.8, 0.9)) {
+      val exact = DedupOps.jaccardPairs(corpus, t).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val prefix = DedupOps.prefixJaccardPairs(corpus, t).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(prefix == exact, s"threshold $t")
+    }
   }
 
   test("charShingles: empty below n, distinct, correct content") {
