@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Physical-plan audit: prints `explain("formatted")` for representative
+  * declared queries and flags the scale anti-patterns the design forbids —
+  * scans without pushed filters/pruned columns where expected, missing
+  * broadcasts on dim joins, interpreted (non-codegen) hot paths.
+  *
+  * Usage: `sbt "runMain graft.PlanAudit [sfDir] [query ...]"`.
+  * Output is for eyeballing + the round log; the assertions live in the
+  * grep summary lines (`[audit]`).
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val names = if (args.length > 1) args.drop(1).toSet else Set(
+      "r1_filter_project", "r4_multijoin_region", "r9_window_topk",
+      "m1_matmul", "m4_matmul_sparse", "l2_near_dup", "l5_vector_topk",
+      "l6_label_centroids")
+    val spark = Engine.configure(
+      SparkSession.builder().master("local[8]").appName("graft-audit")
+        .config("spark.sql.shuffle.partitions", 8)
+    ).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    names.toSeq.sorted.foreach { name =>
+      SparkEntry.queries.get(name).foreach { fn =>
+        val df = fn(spark, sfDir)
+        val plan = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        println(s"\n========== $name ==========")
+        println(plan)
+        def has(s: String) = plan.contains(s)
+        val flags = Seq(
+          "PushedFilters" -> has("PushedFilters: ["),
+          // formatted mode marks codegen stages with a leading '*'
+          "WholeStageCodegen" -> plan.linesIterator.exists(_.matches("""\s*\*\s.*\(\d+\)""")),
+          "BroadcastHashJoin" -> has("BroadcastHashJoin"),
+          "CartesianProduct(!)" -> has("CartesianProduct"),
+          "SortMergeJoin" -> has("SortMergeJoin"))
+        println(s"[audit] $name " + flags.map { case (k, v) => s"$k=$v" }.mkString(" "))
+      }
+    }
+    spark.stop()
+  }
+}

@@ -15,16 +15,18 @@ object VectorFunctions {
 
   private def asDouble(a: Column): Column = a.cast("array<double>")
 
-  /** Dot product Σ a[i]·b[i], folded in index order. */
+  /** Dot product Σ a[i]·b[i], folded in index order — the native codegen'd
+    * [[VecDot]] expression (bit-identical result to the zip_with +
+    * aggregate formulation it replaced; see VecDot scaladoc).
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
-      lit(0.0),
-      (acc, x) => acc + x)
+    call_function("vec_dot", asDouble(a), asDouble(b))
 
-  /** Squared L2 norm. */
-  def normSq(a: Column): Column =
-    aggregate(transform(asDouble(a), x => x * x), lit(0.0), (acc, x) => acc + x)
+  /** Squared L2 norm: vec_dot(a, a) — identical fold to summing squares. */
+  def normSq(a: Column): Column = {
+    val ad = asDouble(a)
+    call_function("vec_dot", ad, ad)
+  }
 
   /** Cosine similarity, rounded to `scale` decimals (convention: 4). */
   def cosine(a: Column, b: Column, scale: Int = 4): Column =

@@ -121,7 +121,15 @@ object LlmQueries {
     // L10 — embedding-cosine near-dup pairs (threshold 0.9; this corpus
     // has none — the oracle confirms the empty result exactly).
     "l10_cosine_dup" -> ((s, d) =>
-      SimilarityOps.cosinePairs(emb(s, d), 0.9).orderBy("va", "vb"))
+      SimilarityOps.cosinePairs(emb(s, d), 0.9).orderBy("va", "vb")),
+
+    // L11 — rolling-hash document fingerprint (min 8-char-window
+    // polynomial hash): winnowing-style content fingerprint, one narrow
+    // codegen'd pass.
+    "l11_fingerprint" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+          TextFunctions.rollingFingerprint("text").as("fingerprint"))
+        .orderBy("doc_id"))
   )
 
   /** DuckDB list-lambda fragment: Σ a[i]·b[i] folded in index order 1..64 —
@@ -290,6 +298,21 @@ object LlmQueries {
          |FROM e x JOIN e y ON x.vec_id < y.vec_id
          |WHERE ${duckCosine("x.a", "y.a")} >= 0.9
          |ORDER BY va, vb""".stripMargin,
+
+    "l11_fingerprint" ->
+      """SELECT doc_id,
+        |  CASE WHEN length(text) >= 8 THEN
+        |    list_min(list_transform(range(1, length(text) - 6), i ->
+        |      (CAST(ascii(substring(text, i,     1)) AS BIGINT) * 27512614111
+        |     + CAST(ascii(substring(text, i + 1, 1)) AS BIGINT) * 887503681
+        |     + CAST(ascii(substring(text, i + 2, 1)) AS BIGINT) * 28629151
+        |     + CAST(ascii(substring(text, i + 3, 1)) AS BIGINT) * 923521
+        |     + CAST(ascii(substring(text, i + 4, 1)) AS BIGINT) * 29791
+        |     + CAST(ascii(substring(text, i + 5, 1)) AS BIGINT) * 961
+        |     + CAST(ascii(substring(text, i + 6, 1)) AS BIGINT) * 31
+        |     + CAST(ascii(substring(text, i + 7, 1)) AS BIGINT)) % 1000000007))
+        |  ELSE CAST(-1 AS BIGINT) END AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "mm1_decode_meta" ->
       """SELECT doc_id,

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.SortedIntersectCount
+import graft.functions.{SortedIntersectCount, VecDot}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -20,6 +20,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2,
           "sorted_intersect_count expects exactly 2 arguments")
         SortedIntersectCount(children(0), children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "vec_dot expects exactly 2 arguments")
+        VecDot(children(0), children(1))
       }))
   }
 }
