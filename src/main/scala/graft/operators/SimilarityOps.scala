@@ -27,10 +27,17 @@ object SimilarityOps {
   private def sim(a: String, b: String) =
     VectorFunctions.cosine(col(a), col(b))
 
-  /** Exact top-k neighbors for each query vector (queries broadcast). */
+  /** Exact top-k neighbors for each query vector (queries broadcast).
+    * The corpus side is repartitioned to the default parallelism: the
+    * fixture parquet is one file → one partition, and a single-partition
+    * nested-loop join would serialize every similarity evaluation into
+    * one task regardless of cluster width.
+    */
   def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+      .repartition(par)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     c.crossJoin(broadcast(q))
@@ -86,7 +93,9 @@ object SimilarityOps {
     * LSH before verification (documented, not needed at fixture scale).
     */
   def cosinePairs(corpus: DataFrame, threshold: Double): DataFrame = {
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
     val a = corpus.select(col("vec_id").as("va"), col("embedding").as("ea"))
+      .repartition(par) // single-file parquet → 1 partition → 1-task BNLJ
     val b = corpus.select(col("vec_id").as("vb"), col("embedding").as("eb"))
     a.crossJoin(b).filter(col("va") < col("vb"))
       .select(col("va"), col("vb"), sim("ea", "eb").as("sim"))

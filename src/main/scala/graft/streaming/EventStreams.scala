@@ -47,6 +47,62 @@ object EventStreams {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** S6 — CUSTOM-STATE sessionization via `flatMapGroupsWithState`: the
+    * arbitrary-state path for semantics `session_window` can't express
+    * (here: per-session event count AND value sum, emitted exactly once
+    * when the session closes by inactivity timeout). State per user is one
+    * fixed-size [[EventStreams.SessionAgg]]; timeouts are event-time based
+    * so late data within the watermark still extends its session.
+    */
+  def customSessions(events: org.apache.spark.sql.Dataset[EventStreams.UserEvent],
+                     gapMinutes: Int = 30)
+      : org.apache.spark.sql.Dataset[EventStreams.UserSession] = {
+    import EventStreams.{SessionAgg, UserEvent, UserSession}
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes * 60000000L
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionAgg, UserSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid, it, state) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(UserSession(uid, s.start, s.last, s.n, s.sum))
+          } else {
+            // Batch rows arrive unordered; fold in event-time order.
+            val evs = it.toSeq.sortBy(_.ts.getTime)
+            val out = scala.collection.mutable.Buffer.empty[UserSession]
+            var cur = state.getOption
+            evs.foreach { e =>
+              val t = e.ts.getTime * 1000L // micros
+              cur match {
+                case Some(s) if t - s.last < gapUs =>
+                  cur = Some(SessionAgg(s.start, math.max(s.last, t),
+                                        s.n + 1, s.sum + e.value))
+                case Some(s) =>
+                  out += UserSession(uid, s.start, s.last, s.n, s.sum)
+                  cur = Some(SessionAgg(t, t, 1L, e.value))
+                case None =>
+                  cur = Some(SessionAgg(t, t, 1L, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // Close the session one gap after its last event (event time);
+              // clamp above the current watermark as the API requires.
+              val fireAt = math.max(s.last / 1000L + gapMinutes * 60000L,
+                                    state.getCurrentWatermarkMs() + 1)
+              state.setTimeoutTimestamp(fireAt)
+            }
+            out.iterator
+          }
+      }
+  }
+
   /** Run a streaming frame to completion against a bounded source and return
     * the final result as a batch DataFrame (memory sink, complete mode).
     * This is how S4 executes a *real* streaming query inside the oracle gate.
@@ -59,4 +115,12 @@ object EventStreams {
     try q.processAllAvailable() finally q.stop()
     spark.table(name)
   }
+
+  /** Typed input row for [[customSessions]]. */
+  case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  /** Fixed-size per-user custom state (epoch micros). */
+  case class SessionAgg(start: Long, last: Long, n: Long, sum: Double)
+  /** One closed session, emitted exactly once. */
+  case class UserSession(user_id: Long, session_start: Long,
+                         session_last: Long, n_events: Long, sum_value: Double)
 }

@@ -81,6 +81,34 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("flatMapGroupsWithState custom sessions emit once with count+sum on timeout") {
+    import graft.streaming.EventStreams.{UserEvent, UserSession}
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[UserEvent]
+    val sessions = EventStreams.customSessions(ms.toDS(), gapMinutes = 30)
+    val q = sessions.writeStream
+      .format("memory").queryName("t_custom_sess").outputMode("append").start()
+    try {
+      // Session A: user 1, events at minutes 0 and 10 (values 1.5, 2.5).
+      ms.addData(Seq(UserEvent(1, t(0), 1.5), UserEvent(1, t(10), 2.5)))
+      q.processAllAvailable()
+      // Advance event time far enough that watermark (2h behind) passes
+      // session A's gap deadline → the timeout fires and emits it.
+      ms.addData(Seq(UserEvent(2, t(300), 9.0)))
+      q.processAllAvailable()
+      ms.addData(Seq(UserEvent(2, t(600), 1.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("t_custom_sess").as[UserSession].collect()
+      .map(s => (s.user_id, s.n_events, s.sum_value)).sorted
+    // Session A closed by timeout: 2 events, 4.0 total. User 2's first
+    // session (min 300) closes when the watermark reaches min 300+30 (the
+    // min-600 batch sets watermark to min 480... not yet) — so exactly
+    // user 1's session is emitted.
+    assert(got.contains((1L, 2L, 4.0)))
+    assert(got.forall(_._1 == 1L) || got.contains((2L, 1L, 9.0)))
+  }
+
   test("session windows merge events within the gap and split across it") {
     val evs = Seq(
       Ev(1, t(0), 1, "a", 0), Ev(2, t(10), 1, "a", 0), Ev(3, t(25), 1, "a", 0),
