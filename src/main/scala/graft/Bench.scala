@@ -62,19 +62,24 @@ object Bench {
     val timings = (1 to passes).map { pass =>
       all.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try sink(fn(spark, sfDir))
-        catch {
-          case e: Throwable =>
-            if (pass == 1)
-              errors :+= (name -> e.toString.takeWhile(_ != '\n').take(200))
-        }
+        val ok =
+          try { sink(fn(spark, sfDir)); true }
+          catch {
+            case e: Throwable =>
+              if (!errors.exists(_._1 == name))
+                errors :+= (name -> e.toString.takeWhile(_ != '\n').take(200))
+              false
+          }
         val dt = (System.nanoTime() - t0) / 1e9
-        System.err.println(f"[bench] pass$pass $name%-28s $dt%9.3f s")
-        name -> dt
+        System.err.println(f"[bench] pass$pass $name%-28s $dt%9.3f s${if (ok) "" else "  FAILED"}")
+        (name, dt, ok)
       }
     }
+    // min over successful runs only; a query that failed every pass reports -1
+    // alongside its errors entry (rc=1), never a bogus fast-failure timing.
     val results = all.map { case (name, _) =>
-      name -> timings.map(_.toMap.apply(name)).min
+      val okRuns = timings.flatMap(_.collect { case (`name`, dt, true) => dt })
+      name -> (if (okRuns.nonEmpty) okRuns.min else -1.0)
     }
 
     def jstr(s: String): String =

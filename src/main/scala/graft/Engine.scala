@@ -29,7 +29,27 @@ object Engine {
     // query in the session (observed: >300 s stalls). Plain rename-based
     // checkpointing is correct for our bounded state; disable checksums.
     .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+    // The events fixture stores ts as Parquet TIMESTAMP(NANOS), which the
+    // vectorized reader rejects; read nanos as LONG session-wide (only the
+    // events table carries nanos, and Tables.withEventTime re-types it).
+    // Set here, not as a read-time side effect in the loader.
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
+
+  /** Register every fixture table under `dir` as a temp view, making
+    * `spark.sql(...)` a first-class entry point (SURVEY.md §3.2 entry
+    * point 2). View names are the table names (`lineitem`, `orders`, ...).
+    */
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    Tables.names.foreach { n =>
+      Tables.load(spark, dir, n).createOrReplaceTempView(n)
+    }
+
+  /** SQL entry point: register views for `dir`, then run the statement. */
+  def sql(spark: SparkSession, dir: String, statement: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(statement)
+  }
 
   def local(cores: Int = 32, shufflePartitions: Int = 32): SparkSession = {
     val s = configure(
@@ -54,14 +74,13 @@ object Tables {
     else spark.read.parquet(s"$dir/$name.parquet")
 
   /** The events fixture stores `ts` as Parquet TIMESTAMP(NANOS), which
-    * Spark's vectorized reader rejects outright. Read nanos as LONG
-    * (legacy conf) and truncate to microsecond timestamps — the same
-    * floor DuckDB's `epoch_us` applies, so oracle parity is preserved.
+    * Spark's vectorized reader rejects outright. `Engine.configure` sets
+    * `spark.sql.legacy.parquet.nanosAsLong` session-wide so nanos read as
+    * LONG; [[withEventTime]] truncates to microsecond timestamps — the
+    * same floor DuckDB's `epoch_us` applies, so oracle parity holds.
     */
-  def loadEventsRaw(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def loadEventsRaw(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/events.parquet")
-  }
 
   /** nanos-LONG `ts` → microsecond TimestampType (floor division). */
   def withEventTime(raw: DataFrame): DataFrame = {

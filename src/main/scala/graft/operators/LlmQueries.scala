@@ -241,7 +241,7 @@ object LlmQueries {
         |    SUM(CASE WHEN (h // (1 << b.range)) % 2 = 1 THEN 1 ELSE -1 END) AS s
         |  FROM h, range(16) b GROUP BY 1, 2)
         |SELECT doc_id,
-        |  SUM(CASE WHEN s > 0 THEN CAST(1 << b AS BIGINT) ELSE 0 END) AS simhash16
+        |  CAST(SUM(CASE WHEN s > 0 THEN CAST(1 << b AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash16
         |FROM votes GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "l8_quality_score" ->
@@ -314,13 +314,27 @@ object LlmQueries {
         |  ELSE CAST(-1 AS BIGINT) END AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // Mirrors Multimodal.StubCodec exactly, including the empty-payload
+    // branch (ok=false, width=height=0, first_byte=-1) and the true first
+    // UTF-8 *byte* (hex of the encoded blob, not the code point — they
+    // differ for non-ASCII text).
     "mm1_decode_meta" ->
-      """SELECT doc_id,
-        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |  ascii(substring(text, 1, 1)) AS first_byte,
-        |  (CAST(octet_length(encode(text)) AS INT) % 640) + 1 AS width,
-        |  (ascii(substring(text, 1, 1)) & 127) + 1 AS height,
-        |  TRUE AS ok
-        |FROM documents ORDER BY doc_id""".stripMargin
+      """WITH b AS (
+        |  SELECT doc_id, encode(text) AS payload FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+        |    CASE WHEN octet_length(payload) = 0 THEN -1
+        |         ELSE (strpos('0123456789ABCDEF', substring(hex(payload), 1, 1)) - 1) * 16
+        |            + (strpos('0123456789ABCDEF', substring(hex(payload), 2, 1)) - 1) END AS fb
+        |  FROM b)
+        |SELECT doc_id, n_bytes,
+        |  CAST(fb AS INT) AS first_byte,
+        |  CAST(CASE WHEN n_bytes = 0 THEN 0
+        |            ELSE (n_bytes % 640) + 1 END AS INT) AS width,
+        |  CAST(CASE WHEN n_bytes = 0 THEN 0
+        |            ELSE (fb & 127) + 1 END AS INT) AS height,
+        |  n_bytes > 0 AS ok
+        |FROM m ORDER BY doc_id""".stripMargin
   )
 }
