@@ -50,9 +50,17 @@ object TextFunctions {
              (acc, i) -> (acc * 31 + ascii(substring($tok, i, 1))) % 1000003)""")
 
   /** Rolling-hash document fingerprint: min over all w-char windows of the
-    * unrolled polynomial hash Σ ascii(text[i+p])·31^(w-1-p) mod 1e9+7.
+    * polynomial hash Σ ascii(text[i+p])·31^(w-1-p) mod 1e9+7 — computed by
+    * the native O(len) [[RollingMinHash]] expression (the HOF formulation
+    * below re-evaluated w interpreted calls per window; VERDICT r3 item 3).
     */
-  def rollingFingerprint(text: String, w: Int = 8): Column = {
+  def rollingFingerprint(text: String, w: Int = 8): Column =
+    RollingMinHash(expr(text), w)
+
+  /** The original HOF formulation — kept as the in-Spark oracle for
+    * [[RollingMinHash]]'s equivalence spec (bit-identical output required).
+    */
+  def rollingFingerprintHof(text: String, w: Int = 8): Column = {
     val mod = 1000000007L
     val terms = (0 until w).map { p =>
       val pow = BigInt(31).pow(w - 1 - p).toLong

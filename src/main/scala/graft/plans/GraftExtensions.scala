@@ -1,9 +1,10 @@
 package graft.plans
 
-import graft.functions.{SortedIntersectCount, VecDot}
+import graft.functions.{RollingMinHash, SortedIntersectCount, VecDot}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
 
 /** Engine extension entry point, registered via `spark.sql.extensions`
   * ([[graft.Engine.configure]]) — the public `SparkSessionExtensions` hook
@@ -27,6 +28,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "vec_dot expects exactly 2 arguments")
         VecDot(children(0), children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("rolling_min_hash"),
+      new ExpressionInfo(classOf[RollingMinHash].getName, "rolling_min_hash"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "rolling_min_hash expects exactly 2 arguments")
+        val w = children(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"rolling_min_hash window must be an INT literal, got $other")
+        }
+        RollingMinHash(children(0), w)
       }))
   }
 }

@@ -126,6 +126,38 @@ class LlmSpec extends SparkSpec {
     assert(ivf == brute)
   }
 
+  test("RollingMinHash equals the HOF formulation bit-for-bit (incl. edges)") {
+    val texts = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "exactly8!"),                 // one window + one roll
+      (2L, "12345678"),                  // exactly w chars: single window
+      (3L, "1234567"),                   // shorter than w → -1
+      (4L, ""),                          // empty → -1
+      (5L, "zzzzzzzzzzzzzzzzzzzz"),      // uniform: all windows equal
+      (6L, "aAbBcC dDeE!fF@gG#hH 0123456789 ~~~")
+    ).toDF("doc_id", "text")
+    val both = texts.select(
+        TextFunctions.rollingFingerprint("text").as("native"),
+        TextFunctions.rollingFingerprintHof("text").as("hof"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    both.foreach { case (n, h) => assert(n == h) }
+    // NULL text takes the CASE-WHEN else-branch in the HOF → -1; native matches.
+    val nul = Seq((0L, Option.empty[String])).toDF("doc_id", "text")
+      .select(TextFunctions.rollingFingerprint("text")).as[Long].head()
+    assert(nul == -1L)
+  }
+
+  test("RollingMinHash non-ASCII path uses code points like ascii(substring)") {
+    // 'é' (U+00E9) is 2 UTF-8 bytes but one code point — the HOF's
+    // ascii(substring(...)) sees 233; the native slow path must agree.
+    val df = Seq((0L, "caféteria and more café"), (1L, "日本語のテキストです確認")).toDF("doc_id", "text")
+    val rows = df.select(
+        TextFunctions.rollingFingerprint("text").as("native"),
+        TextFunctions.rollingFingerprintHof("text").as("hof"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    rows.foreach { case (n, h) => assert(n == h) }
+  }
+
   test("multimodal decodeMeta emits deterministic stub metadata distributedly") {
     val docs = Seq((7L, "hello")).toDF("doc_id", "text")
     val meta = Multimodal.decodeMeta(Multimodal.withPayload(docs)).collect().head
