@@ -17,7 +17,7 @@ object PlanAudit {
     val names = if (args.length > 1) args.drop(1).toSet else Set(
       "r1_filter_project", "r4_multijoin_region", "r9_window_topk",
       "m1_matmul", "m4_matmul_sparse", "l2_near_dup", "l5_vector_topk",
-      "l6_label_centroids")
+      "l6_label_centroids", "l10_cosine_dup", "l11_fingerprint")
     val spark = Engine.configure(
       SparkSession.builder().master("local[8]").appName("graft-audit")
         .config("spark.sql.shuffle.partitions", 8)

