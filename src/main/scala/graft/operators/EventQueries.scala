@@ -18,6 +18,19 @@ object EventQueries {
 
   private def ev(s: SparkSession, d: String) = Tables.load(s, d, "events")
 
+  /** Unbounded view of the events fixture: readStream over the same
+    * parquet (raw nanos-LONG schema, pathGlobFilter to pin the file),
+    * re-typed to microsecond timestamps exactly like the batch loader —
+    * the entry point for every streaming-gated query below.
+    */
+  private def evStream(s: SparkSession, d: String): DataFrame = {
+    val rawSchema = Tables.loadEventsRaw(s, d).schema
+    Tables.withEventTime(
+      s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(d))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // J1 — JSON scalar extraction: props is a JSON string {"k": int}.
@@ -59,19 +72,38 @@ object EventQueries {
 
     // S4 — the real streaming path: readStream over the same parquet,
     // watermark + tumbling agg, complete mode run to completion. Must equal
-    // the batch S1 computation (same oracle). The stream reads the raw
-    // nanos-LONG schema and applies the same micros truncation as the
-    // batch loader (Tables.withEventTime).
-    "s4_streaming_final_state" -> { (s, d) =>
-      val rawSchema = Tables.loadEventsRaw(s, d).schema
-      // The streaming file source monitors directories; select just the
-      // events file from the sf dir via glob filter.
-      val stream = s.readStream.schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(d)
+    // the batch S1 computation (same oracle).
+    "s4_streaming_final_state" -> ((s, d) =>
       EventStreams.runToCompletion(
-          s, EventStreams.tumblingCounts(Tables.withEventTime(stream)), "s4_sink")
-        .orderBy("ws", "event_type")
+          s, EventStreams.tumblingCounts(evStream(s, d)), "s4_sink")
+        .orderBy("ws", "event_type")),
+
+    // S2/S3/S5 streaming gates (VERDICT r3 "Next round" 6): the SLIDING,
+    // SESSION, and DEDUP builders run as genuine Structured Streaming
+    // queries to completion, hashed against the same batch oracles as
+    // their batch forms — so the streaming plans themselves (windowed
+    // state store aggs, session-window merge, dedup state) are inside the
+    // correctness gate, not just MemoryStream unit specs.
+    "s2_sliding_stream" -> ((s, d) =>
+      EventStreams.runToCompletion(
+          s, EventStreams.slidingCounts(evStream(s, d)), "s2_stream_sink")
+        .orderBy("ws", "event_type")),
+
+    "s3_session_stream" -> ((s, d) =>
+      EventStreams.runToCompletion(
+          s, EventStreams.sessions(evStream(s, d)), "s3_stream_sink")
+        .orderBy("user_id", "session_start")),
+
+    // Dedup emits first-arrival rows (append mode). The fixture's
+    // duplicate event_ids are full-row identical (verified: arg_min(ts)
+    // row == first file row for every dup group at every SF), so
+    // first-arrival equals the oracle's min-ts DISTINCT ON choice.
+    "s5_dedup_stream" -> { (s, d) =>
+      val deduped = EventStreams.dedup(evStream(s, d))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+                Q.micros(col("ts")).as("ts_us"))
+      EventStreams.runToCompletion(s, deduped, "s5_stream_sink", mode = "append")
+        .orderBy("event_id")
     },
 
     // S5 (batch form) — dedup by event_id keeping the MIN-ts row (total
@@ -99,6 +131,34 @@ object EventQueries {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  private val slidingOracle =
+    """WITH slid AS (
+      |  SELECT (epoch_us(ts) // 900000000 - k.range) * 900000000 AS ws, event_type
+      |  FROM events, range(4) k)
+      |SELECT ws, event_type, COUNT(*) AS n
+      |FROM slid GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  private val sessionOracle =
+    """WITH marked AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000
+      |         OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      |), numbered AS (
+      |  SELECT user_id, ts,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM marked)
+      |SELECT user_id, epoch_us(MIN(ts)) AS session_start,
+      |       epoch_us(MAX(ts)) AS session_last, COUNT(*) AS n_events
+      |FROM numbered GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
+
+  private val dedupOracle =
+    """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+      |FROM (SELECT DISTINCT ON (event_id) * FROM events
+      |      ORDER BY event_id, ts, user_id, event_type)
+      |ORDER BY event_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // Sign-aware JSON extraction (json_extract_string keeps '-'), non-null
     // count as the AVG divisor (matching Spark's count(k)), and the
@@ -114,30 +174,11 @@ object EventQueries {
          |FROM kv GROUP BY 1 ORDER BY 1""".stripMargin,
     "s1_tumbling_window" -> s1Oracle,
     "s4_streaming_final_state" -> s1Oracle,
-    "s2_sliding_window" ->
-      """WITH slid AS (
-        |  SELECT (epoch_us(ts) // 900000000 - k.range) * 900000000 AS ws, event_type
-        |  FROM events, range(4) k)
-        |SELECT ws, event_type, COUNT(*) AS n
-        |FROM slid GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    "s3_session_window" ->
-      """WITH marked AS (
-        |  SELECT user_id, ts,
-        |    CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000
-        |         OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
-        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
-        |), numbered AS (
-        |  SELECT user_id, ts,
-        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-        |  FROM marked)
-        |SELECT user_id, epoch_us(MIN(ts)) AS session_start,
-        |       epoch_us(MAX(ts)) AS session_last, COUNT(*) AS n_events
-        |FROM numbered GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
-    "s5_dedup_events" ->
-      """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
-        |FROM (SELECT DISTINCT ON (event_id) * FROM events
-        |      ORDER BY event_id, ts, user_id, event_type)
-        |ORDER BY event_id""".stripMargin
+    "s2_sliding_stream" -> slidingOracle,
+    "s3_session_stream" -> sessionOracle,
+    "s5_dedup_stream" -> dedupOracle,
+    "s2_sliding_window" -> slidingOracle,
+    "s3_session_window" -> sessionOracle,
+    "s5_dedup_events" -> dedupOracle
   )
 }

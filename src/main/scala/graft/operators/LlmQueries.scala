@@ -99,8 +99,11 @@ object LlmQueries {
       Multimodal.decodeMeta(Multimodal.withPayload(docs(s, d)))
         .toDF.orderBy("doc_id")),
 
-    // IVF similarity (scale path of L5): rows-only check here; its
-    // equivalence to bruteTopK on probed cells is unit-tested.
+    // IVF similarity (scale path of L5): fully hash-gated — the centroid
+    // subset (vec_id ≡ 0 mod 50), nearest-centroid assignment, nprobe=2
+    // probe list, and in-cell ranking are all deterministic (rounded sims,
+    // id tie-breaks), so the DuckDB oracle replays the exact same logic.
+    // Equivalence to bruteTopK at full probe is additionally unit-tested.
     "l5b_ivf_topk" -> ((s, d) =>
       SimilarityOps.ivfTopK(emb(s, d), emb(s, d).filter(col("vec_id") <= 9), 5)
         .orderBy("query_id", "rank")),
@@ -212,6 +215,38 @@ object LlmQueries {
          |    ROW_NUMBER() OVER (PARTITION BY query_id
          |                       ORDER BY sim DESC, neighbor_id ASC) AS rank
          |  FROM sims)
+         |SELECT query_id, rank, neighbor_id, sim FROM ranked WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // Replays SimilarityOps.ivfTopK exactly: centroids are vec_id ≡ 0
+    // mod 50; every vector joins its nearest centroid (rounded cosine,
+    // cid tie-break); queries (vec_id ≤ 9) probe their 2 closest
+    // centroids; ranking happens only within probed cells.
+    "l5b_ivf_topk" ->
+      s"""WITH e AS (SELECT vec_id,
+         |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS a
+         |           FROM embeddings),
+         |cents AS (SELECT vec_id AS cid, a AS cent FROM e WHERE vec_id % 50 = 0),
+         |assigned AS (
+         |  SELECT vec_id AS neighbor_id, a AS ce, cid AS ncid FROM (
+         |    SELECT e.vec_id, e.a, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${duckCosine("e.a", "c.cent")} DESC, c.cid ASC) AS arn
+         |    FROM e, cents c) WHERE arn = 1),
+         |probes AS (
+         |  SELECT query_id, qe, cid FROM (
+         |    SELECT q.vec_id AS query_id, q.a AS qe, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${duckCosine("q.a", "c.cent")} DESC, c.cid ASC) AS prn
+         |    FROM e q, cents c WHERE q.vec_id <= 9) WHERE prn <= 2),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, sim,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |                       ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |  FROM (SELECT p.query_id, s.neighbor_id,
+         |          ${duckCosine("p.qe", "s.ce")} AS sim
+         |        FROM probes p JOIN assigned s ON p.cid = s.ncid
+         |        WHERE s.neighbor_id != p.query_id))
          |SELECT query_id, rank, neighbor_id, sim FROM ranked WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
 
