@@ -79,8 +79,13 @@ object Tables {
     * LONG; [[withEventTime]] truncates to microsecond timestamps — the
     * same floor DuckDB's `epoch_us` applies, so oracle parity holds.
     */
-  def loadEventsRaw(spark: SparkSession, dir: String): DataFrame =
+  def loadEventsRaw(spark: SparkSession, dir: String): DataFrame = {
+    // Defensive: Engine.configure sets this session-wide, but the loader
+    // must also work under a bare SparkSession (r3 ADVICE) — without it the
+    // vectorized reader rejects the fixture's TIMESTAMP(NANOS) outright.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/events.parquet")
+  }
 
   /** nanos-LONG `ts` → microsecond TimestampType (floor division). */
   def withEventTime(raw: DataFrame): DataFrame = {

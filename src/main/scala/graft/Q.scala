@@ -35,19 +35,34 @@ object Q {
   /** Exact integer cents of a money sum. */
   def sumCents(c: Column): Column = (sum(dec2(c)) * 100).cast("long")
 
-  /** Floor division on non-negative longs, exact (double div of exact
-    * multiples below 2^53).
+  private val Dec38 = DecimalType(38, 0)
+
+  /** Floor division on non-negative integral (long or decimal) columns,
+    * exact at any magnitude that fits DECIMAL(38): operands are lifted to
+    * DECIMAL(38,0), the remainder is subtracted, and the now-exact-multiple
+    * division cannot round (the r3 ceiling: the former double division was
+    * exact only below 2^53 — silent corruption for cents sums at 100×
+    * scale). The QUOTIENT must fit a LONG (callers compute averages and
+    * scaled ratios, bounded by the data's value range, not its row count).
     */
-  def intDiv(p: Column, q: Column): Column =
-    ((p - pmod(p, q)) / q).cast("long")
+  def intDiv(p: Column, q: Column): Column = {
+    val pd = p.cast(Dec38)
+    val qd = q.cast(Dec38)
+    ((pd - pmod(pd, qd)) / qd).cast("long")
+  }
 
-  /** ROUND(p/q, 4) as exact integer half-up arithmetic, exported as DOUBLE. */
+  /** ROUND(p/q, 4) as exact integer half-up arithmetic, exported as DOUBLE.
+    * The numerator is built in DECIMAL(38,0) so `p·20000` cannot overflow a
+    * LONG for any realistic cents sum (LONG caps at p ≈ 4.6·10^14 there).
+    */
   def round4Ratio(p: Column, q: Column): Column =
-    intDiv(p * 20000L + q, q * 2L) / 10000.0
+    intDiv(p.cast(Dec38) * 20000L + q.cast(Dec38), q.cast(Dec38) * 2L) / 10000.0
 
-  /** DuckDB SQL for the same: ROUND(p/q, 4). */
+  /** DuckDB SQL for the same: ROUND(p/q, 4). HUGEINT keeps the oracle's
+    * headroom symmetric with the Spark side's DECIMAL(38) lift.
+    */
   def duckRound4Ratio(p: String, q: String): String =
-    s"((20000 * ($p) + ($q)) // (2 * ($q))) / 10000.0"
+    s"((20000 * CAST(($p) AS HUGEINT) + ($q)) // (2 * CAST(($q) AS HUGEINT))) / 10000.0"
 
   /** Deterministic AVG of a money double: exact cents, integer rounding. */
   def avg4(c: Column): Column = round4Ratio(sumCents(c), count(c) * 100L)
@@ -62,14 +77,15 @@ object Q {
     * non-negative operands, so the sign is split out first.
     */
   def round4RatioSigned(p: Column, q: Column): Column = {
-    val r = intDiv(abs(p) * 20000L + q, q * 2L)
+    val r = intDiv(abs(p).cast(Dec38) * 20000L + q.cast(Dec38),
+                   q.cast(Dec38) * 2L)
     when(p < 0, -r).otherwise(r) / 10000.0
   }
 
   /** DuckDB SQL for [[round4RatioSigned]]. */
   def duckRound4RatioSigned(p: String, q: String): String =
-    s"(CASE WHEN ($p) < 0 THEN -((20000 * (-($p)) + ($q)) // (2 * ($q))) " +
-      s"ELSE ((20000 * ($p) + ($q)) // (2 * ($q))) END) / 10000.0"
+    s"(CASE WHEN ($p) < 0 THEN -((20000 * CAST(-($p) AS HUGEINT) + ($q)) // (2 * CAST(($q) AS HUGEINT))) " +
+      s"ELSE ((20000 * CAST(($p) AS HUGEINT) + ($q)) // (2 * CAST(($q) AS HUGEINT))) END) / 10000.0"
 
   /** Fixed-point shift for float-origin embedding values: 2^45.
     *

@@ -11,6 +11,7 @@ import org.apache.spark.sql.functions._
   *   - R1–R18 relational            [[graft.operators.RelationalQueries]]
   *   - J/S events + streaming-batch [[graft.operators.EventQueries]]
   *   - L* LLM-data-pipeline         [[graft.operators.LlmQueries]]
+  *   - sql* SQL entry point         [[graft.operators.SqlQueries]]
   */
 object SparkEntry {
 
@@ -25,9 +26,9 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     MatrixQueries.queries ++ RelationalQueries.queries ++
-      EventQueries.queries ++ LlmQueries.queries
+      EventQueries.queries ++ LlmQueries.queries ++ SqlQueries.queries
 
   def oracleSql: Map[String, String] =
     MatrixQueries.oracles ++ RelationalQueries.oracles ++
-      EventQueries.oracles ++ LlmQueries.oracles
+      EventQueries.oracles ++ LlmQueries.oracles ++ SqlQueries.oracles
 }

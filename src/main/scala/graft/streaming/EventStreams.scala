@@ -74,11 +74,18 @@ object EventStreams {
             Iterator(UserSession(uid, s.start, s.last, s.n, s.sum))
           } else {
             // Batch rows arrive unordered; fold in event-time order.
-            val evs = it.toSeq.sortBy(_.ts.getTime)
+            // True microseconds via Instant (Timestamp.getTime is millis —
+            // it silently discarded the sub-milli precision the micros
+            // fixtures carry; VERDICT r3 latent item 7).
+            def micros(ts: java.sql.Timestamp): Long = {
+              val i = ts.toInstant
+              i.getEpochSecond * 1000000L + i.getNano / 1000L
+            }
+            val evs = it.toSeq.sortBy(e => micros(e.ts))
             val out = scala.collection.mutable.Buffer.empty[UserSession]
             var cur = state.getOption
             evs.foreach { e =>
-              val t = e.ts.getTime * 1000L // micros
+              val t = micros(e.ts)
               cur match {
                 case Some(s) if t - s.last < gapUs =>
                   cur = Some(SessionAgg(s.start, math.max(s.last, t),
