@@ -94,7 +94,12 @@ object Bench {
           MatrixOps.multiply(MatrixGen.matA(s, n, n), MatrixGen.matB(s, n, n)))
       }
 
-    val all = SparkEntry.queries.toSeq.sortBy(_._1) ++ sweep
+    val everything = SparkEntry.queries.toSeq.sortBy(_._1) ++ sweep
+    // Iteration aid: SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the run to the
+    // named queries (full suite when unset — the driver's mode).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val all = only.fold(everything)(sel => everything.filter(q => sel(q._1)))
 
     // Two passes, min per query: Spark 4 pays heavy one-time JVM costs on
     // first touch (e.g. CollationAwareUTF8String <clinit> builds ICU case

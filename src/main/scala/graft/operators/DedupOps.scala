@@ -142,10 +142,30 @@ object DedupOps {
     */
   def minhashPairs(docs: DataFrame, threshold: Double,
                    n: Int = 3, numHashes: Int = 64): DataFrame = {
-    val sh = shingles(docs, n)
-    val cand = lshCandidates(minhashSignatures(sh, numHashes))
-    verifyJaccard(sh, allCandidates = false, candidates = cand, threshold = threshold)
+    val sh = shingles(docs, n).persist()
+    try {
+      val cand = lshCandidates(minhashSignatures(sh, numHashes))
+      materialize(
+        verifyJaccard(sh, allCandidates = false, candidates = cand,
+                      threshold = threshold))
+    } finally sh.unpersist(blocking = false)
   }
+
+  /** Eagerly compute a SMALL result and cut its lineage (`localCheckpoint`),
+    * so shared upstream frames can be unpersisted and downstream consumers
+    * (final ORDER BY, sinks) never re-execute the heavy pipeline.
+    *
+    * Why this matters: a near-dup plan references the shingle subtree ~7
+    * times (frequency table, both self-join sides, size and code-set
+    * aggregates), and Spark's final `orderBy` adds a range-partitioner
+    * sampling pass that executes its child twice more. Uncached, that
+    * multiplied into >10 full shingle scans (measured 26 s vs 1.5 s at
+    * sf0.1). The OUTPUT of a near-dup join is tiny (true pairs), so
+    * checkpointing it locally is cheap at any corpus scale; the
+    * intermediates stay session-transient.
+    */
+  private def materialize(df: DataFrame): DataFrame =
+    df.localCheckpoint(eager = true)
 
   /** Exact near-dup pairs via PREFIX FILTERING (Bayardo/Ma/Srikant,
     * "Scaling Up All Pairs Similarity Search", WWW 2007; the PPJoin family
@@ -165,7 +185,7 @@ object DedupOps {
   def prefixJaccardPairs(docs: DataFrame, threshold: Double,
                          n: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh = shingles(docs, n)
+    val sh = shingles(docs, n).persist()
     val freq = sh.groupBy(col("code")).agg(count(lit(1)).as("cf"))
     val byRarity = Window.partitionBy(col("doc_id"))
       .orderBy(col("cf").asc, col("code").asc)
@@ -182,7 +202,10 @@ object DedupOps {
     val M = 1000000L
     // prefix length: r ≤ n − ⌈T·n/M⌉ + 1
     val ceilTn = ((lit(T) * col("nsh") + lit(M - 1)) / lit(M)).cast("long")
-    val prefix = ranked.filter(col("r") <= col("nsh") - ceilTn + 1)
+    // Persisted: the prefix frame feeds BOTH sides of the candidate
+    // self-join; unpersisted each side re-runs shingle explode + frequency
+    // join + two windows.
+    val prefix = ranked.filter(col("r") <= col("nsh") - ceilTn + 1).persist()
     val a = prefix.select(col("doc_id").as("da"), col("r").as("ra"),
                           col("nsh").as("na"), col("code"))
     val b = prefix.select(col("doc_id").as("db"), col("r").as("rb"),
@@ -200,8 +223,13 @@ object DedupOps {
       .filter(col("nb") * M >= col("na") * T && col("na") * M >= col("nb") * T)
       .filter(cap * (M + T) >= (col("na") + col("nb")) * T)
       .select("da", "db").distinct()
-    verifyJaccard(sh, allCandidates = false, candidates = cand,
-                  threshold = threshold)
+    try materialize(
+      verifyJaccard(sh, allCandidates = false, candidates = cand,
+                    threshold = threshold))
+    finally {
+      prefix.unpersist(blocking = false)
+      sh.unpersist(blocking = false)
+    }
   }
 
   /** SimHash fingerprint (16-bit) per document: tokens hashed with the
