@@ -39,11 +39,20 @@ object Engine {
   /** Register every fixture table under `dir` as a temp view, making
     * `spark.sql(...)` a first-class entry point (SURVEY.md §3.2 entry
     * point 2). View names are the table names (`lineitem`, `orders`, ...).
+    *
+    * Idempotent per (session, dir): re-registration is skipped when this
+    * session already has views for the same dir (the marker lives in the
+    * session conf, so cloned/new sessions re-register as they must).
+    * Ten parquet loads per `sql(...)` call was pure per-query overhead.
     */
-  def registerViews(spark: SparkSession, dir: String): Unit =
+  def registerViews(spark: SparkSession, dir: String): Unit = {
+    val marker = "graft.views.dir"
+    if (spark.conf.getOption(marker).contains(dir)) return
     Tables.names.foreach { n =>
       Tables.load(spark, dir, n).createOrReplaceTempView(n)
     }
+    spark.conf.set(marker, dir)
+  }
 
   /** SQL entry point: register views for `dir`, then run the statement. */
   def sql(spark: SparkSession, dir: String, statement: String): DataFrame = {

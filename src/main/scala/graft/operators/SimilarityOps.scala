@@ -131,9 +131,14 @@ object SimilarityOps {
   def cosinePairsLsh(corpus: DataFrame, threshold: Double,
                      bands: Int = 128, rowsPerBand: Int = 12): DataFrame = {
     val par = corpus.sparkSession.sparkContext.defaultParallelism
+    // Persisted: the signature frame feeds BOTH sides of the bucket
+    // self-join, and SrpBands (b·r hyperplane dots per vector) is the
+    // expensive narrow pass — uncached it would run once per side plus
+    // once more under the final ORDER BY's range-sampling pass.
     val sig = corpus.select(col("vec_id"),
         posexplode(graft.functions.SrpBands(col("embedding"), bands, rowsPerBand))
           .as(Seq("band", "key")))
+      .persist()
     val a = sig.select(col("vec_id").as("va"), col("band"), col("key"))
     val b = sig.select(col("vec_id").as("vb"), col("band"), col("key"))
     // Bucket equi-join on (band, key): only vectors agreeing on all r bits
@@ -146,9 +151,13 @@ object SimilarityOps {
     // Exact verification per candidate (codegen'd vec_dot cosine). The
     // repartition keeps the CPU-heavy verify spread across tasks when AQE
     // would coalesce the byte-small candidate partitions (DedupOps lesson).
-    cand.repartition(par, col("va"))
+    // The near-dup output is tiny; eagerly materializing it lets the
+    // signature frame unpersist and downstream sorts skip the pipeline.
+    try cand.repartition(par, col("va"))
       .join(ea, "va").join(eb, "vb")
       .select(col("va"), col("vb"), sim("ea", "eb").as("sim"))
       .filter(col("sim") >= threshold)
+      .localCheckpoint(eager = true)
+    finally sig.unpersist(blocking = false)
   }
 }
