@@ -38,6 +38,38 @@ object Multimodal {
   def withPayload(docs: DataFrame): DataFrame =
     docs.withColumn("payload", encode(col("text"), "UTF-8"))
 
+  /** One sampled "frame" of a media payload: position and content probe. */
+  case class FrameMeta(doc_id: Long, frame_idx: Int, frame_off: Long,
+                       frame_byte: Int)
+
+  /** Frame sampling: pick `frames` evenly-spaced byte offsets per payload
+    * (off_i = ⌊i·(n−1)/(k−1)⌋ — first and last always included) and emit
+    * one typed row per frame. This is the video-keyframe / audio-chunk
+    * sampling shape: a flatMap inside `mapPartitions`, iterator-to-
+    * iterator, 1→k row expansion executed entirely distributed. A real
+    * build replaces the byte probe with a codec frame-extract; the
+    * offsets, batching, and typed 1→k output schema are the contract.
+    */
+  def frameSample(docsWithPayload: DataFrame, frames: Int = 4): Dataset[FrameMeta] = {
+    val spark = docsWithPayload.sparkSession
+    import spark.implicits._
+    docsWithPayload.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val n = bytes.length
+          if (n == 0) Iterator.empty
+          else {
+            val k = math.min(frames, n)
+            (0 until k).iterator.map { i =>
+              val off = if (k == 1) 0L else i.toLong * (n - 1) / (k - 1)
+              FrameMeta(id, i, off, bytes(off.toInt) & 0xff)
+            }
+          }
+        }
+      }
+  }
+
   /** Partition-wise batched decode: binary payloads → typed metadata.
     * Runs distributed, iterator-to-iterator (no per-row JVM churn, no
     * driver collect) — the shape a real GPU/codec batch step needs.

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join — for every left row, attach the single right row with the
+  * greatest `on` value ≤ the left row's `on` within the same `by` group
+  * (the kdb `aj` / pandas `merge_asof` semantics): the "latest state at
+  * event time" lookup a feature or training pipeline runs against quotes,
+  * sensor readings, or slowly-changing dimensions.
+  *
+  * Spark has no native as-of join, and the two obvious formulations fail
+  * at scale: a range join explodes candidates with time-range density,
+  * and a per-left-row aggregate subquery rescans the right side. This is
+  * the MERGE formulation instead: union both sides, shuffle once on the
+  * `by` key, and let one ordered window pass carry the latest right row
+  * (as a running `max` over a struct) to each left row.
+  *
+  * 100 TB posture: cost is exactly a sort-merge join's — one exchange of
+  * |L|+|R| rows on `by` plus a per-partition sort — independent of how
+  * many right rows precede each left row. No state blow-up, no candidate
+  * explosion; skew follows the `by` key's own distribution (salt upstream
+  * if one group dominates).
+  *
+  * Determinism: the right row is selected by lexicographic max of
+  * `(on, tieBreak)`, so ties on `on` resolve to the greatest `tieBreak` —
+  * no dependence on sort stability or arrival order. The frame is a RANGE
+  * frame over `on`, so a right row at exactly the left row's `on` is
+  * matched (inclusive as-of, the common convention).
+  *
+  * Reference scope note: the reference engine (orchestrator/main.py) has
+  * no temporal operators at all; this op is part of the extended declared
+  * surface (SURVEY.md §2.2 S7).
+  */
+object AsOfJoin {
+
+  /** Columns of `right` carried to the match: `on` and `tieBreak` always
+    * travel (they define the match); `payload` adds more. The result is
+    * `left.*` plus a struct column `asof` = the matched right row's
+    * `(on, tieBreak, payload...)`, or NULL when no right row precedes.
+    */
+  def asOf(left: DataFrame, right: DataFrame, by: Seq[String], on: String,
+           tieBreak: String, payload: Seq[String] = Nil): DataFrame = {
+    val carried = (on +: tieBreak +: payload).distinct
+    val rStruct = struct(carried.map(col): _*)
+    val r = right.select(by.map(col) :+ col(on) :+ rStruct.as("__asof_r"): _*)
+      .withColumn("__side", lit(0))
+    val l = left.withColumn("__side", lit(1))
+    // unionByName fills the columns each side lacks with NULLs — left rows
+    // get a NULL __asof_r, right rows NULL left-payload columns.
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    // RANGE frame over `on`: peers (equal `on`) are in-frame regardless of
+    // physical order, so tie handling is purely the struct max's.
+    val w = Window.partitionBy(by.map(col): _*).orderBy(col(on))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("asof", max(col("__asof_r")).over(w))
+      .filter(col("__side") === 1)
+      .drop("__asof_r", "__side")
+  }
+}

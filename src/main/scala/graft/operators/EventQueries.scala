@@ -106,6 +106,54 @@ object EventQueries {
         .orderBy("event_id")
     },
 
+    // S6 (batch form) — interval join: each click matched to the same
+    // user's views within the preceding hour. An equi-join on user_id
+    // with a range residual — NOT a range-only join, so the plan is a
+    // plain shuffled hash/sort-merge join at any scale.
+    "s6_interval_join" -> { (s, d) =>
+      val e = ev(s, d)
+      val c = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+                col("ts").as("c_ts"))
+      val v = e.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+                col("ts").as("v_ts"))
+      c.join(v,
+          col("c_user") === col("v_user") &&
+          col("v_ts") >= col("c_ts") - expr("INTERVAL 1 HOUR") &&
+          col("v_ts") <= col("c_ts"))
+        .select(col("click_id"), col("view_id"), col("c_user").as("user_id"),
+                Q.micros(col("c_ts")).as("c_ts_us"),
+                Q.micros(col("v_ts")).as("v_ts_us"))
+        .orderBy("click_id", "view_id")
+    },
+
+    // S6 (streaming form) — the same interval join as a genuine
+    // stream-stream join (two readStream sources, watermarks both sides,
+    // bounded state), run to completion and hashed against the same
+    // batch oracle.
+    "s6_interval_stream" -> ((s, d) =>
+      EventStreams.runToCompletion(
+          s, EventStreams.intervalJoin(evStream(s, d), evStream(s, d)),
+          "s6_stream_sink", mode = "append")
+        .orderBy("click_id", "view_id")),
+
+    // S7 — AS-OF join: every click picks the latest view (≤ its ts) by
+    // the same user, via the union+window merge formulation
+    // ([[AsOfJoin.asOf]]) — one shuffle on user_id, no range explosion.
+    "s7_asof_join" -> { (s, d) =>
+      val e = ev(s, d)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id").as("view_event_id"))
+      AsOfJoin.asOf(clicks, views, Seq("user_id"), "ts", "view_event_id")
+        .select(col("event_id"), col("user_id"), Q.micros(col("ts")).as("ts_us"),
+                Q.micros(col("asof").getField("ts")).as("view_ts_us"),
+                col("asof").getField("view_event_id").as("view_event_id"))
+        .orderBy("event_id")
+    },
+
     // S5 (batch form) — dedup by event_id keeping the MIN-ts row (total
     // tie-break ts, user_id, event_type), so the semantics are deterministic
     // even under real duplicates — matching the oracle's DISTINCT ON
@@ -159,7 +207,35 @@ object EventQueries {
       |      ORDER BY event_id, ts, user_id, event_type)
       |ORDER BY event_id""".stripMargin
 
+  // Micros on BOTH sides of every cross-row comparison: Spark compares
+  // its micro-truncated timestamps, so the oracle compares epoch_us too
+  // (the fixtures are micro-aligned today; this keeps the gate honest if
+  // they ever carry sub-microsecond nanos).
+  private val intervalOracle =
+    """SELECT c.event_id AS click_id, v.event_id AS view_id,
+      |       c.user_id, epoch_us(c.ts) AS c_ts_us, epoch_us(v.ts) AS v_ts_us
+      |FROM events c JOIN events v
+      |  ON c.user_id = v.user_id
+      | AND c.event_type = 'click' AND v.event_type = 'view'
+      | AND epoch_us(v.ts) BETWEEN epoch_us(c.ts) - 3600000000 AND epoch_us(c.ts)
+      |ORDER BY click_id, view_id""".stripMargin
+
+  private val asofOracle =
+    """WITH u AS (
+      |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+      |    MAX(CASE WHEN event_type = 'view'
+      |             THEN struct_pack(ts_us := epoch_us(ts), id := event_id) END)
+      |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |            RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+      |  FROM events)
+      |SELECT event_id, user_id, ts_us,
+      |       m.ts_us AS view_ts_us, m.id AS view_event_id
+      |FROM u WHERE event_type = 'click' ORDER BY event_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "s6_interval_join" -> intervalOracle,
+    "s6_interval_stream" -> intervalOracle,
+    "s7_asof_join" -> asofOracle,
     // Sign-aware JSON extraction (json_extract_string keeps '-'), non-null
     // count as the AVG divisor (matching Spark's count(k)), and the
     // tie-free integer ROUND formula every other ratio oracle uses.

@@ -130,6 +130,32 @@ object LlmQueries {
     "l10_cosine_dup" -> ((s, d) =>
       SimilarityOps.cosinePairsLsh(emb(s, d), 0.9).orderBy("va", "vb")),
 
+    // L12 — BPE-ish regex tokenization (the GPT-2 pre-tokenizer shape:
+    // space-prefixed letter runs / digit runs / punctuation runs) and
+    // per-lang token statistics. regexp_extract_all is a codegen'd
+    // built-in; the alternation uses only portable leftmost-first
+    // constructs so the oracle's RE2 matches Java regex exactly.
+    "l12_bpe_tokens" -> { (s, d) =>
+      val toks = docs(s, d).select(col("lang"), col("doc_id"),
+        explode(expr(
+          "regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+', 0)"))
+          .as("tok"))
+      toks.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_tokens"),
+             countDistinct(col("tok")).as("n_unique"),
+             countDistinct(col("doc_id")).as("nd"))
+        .select(col("lang"), col("n_tokens"), col("n_unique"),
+                Q.round4Ratio(col("n_tokens"), col("nd")).as("avg_tokens_per_doc"))
+        .orderBy("lang")
+    },
+
+    // MM2 — multimodal frame sampling: k evenly-spaced byte probes per
+    // payload through the distributed 1→k mapPartitions expansion (the
+    // keyframe-extraction shape; probe arithmetic is oracle-reproducible).
+    "mm2_frame_sample" -> ((s, d) =>
+      Multimodal.frameSample(Multimodal.withPayload(docs(s, d)))
+        .toDF.orderBy("doc_id", "frame_idx")),
+
     // L11 — rolling-hash document fingerprint (min 8-char-window
     // polynomial hash): winnowing-style content fingerprint, one narrow
     // codegen'd pass.
@@ -352,6 +378,35 @@ object LlmQueries {
         |     + CAST(ascii(substring(text, i + 7, 1)) AS BIGINT)) % 1000000007))
         |  ELSE CAST(-1 AS BIGINT) END AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "l12_bpe_tokens" ->
+      s"""WITH toks AS (
+         |  SELECT lang, doc_id,
+         |    unnest(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) AS tok
+         |  FROM documents)
+         |SELECT lang, COUNT(*) AS n_tokens, COUNT(DISTINCT tok) AS n_unique,
+         |  ${Q.duckRound4Ratio("COUNT(*)", "COUNT(DISTINCT doc_id)")} AS avg_tokens_per_doc
+         |FROM toks GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Replays Multimodal.frameSample: k = least(4, n_bytes) frames at
+    // offsets ⌊i·(n−1)/(k−1)⌋ (0 when k=1); the byte probe decodes two
+    // hex chars of the UTF-8 payload at that offset.
+    "mm2_frame_sample" ->
+      """WITH b AS (
+        |  SELECT doc_id, hex(encode(text)) AS h,
+        |         octet_length(encode(text)) AS n
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, h, i.range AS frame_idx,
+        |    CASE WHEN least(4, n) = 1 THEN 0
+        |         ELSE (i.range * (n - 1)) // (least(4, n) - 1) END AS off
+        |  FROM b, range(4) i
+        |  WHERE n > 0 AND i.range < least(4, n))
+        |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+        |  CAST(off AS BIGINT) AS frame_off,
+        |  CAST((strpos('0123456789ABCDEF', substring(h, CAST(2 * off + 1 AS INT), 1)) - 1) * 16
+        |     + (strpos('0123456789ABCDEF', substring(h, CAST(2 * off + 2 AS INT), 1)) - 1) AS INT) AS frame_byte
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
 
     // Mirrors Multimodal.StubCodec exactly, including the empty-payload
     // branch (ok=false, width=height=0, first_byte=-1) and the true first

@@ -145,6 +145,38 @@ object RelationalQueries {
                 col("sum_qty"), col("n"), col("g_flag"), col("g_status"))
         .orderBy("g_flag", "g_status", "flag", "status")),
 
+    // R13b — CUBE: all four grouping-set combinations (the rollup's three
+    // plus the status-only margin), same NULL-coalescing conventions.
+    "r13b_cube" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(Q.sumMoney(col("l_quantity")).as("sum_qty"),
+             count(lit(1)).as("n"),
+             grouping(col("l_returnflag")).cast("long").as("g_flag"),
+             grouping(col("l_linestatus")).cast("long").as("g_status"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+                coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+                col("sum_qty"), col("n"), col("g_flag"), col("g_status"))
+        .orderBy("g_flag", "g_status", "flag", "status")),
+
+    // R20 — PIVOT: order-priority revenue spread per order status. The
+    // value list is explicit (the 5 TPC-H priorities), so the plan is a
+    // single pass of conditional aggregates — no collect-distinct step,
+    // the shape that scales.
+    "r20_pivot" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy(col("o_orderstatus"))
+        .pivot("o_orderpriority",
+               Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(Q.sumMoney(col("o_totalprice")))
+        .select(col("o_orderstatus"),
+                col("`1-URGENT`").as("rev_urgent"),
+                col("`2-HIGH`").as("rev_high"),
+                col("`3-MEDIUM`").as("rev_medium"),
+                col("`4-NOT SPECIFIED`").as("rev_notspec"),
+                col("`5-LOW`").as("rev_low"))
+        .orderBy("o_orderstatus")),
+
     // R14 — exact distinct aggregate (expand + two-phase agg).
     "r14_count_distinct" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -315,6 +347,22 @@ object RelationalQueries {
         |       GROUPING(l_returnflag) AS g_flag, GROUPING(l_linestatus) AS g_status
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY g_flag, g_status, flag, status""".stripMargin,
+    "r13b_cube" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+        |       COALESCE(l_linestatus, 'ALL') AS status,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       COUNT(*) AS n,
+        |       GROUPING(l_returnflag) AS g_flag, GROUPING(l_linestatus) AS g_status
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY g_flag, g_status, flag, status""".stripMargin,
+    "r20_pivot" ->
+      """SELECT o_orderstatus,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS rev_urgent,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS rev_high,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS rev_medium,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS rev_notspec,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS rev_low
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "r14_count_distinct" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
         |       COUNT(DISTINCT l_suppkey) AS n_supps

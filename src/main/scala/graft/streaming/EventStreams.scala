@@ -47,7 +47,32 @@ object EventStreams {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
-  /** S6 — CUSTOM-STATE sessionization via `flatMapGroupsWithState`: the
+  /** S6 — STREAM-STREAM interval join: each click joined to the same
+    * user's views within the preceding hour. Both sides carry watermarks
+    * and the join condition bounds view-time relative to click-time, so
+    * the state store can evict rows once the watermark passes — the only
+    * shape under which an unbounded two-stream join has bounded state.
+    * Inner matches emit as soon as both sides arrive (append mode).
+    */
+  def intervalJoin(clicks: DataFrame, views: DataFrame): DataFrame = {
+    val c = clicks.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+              col("ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    val v = views.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+              col("ts").as("v_ts"))
+      .withWatermark("v_ts", "2 hours")
+    c.join(v,
+        col("c_user") === col("v_user") &&
+        col("v_ts") >= col("c_ts") - expr("INTERVAL 1 HOUR") &&
+        col("v_ts") <= col("c_ts"))
+      .select(col("click_id"), col("view_id"), col("c_user").as("user_id"),
+              unix_micros(col("c_ts")).as("c_ts_us"),
+              unix_micros(col("v_ts")).as("v_ts_us"))
+  }
+
+  /** CUSTOM-STATE sessionization via `flatMapGroupsWithState`: the
     * arbitrary-state path for semantics `session_window` can't express
     * (here: per-session event count AND value sum, emitted exactly once
     * when the session closes by inactivity timeout). State per user is one

@@ -1,0 +1,56 @@
+package graft
+
+import graft.operators.AsOfJoin
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.functions._
+
+/** Semantics of the round-5 operators: as-of join (merge formulation)
+  * and multimodal frame sampling.
+  */
+class AsOfJoinSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(us: Long) = new java.sql.Timestamp(us / 1000) {
+    // exact micros: Timestamp(millis) then setNanos for the remainder
+    setNanos(((us % 1000000 + 1000000) % 1000000).toInt * 1000)
+  }
+
+  test("asOf picks the latest right row at or before each left row") {
+    val left = Seq((1L, 100L, ts(1000)), (1L, 101L, ts(3000)),
+                   (2L, 102L, ts(500)))
+      .toDF("uid", "lid", "t")
+    val right = Seq((1L, 10L, ts(900)), (1L, 11L, ts(2500)),
+                    (1L, 12L, ts(5000)), (2L, 13L, ts(600)))
+      .toDF("uid", "rid", "t")
+    val out = AsOfJoin.asOf(left, right, Seq("uid"), "t", "rid")
+      .select(col("lid"), col("asof").getField("rid").as("rid"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    assert(out(100L) == 10L)  // 900 <= 1000, latest
+    assert(out(101L) == 11L)  // 2500 <= 3000; 5000 excluded
+    assert(out(102L) == -1L)  // no right row at/before 500
+  }
+
+  test("asOf matches an equal-timestamp right row and breaks ties by max tieBreak") {
+    val left = Seq((1L, 100L, ts(2000))).toDF("uid", "lid", "t")
+    val right = Seq((1L, 10L, ts(2000)), (1L, 11L, ts(2000)),
+                    (1L, 5L, ts(1000))).toDF("uid", "rid", "t")
+    val out = AsOfJoin.asOf(left, right, Seq("uid"), "t", "rid")
+      .select(col("asof").getField("rid")).head().getLong(0)
+    assert(out == 11L)  // inclusive as-of; equal-ts tie -> greatest rid
+  }
+
+  test("frameSample probes first and last byte, short payloads degrade to k=n") {
+    val docs = Seq((1L, "abcdefghij"), (2L, "xy"), (3L, ""))
+      .toDF("doc_id", "text")
+    val frames = Multimodal.frameSample(Multimodal.withPayload(docs))
+      .collect().groupBy(_.doc_id)
+    val f1 = frames(1L).sortBy(_.frame_idx)
+    assert(f1.map(_.frame_off).toSeq == Seq(0L, 3L, 6L, 9L))
+    assert(f1.head.frame_byte == 'a'.toInt && f1.last.frame_byte == 'j'.toInt)
+    val f2 = frames(2L).sortBy(_.frame_idx)
+    assert(f2.map(_.frame_off).toSeq == Seq(0L, 1L))  // k = min(4, 2)
+    assert(!frames.contains(3L))  // empty payload emits nothing
+  }
+}
