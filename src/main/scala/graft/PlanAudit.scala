@@ -17,7 +17,8 @@ object PlanAudit {
     val names = if (args.length > 1) args.drop(1).toSet else Set(
       "r1_filter_project", "r4_multijoin_region", "r9_window_topk",
       "m1_matmul", "m4_matmul_sparse", "l2_near_dup", "l5_vector_topk",
-      "l6_label_centroids", "l10_cosine_dup", "l11_fingerprint")
+      "l6_label_centroids", "l10_cosine_dup", "l11_fingerprint",
+      "s6_interval_join", "s7_asof_join", "r20_pivot", "l12_bpe_tokens")
     val spark = Engine.configure(
       SparkSession.builder().master("local[8]").appName("graft-audit")
         .config("spark.sql.shuffle.partitions", 8)
@@ -27,15 +28,23 @@ object PlanAudit {
     names.toSeq.sorted.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         val df = fn(spark, sfDir)
+        // Execute THIS df's own QueryExecution first (a sink write would
+        // plan a separate execution): under AQE the pre-execution plan is
+        // a bare AdaptiveSparkPlan skeleton — codegen stages, final join
+        // strategies, and coalesced exchanges only exist in the final
+        // plan. toRdd.foreach runs it without driver materialization.
+        df.queryExecution.toRdd.foreach(_ => ())
         val plan = df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
+        // Formatted mode carries no codegen annotation in Spark 4; the
+        // executed-plan string marks codegen stages with `*(n)` prefixes.
+        val simple = df.queryExecution.executedPlan.toString
         println(s"\n========== $name ==========")
         println(plan)
         def has(s: String) = plan.contains(s)
         val flags = Seq(
           "PushedFilters" -> has("PushedFilters: ["),
-          // formatted mode marks codegen stages with a leading '*'
-          "WholeStageCodegen" -> plan.linesIterator.exists(_.matches("""\s*\*\s.*\(\d+\)""")),
+          "WholeStageCodegen" -> simple.contains("*("),
           "BroadcastHashJoin" -> has("BroadcastHashJoin"),
           "CartesianProduct(!)" -> has("CartesianProduct"),
           "SortMergeJoin" -> has("SortMergeJoin"))
