@@ -149,6 +149,20 @@ object LlmQueries {
         .orderBy("lang")
     },
 
+    // L13 — exact length quantiles per lang: sort-based `percentile`
+    // aggregate with (n−1)·p linear interpolation — the same definition
+    // DuckDB's quantile_cont uses, so values hash-match without a custom
+    // rounding convention (quarters/halves of integers are exact doubles).
+    // 100 TB posture: exact percentile needs a per-group sort (fine for
+    // bounded groups like per-lang); the unbounded-cardinality scale path
+    // is approx_percentile, declared non-hash-gated like R14b's HLL.
+    "l13_length_quantiles" -> ((s, d) =>
+      docs(s, d).groupBy(col("lang"))
+        .agg(percentile(col("n_chars"), lit(0.25)).as("p25"),
+             percentile(col("n_chars"), lit(0.5)).as("p50"),
+             percentile(col("n_chars"), lit(0.75)).as("p75"))
+        .orderBy("lang")),
+
     // MM2 — multimodal frame sampling: k evenly-spaced byte probes per
     // payload through the distributed 1→k mapPartitions expansion (the
     // keyframe-extraction shape; probe arithmetic is oracle-reproducible).
@@ -387,6 +401,13 @@ object LlmQueries {
          |SELECT lang, COUNT(*) AS n_tokens, COUNT(DISTINCT tok) AS n_unique,
          |  ${Q.duckRound4Ratio("COUNT(*)", "COUNT(DISTINCT doc_id)")} AS avg_tokens_per_doc
          |FROM toks GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "l13_length_quantiles" ->
+      """SELECT lang,
+        |  quantile_cont(n_chars, 0.25) AS p25,
+        |  quantile_cont(n_chars, 0.5)  AS p50,
+        |  quantile_cont(n_chars, 0.75) AS p75
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Replays Multimodal.frameSample: k = least(4, n_bytes) frames at
     // offsets ⌊i·(n−1)/(k−1)⌋ (0 when k=1); the byte probe decodes two

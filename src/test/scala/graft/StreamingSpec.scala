@@ -109,6 +109,28 @@ class StreamingSpec extends SparkSpec {
     assert(got.forall(_._1 == 1L) || got.contains((2L, 1L, 9.0)))
   }
 
+  test("stream-stream interval join matches views in the preceding hour only") {
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = EventStreams.intervalJoin(ms.toDF(), ms.toDF()).writeStream
+      .format("memory").queryName("t_ijoin").outputMode("append")
+      .start()
+    try {
+      ms.addData(Seq(
+        Ev(10, t(30), 1, "view", 0),   // 70 min before the click — too old
+        Ev(11, t(50), 1, "view", 0),   // 50 min before — in window
+        Ev(14, t(100), 1, "view", 0),  // same instant — inclusive bound
+        Ev(13, t(90), 2, "view", 0),   // other user
+        Ev(12, t(110), 1, "view", 0),  // after the click
+        Ev(1, t(100), 1, "click", 0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("t_ijoin")
+      .select("click_id", "view_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 11L), (1L, 14L)))
+  }
+
   test("session windows merge events within the gap and split across it") {
     val evs = Seq(
       Ev(1, t(0), 1, "a", 0), Ev(2, t(10), 1, "a", 0), Ev(3, t(25), 1, "a", 0),
