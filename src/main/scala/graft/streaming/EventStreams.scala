@@ -153,10 +153,21 @@ object EventStreams {
       System.getProperty("java.io.tmpdir")
     val ckpt = java.nio.file.Files
       .createTempDirectory(java.nio.file.Paths.get(base), s"graft-ckpt-$name-")
-    val q = streaming.writeStream
-      .format("memory").queryName(name).outputMode(mode)
-      .option("checkpointLocation", ckpt.toString)
-      .start()
+    // Stateful-operator parallelism: every micro-batch opens, commits, and
+    // snapshots one state store PER shuffle partition, so a bounded gate at
+    // the batch engine's 32 partitions pays 32x state overhead for data
+    // that fits comfortably in 8. The conf is read at query planning;
+    // restored after the run (gates execute sequentially). A production
+    // deployment sizes this to cluster width x state volume instead.
+    val partKey = "spark.sql.shuffle.partitions"
+    val prevParts = spark.conf.get(partKey)
+    spark.conf.set(partKey, "8")
+    val q =
+      try streaming.writeStream
+        .format("memory").queryName(name).outputMode(mode)
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      finally spark.conf.set(partKey, prevParts)
     try q.processAllAvailable() finally {
       q.stop()
       // Best-effort cleanup: bounded-gate checkpoints have no value after
