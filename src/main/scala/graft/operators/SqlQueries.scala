@@ -27,6 +27,20 @@ object SqlQueries {
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Explicit GROUPING SETS through the parser — the grouping-set shape
+    // neither ROLLUP (r13) nor CUBE (r13b) covers: two hand-picked sets,
+    // (returnflag) and (linestatus), no grand total. SQL-only surface: the
+    // DataFrame API exposes only rollup/cube, so the parser IS the
+    // operator's entry point.
+    "sql3_grouping_sets" -> ((s, d) => Engine.sql(s, d,
+      """SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+        |  COALESCE(l_linestatus, 'ALL') AS status,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY flag, status""".stripMargin)),
+
     // Hourly event counts through the SQL-registered events view — pins
     // the view's microsecond TimestampType (a regression here surfaces as
     // a ws hash mismatch, the exact failure mode the r3 ADVICE flagged).
@@ -43,6 +57,14 @@ object SqlQueries {
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "sql3_grouping_sets" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+        |  COALESCE(l_linestatus, 'ALL') AS status,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY flag, status""".stripMargin,
     "sql2_events_hourly" ->
       """SELECT epoch_us(date_trunc('hour', ts)) AS ws, event_type,
         |  COUNT(*) AS n
