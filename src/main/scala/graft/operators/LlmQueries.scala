@@ -163,6 +163,16 @@ object LlmQueries {
              percentile(col("n_chars"), lit(0.75)).as("p75"))
         .orderBy("lang")),
 
+    // L13b — the declared scale path of L13: GK-sketch approx_percentile
+    // (mergeable, one pass, no per-group sort). Sketch outputs are
+    // engine-specific, so like R14b this is declared non-hash-gated —
+    // rows-only check, with the exact/approx agreement asserted in the
+    // unit spec at fixture scale instead.
+    "l13b_approx_quantiles" -> ((s, d) =>
+      docs(s, d).groupBy(col("lang"))
+        .agg(approx_percentile(col("n_chars"), lit(0.5), lit(10000)).as("ap50"))
+        .orderBy("lang")),
+
     // MM2 — multimodal frame sampling: k evenly-spaced byte probes per
     // payload through the distributed 1→k mapPartitions expansion (the
     // keyframe-extraction shape; probe arithmetic is oracle-reproducible).

@@ -41,6 +41,19 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out == 11L)  // inclusive as-of; equal-ts tie -> greatest rid
   }
 
+  test("approx_percentile agrees with exact percentile on an odd-count group") {
+    // Odd count: the exact (n−1)·p interpolation lands on a real element,
+    // so the GK sketch at high accuracy must return the identical value —
+    // the L13/L13b exact-vs-scale-path agreement check.
+    val docs = (1 to 101).map(i => ("en", i.toLong)).toDF("lang", "n_chars")
+    val r = docs.groupBy(col("lang")).agg(
+      percentile(col("n_chars"), lit(0.5)).as("p50"),
+      approx_percentile(col("n_chars"), lit(0.5), lit(10000)).as("ap50"))
+      .head()
+    assert(r.getDouble(1) == 51.0)
+    assert(r.getLong(2) == 51L)
+  }
+
   test("frameSample probes first and last byte, short payloads degrade to k=n") {
     val docs = Seq((1L, "abcdefghij"), (2L, "xy"), (3L, ""))
       .toDF("doc_id", "text")
