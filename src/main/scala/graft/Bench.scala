@@ -101,11 +101,17 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val all = only.fold(everything)(sel => everything.filter(q => sel(q._1)))
 
-    // Two passes, min per query: Spark 4 pays heavy one-time JVM costs on
+    // Min over three passes: Spark 4 pays heavy one-time JVM costs on
     // first touch (e.g. CollationAwareUTF8String <clinit> builds ICU case
     // tables for ~50 s inside the first upper() task) that say nothing
-    // about plan quality; the min isolates steady-state engine time.
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
+    // about plan quality, and the host exhibits multi-minute episodes of
+    // hypervisor-level CPU starvation (diagnosed r5: single-thread wall
+    // time 30-50x while the guest reports the thread 100%-CPU-busy and
+    // the compile queues, GC, code cache, and cgroup stats are all clean;
+    // a concurrently-launched fresh JVM crawls identically, so it is the
+    // machine, not JVM state). One clean pass is enough for a truthful
+    // min; three passes make it likely at least one dodges an episode.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val timings = (1 to passes).map { pass =>
       all.map { case (name, fn) =>
         val s = session(s"pass$pass.$name")
