@@ -1,0 +1,96 @@
+package graft
+
+import graft.operators.{DedupOps, SimilarityOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling evidence for the LLM-pipeline operators: times the heavy
+  * pipelines on 1x/2x/4x multiples of the fixture corpus and prints a
+  * seconds-per-multiple table, so the "near-linear at scale" claim is
+  * measured, not asserted.
+  *
+  * Corpus multiplication is deterministic and must grow the corpus with
+  * DISJOINT content, not duplicates: an earlier version that appended a
+  * copy tag to otherwise-identical texts turned every document into a
+  * member of an N-duplicate cluster, and prefix-filter candidate joins
+  * are quadratic in cluster size (a shared code with document-frequency
+  * df yields df² join pairs; duplication multiplies every df by N) — the
+  * 4x run wedged for >12 minutes in the candidate sort-merge join. That
+  * is the KNOWN duplicate-cluster pathology of AllPairs-style dedup, and
+  * the production answer is exact dedup (L1) first, near-dup on unique
+  * survivors; the probe's job is to measure CORPUS GROWTH, so each copy
+  * rotates the alphabet (disjoint shingle space, same per-doc structure)
+  * and perturbs embeddings per-dimension by copy (cross-copy cosines
+  * drop below threshold instead of staying 1.0 — plain rescaling is
+  * invisible to cosine and to sign-random projections).
+  *
+  * Usage: `sbt "runMain graft.ScaleProbe [sfDir] [maxMultiple]"`.
+  */
+object ScaleProbe {
+
+  // Min of 3 runs: the host has multi-minute CPU-starvation episodes
+  // (see Bench scaladoc) that would otherwise fake superlinear scaling.
+  private def time[A](f: => A): Double =
+    (1 to 3).map { _ =>
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }.min
+
+  private def sink(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  private val alphabet = "abcdefghijklmnopqrstuvwxyz"
+
+  def docsX(docs: DataFrame, copies: Int): DataFrame =
+    (0 until copies).map { c =>
+      // Rotate the alphabet per copy: per-doc shingle structure is
+      // preserved, the shingle UNIVERSE is disjoint across copies.
+      val rot = alphabet.drop(c % 26) + alphabet.take(c % 26)
+      docs.select(
+        (col("doc_id") + lit(c * 1000000L)).as("doc_id"),
+        translate(col("text"), alphabet, rot).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_.unionByName(_))
+
+  def embX(emb: DataFrame, copies: Int): DataFrame =
+    (0 until copies).map { c =>
+      emb.select(
+        (col("vec_id") + lit(c * 1000000L)).as("vec_id"),
+        // Per-dimension, copy-dependent perturbation: changes the vector
+        // DIRECTION (cross-copy cosines fall below near-dup thresholds),
+        // unlike uniform rescaling which cosine and SRP can't see.
+        zip_with(col("embedding"),
+          transform(sequence(lit(0), lit(63)),
+            i => lit(1.0f) + lit(0.05f * (c % 7)) * cos(i * lit(0.9))),
+          (x, f) => (x * f).cast("float")).as("embedding"),
+        col("label"))
+    }.reduce(_.unionByName(_))
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val maxX = if (args.length > 1) args(1).toInt else 4
+    val spark = Engine.local()
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = Tables.load(spark, sfDir, "documents")
+    val emb = Tables.load(spark, sfDir, "embeddings")
+
+    // Warm-up: JIT/codegen one-time costs out of the timings.
+    sink(DedupOps.prefixJaccardPairs(docsX(docs, 1), 0.8))
+    sink(SimilarityOps.cosinePairsLsh(embX(emb, 1), 0.9))
+
+    println(f"${"op"}%-22s ${"x"}%3s ${"rows_in"}%10s ${"sec"}%8s")
+    Iterator.from(0).map(1 << _).takeWhile(_ <= maxX).foreach { x =>
+      val d = docsX(docs, x)
+      val e = embX(emb, x)
+      val nD = d.count(); val nE = e.count()
+      val tL2 = time(sink(DedupOps.prefixJaccardPairs(d, 0.8)))
+      val tL7 = time(sink(DedupOps.simhash(d)))
+      val tL10 = time(sink(SimilarityOps.cosinePairsLsh(e, 0.9)))
+      val tL5 = time(sink(SimilarityOps.bruteTopK(e, e.filter(col("vec_id") <= 9), 5)))
+      println(f"l2_prefix_jaccard      $x%3d $nD%10d $tL2%8.2f")
+      println(f"l7_simhash             $x%3d $nD%10d $tL7%8.2f")
+      println(f"l10_srp_lsh_pairs      $x%3d $nE%10d $tL10%8.2f")
+      println(f"l5_brute_topk          $x%3d $nE%10d $tL5%8.2f")
+    }
+    spark.stop()
+  }
+}

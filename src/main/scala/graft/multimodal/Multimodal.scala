@@ -70,6 +70,48 @@ object Multimodal {
       }
   }
 
+  /** A "resized" asset's typed metadata: target dims + a content digest
+    * of the transformed payload (stands in for the resized bytes).
+    */
+  case class ResizeMeta(doc_id: Long, src_w: Int, src_h: Int,
+                        dst_w: Int, dst_h: Int, digest: Long)
+
+  /** Resize: decode (stub) → aspect-preserving fit into maxW×maxH →
+    * transform payload (stub: samples one byte per destination column —
+    * the strided-access pattern a real scaler has) → digest. Completes
+    * the decode / frame-sample / resize multimodal batch family; a real
+    * build swaps the two stub steps for codec calls, the distributed
+    * iterator-to-iterator shape and typed output schema stay.
+    */
+  def resize(docsWithPayload: DataFrame, maxW: Int = 64, maxH: Int = 64): Dataset[ResizeMeta] = {
+    val spark = docsWithPayload.sparkSession
+    import spark.implicits._
+    docsWithPayload.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val (w, h, ok) = StubCodec.decode(bytes)
+          if (!ok) Iterator.empty
+          else {
+            // Integer aspect-preserving fit: scale = min(maxW/w, maxH/h)
+            // in 1e6 fixed-point, exact in SQL for the oracle replay.
+            val s = math.min(maxW.toLong * 1000000L / w, maxH.toLong * 1000000L / h)
+            val sc = math.min(s, 1000000L) // never upscale
+            val dw = math.max(1L, w * sc / 1000000L).toInt
+            val dh = math.max(1L, h * sc / 1000000L).toInt
+            var dig = 0L
+            var x = 0
+            while (x < dw) {
+              val off = (x.toLong * (bytes.length - 1) / math.max(1, dw - 1)).toInt
+              dig = (dig * 31 + (bytes(off) & 0xff)) % 1000000007L
+              x += 1
+            }
+            Iterator.single(ResizeMeta(id, w, h, dw, dh, dig))
+          }
+        }
+      }
+  }
+
   /** Partition-wise batched decode: binary payloads → typed metadata.
     * Runs distributed, iterator-to-iterator (no per-row JVM churn, no
     * driver collect) — the shape a real GPU/codec batch step needs.

@@ -180,6 +180,15 @@ object LlmQueries {
       Multimodal.frameSample(Multimodal.withPayload(docs(s, d)))
         .toDF.orderBy("doc_id", "frame_idx")),
 
+    // MM3 — multimodal resize: stub decode → integer aspect-preserving
+    // fit into 64×64 (1e6 fixed-point scale, never upscale) → strided
+    // one-byte-per-destination-column digest. Completes the
+    // decode / frame-sample / resize batch family; all arithmetic is
+    // integer so the oracle replays it exactly.
+    "mm3_resize" -> ((s, d) =>
+      Multimodal.resize(Multimodal.withPayload(docs(s, d)))
+        .toDF.orderBy("doc_id")),
+
     // L11 — rolling-hash document fingerprint (min 8-char-window
     // polynomial hash): winnowing-style content fingerprint, one narrow
     // codegen'd pass.
@@ -438,6 +447,35 @@ object LlmQueries {
         |  CAST((strpos('0123456789ABCDEF', substring(h, CAST(2 * off + 1 AS INT), 1)) - 1) * 16
         |     + (strpos('0123456789ABCDEF', substring(h, CAST(2 * off + 2 AS INT), 1)) - 1) AS INT) AS frame_byte
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // Replays Multimodal.resize: StubCodec dims (w = n%640+1,
+    // h = (first_byte&127)+1), 1e6 fixed-point downscale fit, and the
+    // per-destination-column strided byte digest, all in integer SQL.
+    "mm3_resize" ->
+      """WITH b AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |         octet_length(encode(text)) AS n
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, hx, n,
+        |    CAST((n % 640) + 1 AS BIGINT) AS w,
+        |    CAST((((strpos('0123456789ABCDEF', substring(hx, 1, 1)) - 1) * 16
+        |         + (strpos('0123456789ABCDEF', substring(hx, 2, 1)) - 1)) & 127) + 1 AS BIGINT) AS h
+        |  FROM b WHERE n > 0),
+        |d AS (
+        |  SELECT doc_id, hx, n, w, h,
+        |    greatest(1, (w * sc) // 1000000) AS dw,
+        |    greatest(1, (h * sc) // 1000000) AS dh
+        |  FROM (SELECT *, least(least(64000000 // w, 64000000 // h), 1000000) AS sc FROM m))
+        |SELECT doc_id,
+        |  CAST(w AS INT) AS src_w, CAST(h AS INT) AS src_h,
+        |  CAST(dw AS INT) AS dst_w, CAST(dh AS INT) AS dst_h,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(0, dw), x ->
+        |      CAST((strpos('0123456789ABCDEF', substring(hx, CAST(2 * ((x * (n - 1)) // greatest(1, dw - 1)) + 1 AS INT), 1)) - 1) * 16
+        |         + (strpos('0123456789ABCDEF', substring(hx, CAST(2 * ((x * (n - 1)) // greatest(1, dw - 1)) + 2 AS INT), 1)) - 1) AS BIGINT))),
+        |    (acc, v) -> (acc * 31 + v) % 1000000007) AS digest
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     // Mirrors Multimodal.StubCodec exactly, including the empty-payload
     // branch (ok=false, width=height=0, first_byte=-1) and the true first
