@@ -33,16 +33,19 @@ object LlmQueries {
     "l1_exact_dedup" -> ((s, d) =>
       DedupOps.exactDedup(docs(s, d)).orderBy("content_hash")),
 
-    // L2 — near-dup pairs at Jaccard ≥ 0.8 over 3-char shingles, via
-    // prefix filtering (WWW'07 AllPairs): candidates only from docs
-    // sharing a globally-RARE shingle within their (1−t)·n prefix —
-    // exact by construction (no LSH false-negative epsilon) and robust
-    // to this corpus's high background similarity, where MinHash-LSH
-    // banding ([[DedupOps.minhashPairs]], the low-similarity scale path)
+    // L2 — near-dup pairs at Jaccard ≥ 0.8 over 3-char shingles:
+    // exact duplicates collapse FIRST (prefix-filter candidate joins are
+    // quadratic in duplicate-cluster size — measured, ScaleProbe r5),
+    // then prefix filtering (WWW'07 AllPairs) over unique reps:
+    // candidates only from docs sharing a globally-RARE shingle within
+    // their (1−t)·n prefix — exact by construction (no LSH
+    // false-negative epsilon) and robust to this corpus's high
+    // background similarity, where MinHash-LSH banding
+    // ([[DedupOps.minhashPairs]], the low-similarity scale path)
     // degenerates to a quadratic bucket join. Same output contract; the
     // oracle is the exact all-pairs computation.
     "l2_near_dup" -> ((s, d) =>
-      DedupOps.prefixJaccardPairs(docs(s, d), 0.8).orderBy("da", "db")),
+      DedupOps.clusteredJaccardPairs(docs(s, d), 0.8).orderBy("da", "db")),
 
     // L3 — token frequency: top-20 tokens per lang (count desc, token asc).
     "l3_token_freq" -> { (s, d) =>

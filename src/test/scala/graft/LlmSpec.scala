@@ -21,6 +21,21 @@ class LlmSpec extends SparkSpec {
     (5L, "a b")                                              // shorter than a shingle
   ).toDF("doc_id", "text")
 
+  test("clusteredJaccardPairs equals exact all-pairs on a duplicate-heavy corpus") {
+    // Extra twins stress the cluster-expansion path: 6,7 duplicate doc 3.
+    val heavy = corpus.unionByName(Seq(
+      (6L, "completely different text with other content"),
+      (7L, "completely different text with other content")
+    ).toDF("doc_id", "text"))
+    Seq(0.5, 0.8).foreach { t =>
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val exact = canon(DedupOps.jaccardPairs(heavy, t))
+      val clustered = canon(DedupOps.clusteredJaccardPairs(heavy, t))
+      assert(clustered == exact, s"threshold $t")
+    }
+  }
+
   test("exactDedup groups identical texts and keeps the min doc_id") {
     val out = DedupOps.exactDedup(corpus).collect()
       .map(r => (r.getLong(1), r.getLong(2))).toSet
