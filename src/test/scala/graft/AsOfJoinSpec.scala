@@ -41,6 +41,20 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out == 11L)  // inclusive as-of; equal-ts tie -> greatest rid
   }
 
+  test("saltedJoin equals the plain equi-join under heavy key skew") {
+    // 1000 rows of one hot key + a tail; right side is a small dim.
+    val left = ((1 to 1000).map(i => (1L, i.toLong)) ++
+                (1 to 20).map(i => (i.toLong % 5 + 2, i.toLong)))
+      .toDF("k", "payload")
+    val right = (1L to 6L).map(k => (k, s"dim$k")).toDF("k", "name")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "payload", "name").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    val expected = canon(left.join(right, "k"))
+    val salted = canon(graft.operators.SkewOps.saltedJoin(left, right, "k", 8))
+    assert(salted == expected)
+  }
+
   test("approx_percentile agrees with exact percentile on an odd-count group") {
     // Odd count: the exact (n−1)·p interpolation lands on a real element,
     // so the GK sketch at high accuracy must return the identical value —
