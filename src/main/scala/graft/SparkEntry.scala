@@ -12,6 +12,7 @@ import org.apache.spark.sql.functions._
   *   - J/S events + streaming-batch [[graft.operators.EventQueries]]
   *   - L* LLM-data-pipeline         [[graft.operators.LlmQueries]]
   *   - sql* SQL entry point         [[graft.operators.SqlQueries]]
+  *   - io* source/sink + layout     [[graft.operators.IoQueries]]
   */
 object SparkEntry {
 
@@ -26,9 +27,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     MatrixQueries.queries ++ RelationalQueries.queries ++
-      EventQueries.queries ++ LlmQueries.queries ++ SqlQueries.queries
+      EventQueries.queries ++ LlmQueries.queries ++ SqlQueries.queries ++
+      IoQueries.queries
 
   def oracleSql: Map[String, String] =
     MatrixQueries.oracles ++ RelationalQueries.oracles ++
-      EventQueries.oracles ++ LlmQueries.oracles ++ SqlQueries.oracles
+      EventQueries.oracles ++ LlmQueries.oracles ++ SqlQueries.oracles ++
+      IoQueries.oracles
 }

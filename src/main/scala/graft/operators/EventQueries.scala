@@ -154,6 +154,19 @@ object EventQueries {
         .orderBy("event_id")
     },
 
+    // S8 — stream-static join: the event stream joined to a broadcast
+    // static dimension derived from the batch table (per-type cents total
+    // + count), aggregated per type in complete mode. Exercises the
+    // stateless enrichment join Structured Streaming plans per micro-batch.
+    "s8_stream_static" -> { (s, d) =>
+      val stats = ev(s, d).groupBy(col("event_type"))
+        .agg(Q.sumCents(col("value")).as("vc"), count(lit(1)).as("vn"))
+      EventStreams.runToCompletion(
+          s, EventStreams.staticEnrichedCounts(evStream(s, d), stats),
+          "s8_stream_sink")
+        .orderBy("event_type")
+    },
+
     // S5 (batch form) — dedup by event_id keeping the MIN-ts row (total
     // tie-break ts, user_id, event_type), so the semantics are deterministic
     // even under real duplicates — matching the oracle's DISTINCT ON
@@ -233,6 +246,17 @@ object EventQueries {
       |FROM u WHERE event_type = 'click' ORDER BY event_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "s8_stream_static" ->
+      """WITH st AS (
+        |  SELECT event_type,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS vc,
+        |    COUNT(*) AS vn
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_type, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN CAST(CAST(e.value AS DECIMAL(18,2)) * 100 AS BIGINT) * st.vn > st.vc
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_above
+        |FROM events e JOIN st USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "s6_interval_join" -> intervalOracle,
     "s6_interval_stream" -> intervalOracle,
     "s7_asof_join" -> asofOracle,

@@ -1,0 +1,121 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.sources.LayoutOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** IO / physical-layout queries (SURVEY.md §2.2 IO-table): source-sink
+  * roundtrips through the text formats a data-exchange boundary actually
+  * uses (CSV, JSON lines) and the two storage layouts a 100 TB deployment
+  * is built on (partition-pruned scans, bucketed co-located joins).
+  *
+  * The roundtrips write through the format and read back with an EXPLICIT
+  * schema (schema inference over 100 TB of text is a full extra pass —
+  * never in the scale path), then aggregate; the oracle computes the same
+  * aggregate from the original parquet, so the gate proves the
+  * sink→source cycle is lossless. Money columns travel as DECIMAL(18,2) —
+  * exact decimal text on both sides of the boundary; doubles-as-text would
+  * round-trip via shortest-repr parsing, which is exact too, but decimal
+  * makes the intent auditable.
+  */
+object IoQueries {
+
+  private def scratch(kind: String, dir: String): String = {
+    val tag = java.lang.Integer.toHexString(dir.hashCode & 0x7fffffff)
+    s"${System.getProperty("java.io.tmpdir")}/graft-io/$kind-$tag"
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // IO1 — CSV sink → CSV source (header, explicit schema) → aggregate.
+    // The write is part of the measured query: this is a sink+source
+    // operator, not a disguised parquet aggregate.
+    "io1_csv_roundtrip" -> { (s, d) =>
+      val path = scratch("csv", d)
+      Tables.load(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+                Q.dec2(col("l_quantity")).as("qty"),
+                Q.dec2(col("l_extendedprice")).as("price"))
+        .write.mode("overwrite").option("header", "true").csv(path)
+      s.read
+        .schema("l_orderkey BIGINT, l_linenumber INT, l_returnflag STRING, " +
+                "qty DECIMAL(18,2), price DECIMAL(18,2)")
+        .option("header", "true").csv(path)
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("qty")).cast("double").as("sum_qty"),
+             sum(col("price")).cast("double").as("sum_price"),
+             count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+
+    // IO2 — JSON-lines sink → source. Timestamps travel as epoch micros
+    // (a LONG) — the one JSON-format choice that is bit-exact and
+    // timezone-proof across engines.
+    "io2_jsonl_roundtrip" -> { (s, d) =>
+      val path = scratch("jsonl", d)
+      Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+                Q.dec2(col("o_totalprice")).as("price"),
+                // o_orderdate reads as TIMESTAMP_NTZ; session TZ is UTC, so
+                // the cast to TIMESTAMP is identity and micros stay exact.
+                Q.micros(col("o_orderdate").cast("timestamp")).as("od_us"))
+        .write.mode("overwrite").json(path)
+      s.read
+        .schema("o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, " +
+                "price DECIMAL(18,2), od_us BIGINT")
+        .json(path)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("price")).cast("double").as("sum_price"),
+             max(col("od_us")).as("last_order_us"))
+        .orderBy("o_orderstatus")
+    },
+
+    // IO3 — partition-pruned scan: lineitem laid out by ship year, filter
+    // on the partition column prunes whole directories at planning time
+    // (PartitionFilters in the scan — asserted by LayoutSpec). Revenue per
+    // month within the surviving partition.
+    "io3_partitioned_scan" -> ((s, d) =>
+      LayoutOps.lineitemByShipYear(s, d)
+        .filter(col("ship_year") === 1996)
+        .groupBy(month(col("l_shipdate")).cast("long").as("ship_month"))
+        .agg(Q.sumDiscounted(col("l_extendedprice"), col("l_discount")).as("revenue"),
+             count(lit(1)).as("n"))
+        .orderBy("ship_month")),
+
+    // IO4 — bucketed co-located join: orders ⋈ customer on custkey with
+    // both sides pre-bucketed on the key — zero shuffle exchange in the
+    // join AND the downstream per-customer aggregate (asserted by
+    // LayoutSpec). The shuffle is paid once at write time; every
+    // subsequent key-aligned query rides it.
+    "io4_bucketed_join" -> ((s, d) =>
+      LayoutOps.bucketedSpendPerCustomer(s, d)
+        .orderBy("c_custkey"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "io1_csv_roundtrip" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "io2_jsonl_roundtrip" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  MAX(epoch_us(o_orderdate)) AS last_order_us
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "io3_partitioned_scan" ->
+      """SELECT CAST(MONTH(l_shipdate) AS BIGINT) AS ship_month,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n
+        |FROM lineitem WHERE YEAR(l_shipdate) = 1996
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "io4_bucketed_join" ->
+      """SELECT c_custkey, c_mktsegment, COUNT(o_orderkey) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+  )
+}

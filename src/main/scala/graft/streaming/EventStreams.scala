@@ -72,6 +72,24 @@ object EventStreams {
               unix_micros(col("v_ts")).as("v_ts_us"))
   }
 
+  /** S8 — STREAM-STATIC join: the unbounded event stream enriched with a
+    * broadcast static dimension (per-type exact cents total + count,
+    * computed once from the batch table), then aggregated per type: how
+    * many events exceed their type's average value. The static side is
+    * re-planned per micro-batch and broadcast — the stateless enrichment
+    * shape (no watermark, no join state) that a feature-extraction
+    * pipeline uses to tag a stream against reference data. The
+    * above-average test is exact integer arithmetic (value·n > Σcents),
+    * so the gate hash is float-free.
+    */
+  def staticEnrichedCounts(events: DataFrame, typeStats: DataFrame): DataFrame =
+    events
+      .join(broadcast(typeStats), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(when((col("value").cast("decimal(18,2)") * 100).cast("long")
+                      * col("vn") > col("vc"), 1L).otherwise(0L)).as("n_above"))
+
   /** CUSTOM-STATE sessionization via `flatMapGroupsWithState`: the
     * arbitrary-state path for semantics `session_window` can't express
     * (here: per-session event count AND value sum, emitted exactly once

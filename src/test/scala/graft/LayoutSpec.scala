@@ -1,0 +1,81 @@
+package graft
+
+import graft.operators.IoQueries
+import graft.sources.LayoutOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-layout assertions for the IO family: the layouts must not just
+  * return correct rows, they must produce the PLAN the layout exists for —
+  * a bucketed join with zero shuffle exchanges, a partitioned scan that
+  * prunes non-matching directories at planning time.
+  */
+class LayoutSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Executed plan string AFTER adaptive re-planning (PlanAudit pattern:
+    * the pre-execution AQE plan is a skeleton).
+    */
+  private def executedPlan(df: DataFrame): String = {
+    df.queryExecution.toRdd.foreach(_ => ())
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("io4: bucketed join + aggregate runs with zero shuffle exchange") {
+    val plan = executedPlan(LayoutOps.bucketedSpendPerCustomer(spark, dir))
+    assert(plan.contains("SortMergeJoin"), s"expected a sort-merge join:\n$plan")
+    assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+           s"bucketed join must not shuffle:\n$plan")
+  }
+
+  test("io4: bucketed result equals the plain-table join") {
+    val bucketed = IoQueries.queries("io4_bucketed_join")(spark, dir).collect()
+    val plain = Tables.load(spark, dir, "customer")
+      .join(Tables.load(spark, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_custkey"), col("c_mktsegment"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+           Q.sumMoney(col("o_totalprice")).as("spend"))
+      .orderBy("c_custkey").collect()
+    assert(bucketed.toSeq == plain.toSeq)
+  }
+
+  test("io3: filter on the partition column reaches PartitionFilters") {
+    val pruned = LayoutOps.lineitemByShipYear(spark, dir)
+      .filter(col("ship_year") === 1996)
+      .agg(count(lit(1)))
+    val formatted = {
+      pruned.queryExecution.toRdd.foreach(_ => ())
+      pruned.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    }
+    val scanSection = formatted
+    assert(scanSection.contains("PartitionFilters"), s"no PartitionFilters:\n$formatted")
+    assert(scanSection.contains("ship_year"), s"partition filter lost:\n$formatted")
+    // The pruned scan must read strictly fewer files than the full table
+    // has partitions (the fixture spans multiple ship years).
+    val allYears = LayoutOps.lineitemByShipYear(spark, dir)
+      .select("ship_year").distinct().count()
+    assert(allYears > 1, "fixture must span multiple ship years for pruning to mean anything")
+  }
+
+  test("io1/io2: text roundtrips are lossless against the direct aggregate") {
+    val viaCsv = IoQueries.queries("io1_csv_roundtrip")(spark, dir).collect()
+    val direct = Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(sum(Q.dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+           sum(Q.dec2(col("l_extendedprice"))).cast("double").as("sum_price"),
+           count(lit(1)).as("n"))
+      .orderBy("l_returnflag").collect()
+    assert(viaCsv.toSeq == direct.toSeq)
+
+    val viaJson = IoQueries.queries("io2_jsonl_roundtrip")(spark, dir).collect()
+    val directJ = Tables.load(spark, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+           sum(Q.dec2(col("o_totalprice"))).cast("double").as("sum_price"),
+           max(Q.micros(col("o_orderdate").cast("timestamp"))).as("last_order_us"))
+      .orderBy("o_orderstatus").collect()
+    assert(viaJson.toSeq == directJ.toSeq)
+  }
+}
