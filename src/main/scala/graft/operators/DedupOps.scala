@@ -89,47 +89,80 @@ object DedupOps {
   /** Exact-Jaccard verification. With `allCandidates=true` computes all
     * pairs via the shared-shingle join (exact mode — quadratic in hot
     * shingles); otherwise verifies each candidate pair with one codegen'd
-    * `array_intersect` over the two docs' sorted code sets — cost strictly
-    * linear in |candidates|·avg-set-size, immune to hot-shingle fan-out
-    * (the round-1 caveat, VERDICT.md "What's wrong" 5).
+    * two-pointer intersect over the two docs' sorted code sets — cost
+    * strictly linear in |candidates|·avg-set-size, immune to hot-shingle
+    * fan-out (the round-1 caveat, VERDICT.md "What's wrong" 5).
+    *
+    * Candidate-path plan shape (profiled at sf0.1, 3.4M candidates on the
+    * high-background fixture): exactly TWO joins attach the per-doc code
+    * sets; set sizes ride along as `size(codes)` (an array-header read, no
+    * separate sizes aggregate or join), so the threshold filter collapses
+    * the candidate stream immediately after the intersect. The per-doc
+    * sets frame is broadcast when its measured bytes fit the session's
+    * broadcast threshold — Catalyst can't see through `collect_list` to
+    * make that call itself (stats on an aggregate are unknown), so the
+    * operator supplies them; past the threshold (the 100 TB regime, where
+    * |docs| rows of arrays are cluster-wide data) it degrades to the
+    * shuffled join with explicit repartitioning on the candidate stream —
+    * the verification rows are tiny in bytes but CPU-heavy, and AQE would
+    * coalesce them into one task otherwise.
     */
   def verifyJaccard(sh: DataFrame, allCandidates: Boolean,
                     candidates: DataFrame, threshold: Double): DataFrame = {
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
-    val inter =
-      if (allCandidates) {
-        val a = sh.select(col("doc_id").as("da"), col("code"))
-        val b = sh.select(col("doc_id").as("db"), col("code"))
-        a.join(b, "code").filter(col("da") < col("db"))
-          .groupBy(col("da"), col("db")).agg(count(lit(1)).as("c"))
-      } else {
-        val nParts = sh.sparkSession.sparkContext.defaultParallelism
-        val sets = sh.groupBy(col("doc_id"))
-          .agg(sort_array(collect_list(col("code"))).as("codes"))
-        // Explicit repartition: the verification rows are tiny in bytes but
-        // CPU-heavy; AQE would coalesce them into one task otherwise.
-        // SortedIntersectCount replaces size(array_intersect): two-pointer
-        // merge over the sorted code sets, no per-row hash set or
-        // materialized result array (>10x at millions of candidates).
-        candidates.repartition(nParts, col("da"))
-          .join(sets.select(col("doc_id").as("da"), col("codes").as("ca")), "da")
-          .join(sets.select(col("doc_id").as("db"), col("codes").as("cb")), "db")
-          .select(col("da"), col("db"),
-            graft.functions.SortedIntersectCount(col("ca"), col("cb")).as("c"))
-          .filter(col("c") > 0)
-      }
-    inter
-      .join(sizes.select(col("doc_id").as("da"), col("nsh").as("na")), "da")
-      .join(sizes.select(col("doc_id").as("db"), col("nsh").as("nb")), "db")
+    if (allCandidates) {
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+      val a = sh.select(col("doc_id").as("da"), col("code"))
+      val b = sh.select(col("doc_id").as("db"), col("code"))
+      return a.join(b, "code").filter(col("da") < col("db"))
+        .groupBy(col("da"), col("db")).agg(count(lit(1)).as("c"))
+        .join(sizes.select(col("doc_id").as("da"), col("nsh").as("na")), "da")
+        .join(sizes.select(col("doc_id").as("db"), col("nsh").as("nb")), "db")
+        .filter(col("c").cast("double") / (col("na") + col("nb") - col("c"))
+                  >= threshold)
+        .select(col("da"), col("db"),
+          graft.Q.round4Ratio(col("c"), col("na") + col("nb") - col("c"))
+            .as("jaccard"))
+    }
+    val spark = sh.sparkSession
+    val nParts = spark.sparkContext.defaultParallelism
+    val sets = sh.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("code"))).as("codes"))
+      .persist()
+    // Measured (not estimated) broadcast decision: 8 bytes per code plus
+    // per-row overhead, against the session's broadcast threshold. The two
+    // driver actions run over the now-cached sets frame.
+    val bcThreshold = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+      .map(_.replace("b", "").replace("B", "")).flatMap(s => scala.util.Try(s.toLong).toOption)
+      .getOrElse(10L * 1024 * 1024)
+    val Array(nDocs, nCodes) = sets
+      .agg(count(lit(1)), sum(size(col("codes")))).head().toSeq
+      .map(v => Option(v).fold(0L)(_.toString.toLong)).toArray
+    val estBytes = nCodes * 8L + nDocs * 32L
+    val attach: DataFrame => DataFrame =
+      if (estBytes <= bcThreshold) broadcast else identity
+    val result = candidates.repartition(nParts, col("da"))
+      .join(attach(sets.select(col("doc_id").as("da"), col("codes").as("ca"))), "da")
+      .join(attach(sets.select(col("doc_id").as("db"), col("codes").as("cb"))), "db")
+      .select(col("da"), col("db"),
+        graft.functions.SortedIntersectCount(col("ca"), col("cb")).as("c"),
+        size(col("ca")).cast("long").as("na"),
+        size(col("cb")).cast("long").as("nb"))
       // Threshold compares the unrounded double ratio — both engines divide
       // the same exact integers, so the comparison is engine-agnostic; the
       // REPORTED value is integer half-up rounding (tie-free cross-engine,
       // graft.Q rationale) rather than round() of a double.
-      .filter(col("c").cast("double") / (col("na") + col("nb") - col("c"))
-                >= threshold)
+      .filter(col("c") > 0 &&
+        col("c").cast("double") / (col("na") + col("nb") - col("c"))
+          >= threshold)
       .select(col("da"), col("db"),
         graft.Q.round4Ratio(col("c"), col("na") + col("nb") - col("c"))
           .as("jaccard"))
+    // Materialize the (tiny) verified output eagerly so the cached sets
+    // frame can be dropped here and no downstream consumer re-executes the
+    // candidate join ([[materialize]] rationale).
+    val out = materialize(result)
+    sets.unpersist(blocking = false)
+    out
   }
 
   /** MinHash+LSH near-dup pairs, exact-verified — same output contract as
@@ -145,9 +178,10 @@ object DedupOps {
     val sh = shingles(docs, n).persist()
     try {
       val cand = lshCandidates(minhashSignatures(sh, numHashes))
-      materialize(
-        verifyJaccard(sh, allCandidates = false, candidates = cand,
-                      threshold = threshold))
+      // verifyJaccard materializes its (tiny) output eagerly — nothing
+      // downstream re-executes the candidate join.
+      verifyJaccard(sh, allCandidates = false, candidates = cand,
+                    threshold = threshold)
     } finally sh.unpersist(blocking = false)
   }
 
@@ -223,9 +257,8 @@ object DedupOps {
       .filter(col("nb") * M >= col("na") * T && col("na") * M >= col("nb") * T)
       .filter(cap * (M + T) >= (col("na") + col("nb")) * T)
       .select("da", "db").distinct()
-    try materialize(
-      verifyJaccard(sh, allCandidates = false, candidates = cand,
-                    threshold = threshold))
+    try verifyJaccard(sh, allCandidates = false, candidates = cand,
+                      threshold = threshold)
     finally {
       prefix.unpersist(blocking = false)
       sh.unpersist(blocking = false)
