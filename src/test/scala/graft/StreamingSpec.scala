@@ -131,6 +131,23 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((1L, 11L), (1L, 14L)))
   }
 
+  test("stream-static join enriches each micro-batch against the static dim") {
+    // Static dim: per-type exact cents total + count (what s8 derives from
+    // the batch table). Type 'a': values 1.0, 3.0 → vc=400 cents, vn=2;
+    // events above the type average (2.0) → only the 3.0 one.
+    val stats = Seq(("a", 400L, 2L), ("b", 500L, 1L))
+      .toDF("event_type", "vc", "vn")
+    val batches = Seq(
+      Seq(Ev(1, t(10), 1, "a", 1.0), Ev(2, t(20), 1, "a", 3.0)),
+      Seq(Ev(3, t(30), 2, "b", 5.0))) // 5.0 == its own average, not above
+    val got = runStream(batches,
+        ev => EventStreams.staticEnrichedCounts(ev, stats),
+        "complete", "t_ss_join")
+      .orderBy("event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("a", 2L, 1L), ("b", 1L, 0L)))
+  }
+
   test("session windows merge events within the gap and split across it") {
     val evs = Seq(
       Ev(1, t(0), 1, "a", 0), Ev(2, t(10), 1, "a", 0), Ev(3, t(25), 1, "a", 0),
