@@ -72,6 +72,24 @@ object IoQueries {
         .orderBy("o_orderstatus")
     },
 
+    // IO5 — ORC sink → source: the other columnar format Spark ships a
+    // vectorized reader for. Self-describing like parquet, so the read
+    // needs no explicit schema — the roundtrip proves type fidelity
+    // (LONG/STRING/INT/DECIMAL) through the ORC writer/reader pair.
+    "io5_orc_roundtrip" -> { (s, d) =>
+      val path = scratch("orc", d)
+      Tables.load(s, d, "part")
+        .select(col("p_partkey"), col("p_brand"), col("p_size"),
+                Q.dec2(col("p_retailprice")).as("price"))
+        .write.mode("overwrite").orc(path)
+      s.read.orc(path)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("price")).cast("double").as("sum_price"),
+             max(col("p_size")).cast("long").as("max_size"))
+        .orderBy("p_brand")
+    },
+
     // IO3 — partition-pruned scan: lineitem laid out by ship year, filter
     // on the partition column prunes whole directories at planning time
     // (PartitionFilters in the scan — asserted by LayoutSpec). Revenue per
@@ -106,6 +124,11 @@ object IoQueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         |  MAX(epoch_us(o_orderdate)) AS last_order_us
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "io5_orc_roundtrip" ->
+      """SELECT p_brand, COUNT(*) AS n,
+        |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  CAST(MAX(p_size) AS BIGINT) AS max_size
+        |FROM part GROUP BY 1 ORDER BY 1""".stripMargin,
     "io3_partitioned_scan" ->
       """SELECT CAST(MONTH(l_shipdate) AS BIGINT) AS ship_month,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
