@@ -104,6 +104,29 @@ object MatrixOps {
                bs: Int = 128): DataFrame =
     if (denseHint) blockMatmul(a, b, bs) else matmul(a, b)
 
+  /** y = A·x for a COO vector x = (j, v): one equi-join on the contraction
+    * index + hash aggregate on i — the building block of iterative methods
+    * (power iteration, PageRank). Output is keyed (j, v) so it feeds the
+    * next step directly. Per step the shuffle volume is O(|A| + |x|) on the
+    * join plus one row per output component — at 100 TB, A partitioned by j
+    * keeps every iteration's join co-located with the (re-broadcastable or
+    * co-partitioned) vector.
+    */
+  def matvec(a: DataFrame, x: DataFrame): DataFrame = {
+    val l = a.select(col("i"), col("j"), col("v").as("va"))
+    val r = x.select(col("j").as("jr"), col("v").as("xv"))
+    l.join(r, col("j") === col("jr"))
+      .groupBy(col("i"))
+      .agg(sum(col("va") * col("xv")).as("v"))
+      .select(col("i").as("j"), col("v"))
+  }
+
+  /** k steps of power iteration y = Aᵏ·x₀ (exact LONG arithmetic — the
+    * caller bounds k so values fit; the 50×50 fixture holds to k=4).
+    */
+  def powerIteration(a: DataFrame, x0: DataFrame, k: Int): DataFrame =
+    (1 to k).foldLeft(x0)((x, _) => matvec(a, x))
+
   /** Transpose: (i,j,v) → (j,i,v). Pure projection — no shuffle. */
   def transpose(a: DataFrame): DataFrame =
     a.select(col("j").as("i"), col("i").as("j"), col("v"))

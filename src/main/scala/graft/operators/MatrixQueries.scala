@@ -55,6 +55,15 @@ object MatrixQueries {
     "m8_matpow" -> ((s, _) =>
       MatrixOps.multiply(A50(s), A50(s)).orderBy("i", "k")),
 
+    // M10 — matrix-vector multiply iterated: y = A³·1, the power-iteration
+    // shape (PageRank's inner loop). Exact LONG arithmetic throughout.
+    "m10_matvec_power" -> { (s, _) =>
+      val x0 = s.range(50).select(col("id").as("j"), lit(1L).as("v"))
+      MatrixOps.powerIteration(A50(s), x0, 3)
+        .select(col("j").as("i"), col("v"))
+        .orderBy("i")
+    },
+
     // M9 — ingest the reference's ACTUAL storage format (dense JSON
     // array-of-arrays, orchestrator/main.py:58-64) and multiply; the
     // fixtures hold exactly the formula matrices, so the result shares
@@ -96,6 +105,13 @@ object MatrixQueries {
       s"""WITH ${duckA("a", 50, 50)}
          |SELECT (SELECT CAST(SUM(v) AS BIGINT) FROM a WHERE i = j) AS trace,
          |       (SELECT CAST(SUM(v*v) AS BIGINT) FROM a) AS sumsq""".stripMargin,
+    "m10_matvec_power" ->
+      s"""WITH ${duckA("a", 50, 50)},
+         |x0 AS (SELECT range AS j, CAST(1 AS BIGINT) AS v FROM range(50)),
+         |x1 AS (SELECT a.i AS j, SUM(a.v * x0.v) AS v FROM a JOIN x0 ON a.j = x0.j GROUP BY 1),
+         |x2 AS (SELECT a.i AS j, SUM(a.v * x1.v) AS v FROM a JOIN x1 ON a.j = x1.j GROUP BY 1),
+         |x3 AS (SELECT a.i AS j, SUM(a.v * x2.v) AS v FROM a JOIN x2 ON a.j = x2.j GROUP BY 1)
+         |SELECT j AS i, CAST(v AS BIGINT) AS v FROM x3 ORDER BY 1""".stripMargin,
     "m8_matpow" ->
       s"""WITH ${duckA("a", 50, 50)}, ${duckA("a2", 50, 50)}
          |SELECT a.i AS i, a2.j AS k, CAST(SUM(a.v * a2.v) AS BIGINT) AS v

@@ -41,6 +41,22 @@ object SqlQueries {
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
         |ORDER BY flag, status""".stripMargin)),
 
+    // The engine's custom native expression surface through the PARSER:
+    // vec_dot is an extension-injected codegen'd Catalyst expression
+    // (GraftExtensions.injectFunction), and this statement is the gate
+    // proving the SQL registration resolves and computes. Self-dot is the
+    // squared L2 norm, accumulated in index order — bit-identical to the
+    // oracle's list_reduce fold, so MAX/MIN over exact doubles is
+    // hash-stable with no rounding needed.
+    "sql4_vec_norms" -> ((s, d) => Engine.sql(s, d,
+      """SELECT label,
+        |  MAX(vec_dot(CAST(embedding AS ARRAY<DOUBLE>),
+        |              CAST(embedding AS ARRAY<DOUBLE>))) AS max_sq_norm,
+        |  MIN(vec_dot(CAST(embedding AS ARRAY<DOUBLE>),
+        |              CAST(embedding AS ARRAY<DOUBLE>))) AS min_sq_norm,
+        |  COUNT(*) AS n
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin)),
+
     // Hourly event counts through the SQL-registered events view — pins
     // the view's microsecond TimestampType (a regression here surfaces as
     // a ws hash mismatch, the exact failure mode the r3 ADVICE flagged).
@@ -68,6 +84,19 @@ object SqlQueries {
     "sql2_events_hourly" ->
       """SELECT epoch_us(date_trunc('hour', ts)) AS ws, event_type,
         |  COUNT(*) AS n
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Same index-order fold as VecDot's generated loop: ((0+v1)+v2)+... —
+    // identical IEEE sequence, so the doubles match bit-for-bit.
+    "sql4_vec_norms" ->
+      """WITH e AS (SELECT label,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS a
+        |           FROM embeddings)
+        |SELECT label,
+        |  MAX(list_reduce(list_prepend(0.0, list_transform(a, v -> v * v)),
+        |                  (acc, v) -> acc + v)) AS max_sq_norm,
+        |  MIN(list_reduce(list_prepend(0.0, list_transform(a, v -> v * v)),
+        |                  (acc, v) -> acc + v)) AS min_sq_norm,
+        |  COUNT(*) AS n
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -104,6 +104,21 @@ class MatrixSpec extends SparkSpec {
     assert(scaled == toMap(a).view.mapValues(_ * 4L).toMap)
   }
 
+  test("matvec and power iteration match the local oracle") {
+    val a = matA(10, 10)
+    val entries = toMap(a)
+    val x0 = spark.range(10).select(col("id").as("j"), lit(1L).as("v"))
+    def localStep(x: Map[Long, Long]): Map[Long, Long] =
+      (0L until 10).map { i =>
+        i -> (0L until 10).map(j => entries.getOrElse((i, j), 0L) * x.getOrElse(j, 0L)).sum
+      }.toMap
+    val expected = Iterator.iterate((0L until 10).map(_ -> 1L).toMap)(localStep)
+      .drop(3).next()
+    val got = MatrixOps.powerIteration(a, x0, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
   test("dense JSON write → read roundtrips the reference interchange format") {
     val a = matA(7, 5)
     val dir = java.nio.file.Files.createTempDirectory("graft-mio")
