@@ -94,6 +94,45 @@ object MicroDedup {
     })
     sets.unpersist()
 
+    // Variant: k=2 generalized prefix filter — a candidate pair must share
+    // TWO codes within prefixes extended by one (r ≤ n − ⌈t·n⌉ + 2), and
+    // the join key is the ordered code PAIR. Validity: if |A∩B| ≥ α, the
+    // m-th globally-rarest common element has ≥ α−m common elements after
+    // it, so it sits within position n − α + m on both sides — the two
+    // rarest common codes land in both extended prefixes. Pair keys square
+    // the key space, collapsing the df² blowup of hot single codes.
+    //
+    // MEASURED NEGATIVE (sf0.1, 2026-08-13): candidates 3.42M → 2.24M
+    // (−35%) but generation 1.9 s → 3.2 s (the C(p,2) per-doc pair
+    // explosion outweighs the rarer keys) — on this corpus the ~30-word
+    // vocabulary makes even rare-code PAIRS common. Kept as the recorded
+    // experiment so the next round doesn't re-derive it; the production
+    // path stays k=1 prefix + PPJoin bounds.
+    val prefix2 = ranked.filter(col("r") <= col("nsh") - ceilTn + 2)
+      .select(col("doc_id"), col("code"), col("r"), col("nsh")).persist()
+    prefix2.count()
+    val pa = prefix2.select(col("doc_id").as("dd"), col("code").as("c1"),
+                            col("r").as("r1"))
+    val pb = prefix2.select(col("doc_id").as("dd"), col("code").as("c2"),
+                            col("r").as("r2"), col("nsh"))
+    val docPairs = pa.join(pb, Seq("dd")).filter(col("r1") < col("r2"))
+      .select(col("dd"), col("c1"), col("c2"), col("r2"), col("nsh"))
+    val qa = docPairs.select(col("dd").as("da"), col("c1"), col("c2"),
+                             col("r2").as("ra"), col("nsh").as("na"))
+    val qb = docPairs.select(col("dd").as("db"), col("c1"), col("c2"),
+                             col("r2").as("rb"), col("nsh").as("nb"))
+    val cap2 = lit(2L) + least(col("na") - col("ra"), col("nb") - col("rb"))
+    val cand2 = qa.join(qb, Seq("c1", "c2"))
+      .filter(col("da") < col("db"))
+      .filter(col("nb") * M >= col("na") * T && col("na") * M >= col("nb") * T)
+      .filter(cap2 * (M + T) >= (col("na") + col("nb")) * T)
+      .select("da", "db").distinct().persist()
+    time("candidates k=2")(println(s"  candidates2=${cand2.count()}"))
+    time("verify k=2")(sink(
+      DedupOps.verifyJaccard(sh, allCandidates = false, candidates = cand2,
+                             threshold = 0.8)))
+    cand2.unpersist(); prefix2.unpersist()
+
     time("l2 full (gated path)")(sink(
       DedupOps.clusteredJaccardPairs(docs, 0.8)))
 
