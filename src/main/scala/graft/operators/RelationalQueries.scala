@@ -119,6 +119,25 @@ object RelationalQueries {
         .orderBy("o_custkey", "order_day", "o_orderkey")
     },
 
+    // R21 — RANGE window frame (value-based, vs R10's ROWS frame): per
+    // customer, spend over orders within the preceding 30 DAYS of each
+    // order — peers by value distance, not row position. Day numbers are
+    // exact integers (epoch days), sums exact decimal.
+    "r21_range_frame" -> { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("day_num"))
+        .rangeBetween(-30, Window.currentRow)
+      t(s, d, "orders")
+        .withColumn("day_num",
+          datediff(col("o_orderdate").cast("date"),
+                   lit("1970-01-01").cast("date")).cast("long"))
+        .withColumn("spend_30d",
+          sum(Q.dec2(col("o_totalprice"))).over(w).cast(DoubleType))
+        .select(col("o_custkey"), col("o_orderkey"), col("day_num"),
+                col("spend_30d"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
     // R11 — global top-10 (TakeOrderedAndProject — no full sort at scale).
     "r11_top10" -> ((s, d) =>
       t(s, d, "orders")
@@ -321,6 +340,14 @@ object RelationalQueries {
         |  LAG(o_totalprice, 1) OVER (PARTITION BY o_custkey
         |                             ORDER BY o_orderdate ASC, o_orderkey ASC) AS prev_price
         |FROM orders ORDER BY o_custkey, order_day, o_orderkey""".stripMargin,
+    "r21_range_frame" ->
+      """SELECT o_custkey, o_orderkey,
+        |  DATEDIFF('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day_num,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |       OVER (PARTITION BY o_custkey
+        |             ORDER BY DATEDIFF('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_30d
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
     "r11_top10" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
