@@ -167,6 +167,46 @@ object EventQueries {
         .orderBy("event_type")
     },
 
+    // J2 — MapType surface: props parsed as MAP<STRING,LONG> (schema-free,
+    // unlike J1's fixed struct), exploded to (key, value) rows, aggregated
+    // per (event_type, key). The dynamic-keys path a pipeline takes when
+    // event payloads carry open-ended attributes.
+    "j2_props_map" -> { (s, d) =>
+      val m = from_json(col("props"),
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.LongType))
+      ev(s, d)
+        .select(col("event_type"), explode(m).as(Seq("key", "v")))
+        .groupBy(col("event_type"), col("key"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"))
+        .orderBy("event_type", "key")
+    },
+
+    // S9 — time-series gap-fill: per event_type, the FULL hourly spine
+    // from its first to its last event (integer epoch-micros sequence —
+    // calendar densification without timestamp-type hazards), zero-filled
+    // where no events landed. The resample/regularize step every
+    // training-telemetry pipeline runs before windowed features; spine
+    // generation is O(hours) per type, exploded in parallel, never a
+    // driver loop.
+    "s9_gapfill" -> { (s, d) =>
+      val hourUs = 3600000000L
+      val wsOf = (Q.micros(col("ts")) - pmod(Q.micros(col("ts")), lit(hourUs)))
+      val e = ev(s, d).select(col("event_type"), wsOf.as("ws"), col("value"))
+      val spine = e.groupBy(col("event_type"))
+        .agg(min(col("ws")).as("w0"), max(col("ws")).as("w1"))
+        .select(col("event_type"),
+                explode(sequence(col("w0"), col("w1"), lit(hourUs))).as("ws"))
+      val counts = e.groupBy(col("event_type"), col("ws"))
+        .agg(count(lit(1)).as("n"), Q.sumMoney(col("value")).as("sv"))
+      spine.join(counts, Seq("event_type", "ws"), "left")
+        .select(col("event_type"), col("ws"),
+                coalesce(col("n"), lit(0L)).as("n"),
+                coalesce(col("sv"), lit(0.0)).as("sum_value"))
+        .orderBy("event_type", "ws")
+    },
+
     // S5 (batch form) — dedup by event_id keeping the MIN-ts row (total
     // tie-break ts, user_id, event_type), so the semantics are deterministic
     // even under real duplicates — matching the oracle's DISTINCT ON
@@ -272,6 +312,36 @@ object EventQueries {
          |  ${Q.duckRound4Ratio("SUM(k)", "COUNT(k)")} AS avg_k,
          |  COUNT(*) AS n
          |FROM kv GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Keys genuinely come from the JSON (json_keys + path re-extraction),
+    // not a hardcoded 'k' — the gate checks the dynamic-key machinery.
+    "j2_props_map" ->
+      """WITH kv AS (
+        |  SELECT event_type, key,
+        |    CAST(json_extract_string(props, '$."' || key || '"') AS BIGINT) AS v
+        |  FROM (SELECT event_type, props, unnest(json_keys(props)) AS key
+        |        FROM events))
+        |SELECT event_type, key, COUNT(*) AS n, SUM(v) AS sum_v
+        |FROM kv GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "s9_gapfill" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    epoch_us(ts) - epoch_us(ts) % 3600000000 AS ws, value
+        |  FROM events),
+        |spine AS (
+        |  SELECT event_type,
+        |    unnest(range(MIN(ws), MAX(ws) + 1, 3600000000)) AS ws
+        |  FROM e GROUP BY event_type),
+        |counts AS (
+        |  SELECT event_type, ws, COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv
+        |  FROM e GROUP BY 1, 2)
+        |SELECT s.event_type, s.ws,
+        |  COALESCE(c.n, 0) AS n, COALESCE(c.sv, 0.0) AS sum_value
+        |FROM spine s LEFT JOIN counts c
+        |  ON s.event_type = c.event_type AND s.ws = c.ws
+        |ORDER BY 1, 2""".stripMargin,
+
     "s1_tumbling_window" -> s1Oracle,
     "s4_streaming_final_state" -> s1Oracle,
     "s2_sliding_stream" -> slidingOracle,

@@ -192,6 +192,31 @@ object LlmQueries {
       Multimodal.resize(Multimodal.withPayload(docs(s, d)))
         .toDF.orderBy("doc_id")),
 
+    // L14 — SimHash near-dup pairs at Hamming ≤ 1: pigeonhole-banded
+    // candidates (two 8-bit blocks; a ≤1-distance pair must agree exactly
+    // on one block) + exact bit_count verification — the scale companion
+    // to L7's fingerprints, completing hash → pairs for the SimHash
+    // dedup path as MinHash/prefix-filter already do for Jaccard.
+    "l14_simhash_pairs" -> ((s, d) =>
+      DedupOps.simhashPairs(docs(s, d), maxHamming = 1).orderBy("da", "db")),
+
+    // L15 — deterministic dataset split assignment: every doc lands in
+    // train/val/test (8/1/1) via a pure multiplicative hash of doc_id —
+    // reproducible across runs, engines, and cluster sizes, which is the
+    // property a training pipeline needs from its holdout split (seeded
+    // RNG sampling is neither engine- nor partitioning-stable). One
+    // narrow codegen pass + hash aggregate.
+    "l15_split_assign" -> { (s, d) =>
+      val h = (col("doc_id") % 1000003L) * 2654435761L % 1000L
+      docs(s, d)
+        .withColumn("split",
+          when(h < 800, "train").when(h < 900, "val").otherwise("test"))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+             Q.avgInt4(col("n_chars")).as("avg_chars"))
+        .orderBy("lang", "split")
+    },
+
     // L11 — rolling-hash document fingerprint (min 8-char-window
     // polynomial hash): winnowing-style content fingerprint, one narrow
     // codegen'd pass.
@@ -399,6 +424,47 @@ object LlmQueries {
          |FROM e x JOIN e y ON x.vec_id < y.vec_id
          |WHERE ${duckCosine("x.a", "y.a")} >= 0.9
          |ORDER BY va, vb""".stripMargin,
+
+    // Reuses the l7 fingerprint CTE, then the exact quadratic pair join
+    // the banded Spark plan must reproduce. xor/bit_count on BIGINT are
+    // exact in both engines (fingerprints are 16-bit non-negative).
+    "l14_simhash_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split(text, ' '), t -> t != '')) AS tok
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(range(1, length(tok) + 1),
+        |                       i -> CAST(ascii(substring(tok, i, 1)) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 1000003) AS h
+        |  FROM toks),
+        |votes AS (
+        |  SELECT doc_id, b.range AS b,
+        |    SUM(CASE WHEN (h // (1 << b.range)) % 2 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM h, range(16) b GROUP BY 1, 2),
+        |fp AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN s > 0 THEN CAST(1 << b AS BIGINT) ELSE 0 END) AS BIGINT) AS f
+        |  FROM votes GROUP BY 1)
+        |SELECT a.doc_id AS da, b.doc_id AS db,
+        |       CAST(bit_count(xor(a.f, b.f)) AS BIGINT) AS hamming
+        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.f, b.f)) <= 1
+        |ORDER BY da, db""".stripMargin,
+
+    "l15_split_assign" ->
+      s"""WITH assigned AS (
+         |  SELECT lang, n_chars,
+         |    CASE WHEN (doc_id % 1000003) * 2654435761 % 1000 < 800 THEN 'train'
+         |         WHEN (doc_id % 1000003) * 2654435761 % 1000 < 900 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM documents)
+         |SELECT lang, split, COUNT(*) AS n_docs,
+         |  ${Q.duckRound4Ratio("SUM(n_chars)", "COUNT(n_chars)")} AS avg_chars
+         |FROM assigned GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "l11_fingerprint" ->
       """SELECT doc_id,

@@ -66,6 +66,20 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("simhashPairs equals the quadratic formulation for every distance") {
+    val fp = DedupOps.simhash(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    for (d <- 0 to 3) {
+      val expected = (for {
+        (ia, fa) <- fp; (ib, fb) <- fp if ia < ib
+        h = java.lang.Long.bitCount(fa ^ fb) if h <= d
+      } yield (ia, ib, h.toLong)).toSet
+      val banded = DedupOps.simhashPairs(corpus, d).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(banded == expected, s"maxHamming $d")
+    }
+  }
+
   test("charShingles: empty below n, distinct, correct content") {
     val sh = Seq((1L, "abab"), (2L, "ab")).toDF("doc_id", "text")
       .select($"doc_id", TextFunctions.charShingles("text", 3).as("sh"))
