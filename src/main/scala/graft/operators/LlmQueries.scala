@@ -200,6 +200,17 @@ object LlmQueries {
     "l14_simhash_pairs" -> ((s, d) =>
       DedupOps.simhashPairs(docs(s, d), maxHamming = 1).orderBy("da", "db")),
 
+    // L16 — dedup clusters: connected components over the SimHash ≤1 pair
+    // graph (L14's edges). Pairs alone don't dedup a corpus — the keep/drop
+    // decision needs the transitive closure, one canonical doc (min
+    // doc_id) per component. Pointer-jumping label propagation over the
+    // CONTRACTED
+    // fingerprint-class graph — iterative state one row per distinct
+    // fingerprint, O(log diameter) rounds of one join + agg each.
+    "l16_dedup_components" -> ((s, d) =>
+      DedupOps.simhashComponents(docs(s, d), maxHamming = 1)
+        .orderBy("doc_id")),
+
     // L15 — deterministic dataset split assignment: every doc lands in
     // train/val/test (8/1/1) via a pure multiplicative hash of doc_id —
     // reproducible across runs, engines, and cluster sizes, which is the
@@ -454,6 +465,41 @@ object LlmQueries {
         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.f, b.f)) <= 1
         |ORDER BY da, db""".stripMargin,
+
+    // l14's fingerprint CTE → edge list → transitive closure via a
+    // recursive CTE (UNION dedups, so it terminates), min reachable id
+    // per node = component id. Singletons fall out of the base case.
+    "l16_dedup_components" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split(text, ' '), t -> t != '')) AS tok
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(range(1, length(tok) + 1),
+        |                       i -> CAST(ascii(substring(tok, i, 1)) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 1000003) AS h
+        |  FROM toks),
+        |votes AS (
+        |  SELECT doc_id, b.range AS b,
+        |    SUM(CASE WHEN (h // (1 << b.range)) % 2 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM h, range(16) b GROUP BY 1, 2),
+        |fp AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN s > 0 THEN CAST(1 << b AS BIGINT) ELSE 0 END) AS BIGINT) AS f
+        |  FROM votes GROUP BY 1),
+        |edges AS (
+        |  SELECT a.doc_id AS x, b.doc_id AS y
+        |  FROM fp a JOIN fp b ON a.doc_id != b.doc_id
+        |  WHERE bit_count(xor(a.f, b.f)) <= 1),
+        |reach(x, comp) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.x, r.comp FROM edges e JOIN reach r ON e.y = r.x)
+        |SELECT x AS doc_id, MIN(comp) AS component_id
+        |FROM reach GROUP BY x ORDER BY doc_id""".stripMargin,
 
     "l15_split_assign" ->
       s"""WITH assigned AS (

@@ -80,6 +80,33 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents: chains, singletons, and multi-round convergence") {
+    import spark.implicits._
+    // Ten nodes in one chain (diameter 9 — forces pointer jumping past
+    // round 1), a 2-cycle-ish triangle, and two singletons.
+    val nodes = (0L to 14L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val pairs = (
+      (0L until 9L).map(i => (i, i + 1)) ++          // chain 0..9
+      Seq((10L, 11L), (11L, 12L), (10L, 12L))        // triangle 10..12
+    ).toDF("da", "db")
+    val out = DedupOps.connectedComponents(nodes, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val expected = ((0L to 9L).map(_ -> 0L) ++ (10L to 12L).map(_ -> 10L) ++
+      Seq(13L -> 13L, 14L -> 14L)).toMap
+    assert(out == expected)
+  }
+
+  test("simhashComponents equals CC over the full simhashPairs graph") {
+    for (d <- Seq(0, 1, 3)) {
+      val direct = DedupOps.connectedComponents(
+          corpus, DedupOps.simhashPairs(corpus, d)).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val contracted = DedupOps.simhashComponents(corpus, d).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(contracted == direct, s"maxHamming $d")
+    }
+  }
+
   test("charShingles: empty below n, distinct, correct content") {
     val sh = Seq((1L, "abab"), (2L, "ab")).toDF("doc_id", "text")
       .select($"doc_id", TextFunctions.charShingles("text", 3).as("sh"))
