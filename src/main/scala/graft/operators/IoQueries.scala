@@ -90,6 +90,26 @@ object IoQueries {
         .orderBy("p_brand")
     },
 
+    // IO6 — zstd parquet roundtrip: at 100 TB the at-rest codec is a
+    // first-order cost lever (zstd trades ~10% write CPU for ~25-40%
+    // smaller files than snappy — less IO, fewer scan tasks); the gate
+    // proves the non-default codec path is byte-faithful through the
+    // writer/reader pair. Timestamps travel natively (micros INT64).
+    "io6_zstd_roundtrip" -> { (s, d) =>
+      val path = scratch("zstd", d)
+      Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+                Q.dec2(col("o_totalprice")).as("price"),
+                col("o_orderdate").cast("timestamp").as("od"))
+        .write.mode("overwrite").option("compression", "zstd").parquet(path)
+      s.read.parquet(path)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("price")).cast("double").as("sum_price"),
+             Q.micros(min(col("od"))).as("first_order_us"))
+        .orderBy("o_orderpriority")
+    },
+
     // IO3 — partition-pruned scan: lineitem laid out by ship year, filter
     // on the partition column prunes whole directories at planning time
     // (PartitionFilters in the scan — asserted by LayoutSpec). Revenue per
@@ -129,6 +149,11 @@ object IoQueries {
         |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         |  CAST(MAX(p_size) AS BIGINT) AS max_size
         |FROM part GROUP BY 1 ORDER BY 1""".stripMargin,
+    "io6_zstd_roundtrip" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  MIN(epoch_us(o_orderdate)) AS first_order_us
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "io3_partitioned_scan" ->
       """SELECT CAST(MONTH(l_shipdate) AS BIGINT) AS ship_month,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,

@@ -228,6 +228,49 @@ object LlmQueries {
         .orderBy("lang", "split")
     },
 
+    // L17 — distinctive terms per lang: TF-IDF-shaped scoring with
+    // integer-exact inverse document frequency (score = tf · ⌊N·10^6/df⌋;
+    // log-free so both engines compute bit-identical longs — for fixed tf
+    // the ordering equals log-idf's, log being monotone). Two hash
+    // aggregates + a broadcast scalar + top-5 window: the shape of every
+    // "what characterizes this slice" corpus diagnostic.
+    "l17_tfidf" -> { (s, d) =>
+      val dd = docs(s, d)
+      val n = dd.select(countDistinct(col("doc_id")).as("nn"))
+      val tf = dd.select(col("lang"), col("doc_id"),
+          explode(TextFunctions.tokens("text")).as("token"))
+        .groupBy(col("lang"), col("token"))
+        .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df_lang"))
+      val df = tf.groupBy(col("token"))
+        .agg(sum(col("df_lang")).as("df"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("score").desc, col("token").asc)
+      tf.join(df, "token").crossJoin(broadcast(n))
+        .withColumn("score", col("tf") * Q.intDiv(col("nn") * 1000000L, col("df")))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select(col("lang"), col("rnk"), col("token"), col("tf"), col("score"))
+        .orderBy("lang", "rnk")
+    },
+
+    // L18 — array higher-order functions over the embedding column
+    // (filter/transform/aggregate — codegen'd builtins, the no-UDF way to
+    // compute per-vector features): positive-component count and max
+    // absolute component, aggregated per label. Comparisons and abs are
+    // exact on float-origin doubles, so no rounding convention is needed
+    // beyond the avg ratio.
+    "l18_array_hof" -> { (s, d) =>
+      val e = emb(s, d).select(col("label"),
+        expr("size(filter(embedding, x -> x > 0))").cast("long").as("npos"),
+        expr("array_max(transform(embedding, x -> abs(cast(x as double))))")
+          .as("maxabs"))
+      e.groupBy(col("label"))
+        .agg(Q.avgInt4(col("npos")).as("avg_pos"),
+             max(col("maxabs")).as("max_abs"),
+             count(lit(1)).as("n"))
+        .orderBy("label")
+    },
+
     // L11 — rolling-hash document fingerprint (min 8-char-window
     // polynomial hash): winnowing-style content fingerprint, one narrow
     // codegen'd pass.
@@ -511,6 +554,41 @@ object LlmQueries {
          |SELECT lang, split, COUNT(*) AS n_docs,
          |  ${Q.duckRound4Ratio("SUM(n_chars)", "COUNT(n_chars)")} AS avg_chars
          |FROM assigned GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // tf and df are exact integers; the score uses floor division on
+    // positives, where DuckDB's `//` agrees with Spark's DECIMAL intDiv.
+    "l17_tfidf" ->
+      """WITH toks AS (
+        |  SELECT lang, doc_id,
+        |    unnest(list_filter(string_split(text, ' '), t -> t != '')) AS token
+        |  FROM documents),
+        |tf AS (
+        |  SELECT lang, token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS dfl
+        |  FROM toks GROUP BY 1, 2),
+        |df AS (SELECT token, SUM(dfl) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(DISTINCT doc_id) AS nn FROM documents),
+        |scored AS (
+        |  SELECT lang, token, tf,
+        |    tf * ((nn * 1000000) // df) AS score
+        |  FROM tf JOIN df USING (token) CROSS JOIN n),
+        |r AS (
+        |  SELECT lang, token, tf, score,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |                       ORDER BY score DESC, token ASC) AS rnk
+        |  FROM scored)
+        |SELECT lang, rnk, token, tf, score FROM r WHERE rnk <= 5
+        |ORDER BY lang, rnk""".stripMargin,
+
+    "l18_array_hof" ->
+      s"""WITH e AS (
+         |  SELECT label,
+         |    CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS npos,
+         |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+         |  FROM embeddings)
+         |SELECT label,
+         |  ${Q.duckRound4Ratio("SUM(npos)", "COUNT(npos)")} AS avg_pos,
+         |  MAX(maxabs) AS max_abs, COUNT(*) AS n
+         |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "l11_fingerprint" ->
       """SELECT doc_id,

@@ -138,6 +138,22 @@ object RelationalQueries {
         .orderBy("o_custkey", "o_orderkey")
     },
 
+    // R22 — distribution window functions: ntile (equi-height bucketing),
+    // percent_rank, cume_dist per customer over a TOTAL order (price,
+    // orderkey) — ranks are deterministic, and both engines compute the
+    // rank ratios as single IEEE divisions of exact integers, so the
+    // doubles are bit-identical.
+    "r22_ntile" -> { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+                ntile(4).over(w).cast("long").as("quartile"),
+                percent_rank().over(w).as("pr"),
+                cume_dist().over(w).as("cd"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
     // R11 — global top-10 (TakeOrderedAndProject — no full sort at scale).
     "r11_top10" -> ((s, d) =>
       t(s, d, "orders")
@@ -348,6 +364,15 @@ object RelationalQueries {
         |             ORDER BY DATEDIFF('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
         |             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_30d
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "r22_ntile" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+        |  PERCENT_RANK() OVER w AS pr,
+        |  CUME_DIST() OVER w AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_totalprice DESC, o_orderkey ASC)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "r11_top10" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
