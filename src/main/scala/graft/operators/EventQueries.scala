@@ -207,6 +207,24 @@ object EventQueries {
         .orderBy("event_type", "ws")
     },
 
+    // S10 — foreachBatch ETL: the stream lands in a parquet table via the
+    // foreachBatch sink (each micro-batch written with the BATCH writer —
+    // the production API for sinks streaming has no native writer for),
+    // then the landed table is aggregated per type. Gates that the
+    // batch-writer path loses nothing: counts, exact cents sums, and
+    // micro timestamps must survive stream → parquet → scan.
+    "s10_foreachbatch" -> { (s, d) =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-s10-").toString + "/landed"
+      val projected = evStream(s, d).select(
+        col("event_type"), col("value"), Q.micros(col("ts")).as("ts_us"))
+      EventStreams.foreachBatchEtl(s, projected, out)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), Q.sumMoney(col("value")).as("sum_value"),
+             max(col("ts_us")).as("last_us"))
+        .orderBy("event_type")
+    },
+
     // S5 (batch form) — dedup by event_id keeping the MIN-ts row (total
     // tie-break ts, user_id, event_type), so the semantics are deterministic
     // even under real duplicates — matching the oracle's DISTINCT ON
@@ -341,6 +359,12 @@ object EventQueries {
         |FROM spine s LEFT JOIN counts c
         |  ON s.event_type = c.event_type AND s.ws = c.ws
         |ORDER BY 1, 2""".stripMargin,
+
+    "s10_foreachbatch" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  MAX(epoch_us(ts)) AS last_us
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "s1_tumbling_window" -> s1Oracle,
     "s4_streaming_final_state" -> s1Oracle,
