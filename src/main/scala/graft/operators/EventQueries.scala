@@ -207,6 +207,49 @@ object EventQueries {
         .orderBy("event_type", "ws")
     },
 
+    // S11 — custom-state sessionization through the oracle gate: the
+    // flatMapGroupsWithState builder ([[EventStreams.customSessions]])
+    // run as a true streaming query. Timeout-emitted operators need the
+    // watermark to pass every session's deadline before end-of-stream, so
+    // the source directory carries an END-OF-STREAM SENTINEL event (far
+    // future, user_id −1) — the close-of-books pattern a production
+    // bounded replay uses. The sentinel's own session never times out
+    // (nothing follows it) and is filtered; every REAL session must be
+    // emitted exactly once, equal to the batch gaps-and-islands oracle.
+    "s11_custom_sessions" -> { (s, d) =>
+      import s.implicits._
+      val raw = Tables.loadEventsRaw(s, d)
+      // Scratch stream dir: the fixture file + a one-row sentinel parquet
+      // (same raw schema, ts far beyond max + watermark + gap).
+      val dir = java.nio.file.Files.createTempDirectory("graft-s11-")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$d/events.parquet"),
+        dir.resolve("events.parquet"))
+      val sentinelNanos = 1735689600L * 1000000000L // 2025-01-01 UTC
+      // Written OUTSIDE the stream dir (the file source lists it).
+      val tmpOut = java.nio.file.Files
+        .createTempDirectory("graft-s11-tmp-").toString + "/out"
+      s.createDataFrame(
+          java.util.List.of(org.apache.spark.sql.Row(
+            -1L, sentinelNanos, -1L, "sentinel", 0.0, "{}")),
+          raw.schema)
+        .coalesce(1).write.parquet(tmpOut)
+      val part = new java.io.File(tmpOut).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath, dir.resolve("zz_sentinel.parquet"))
+      val stream = Tables.withEventTime(
+        s.readStream.schema(raw.schema)
+          .option("pathGlobFilter", "*.parquet")
+          .parquet(dir.toString))
+      val typed = stream
+        .select(col("user_id"), col("ts"), col("value"))
+        .as[EventStreams.UserEvent]
+      val sess = EventStreams.customSessions(typed).toDF
+      EventStreams.runToCompletion(s, sess, "s11_sink", mode = "append")
+        .filter(col("user_id") >= 0)
+        .orderBy("user_id", "session_start")
+    },
+
     // S10 — foreachBatch ETL: the stream lands in a parquet table via the
     // foreachBatch sink (each micro-batch written with the BATCH writer —
     // the production API for sinks streaming has no native writer for),
@@ -359,6 +402,25 @@ object EventQueries {
         |FROM spine s LEFT JOIN counts c
         |  ON s.event_type = c.event_type AND s.ws = c.ws
         |ORDER BY 1, 2""".stripMargin,
+
+    // The custom-state operator must reproduce the batch gaps-and-islands
+    // sessionization exactly — counts and exact cents sums per session.
+    "s11_custom_sessions" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000
+        |         OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), numbered AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked)
+        |SELECT user_id, epoch_us(MIN(ts)) AS session_start,
+        |       epoch_us(MAX(ts)) AS session_last, COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS sum_cents
+        |FROM numbered GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
 
     "s10_foreachbatch" ->
       """SELECT event_type, COUNT(*) AS n,

@@ -97,6 +97,10 @@ object EventStreams {
     * fixed-size [[EventStreams.SessionAgg]]; timeouts are event-time based
     * so late data within the watermark still extends its session.
     */
+  /** Exact cents of a 2-decimal money double (rint absorbs the binary
+    * representation error of e.g. 12.34 · 100 = 1233.999...). */
+  private def cents(v: Double): Long = math.rint(v * 100).toLong
+
   def customSessions(events: org.apache.spark.sql.Dataset[EventStreams.UserEvent],
                      gapMinutes: Int = 30)
       : org.apache.spark.sql.Dataset[EventStreams.UserSession] = {
@@ -114,7 +118,7 @@ object EventStreams {
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator(UserSession(uid, s.start, s.last, s.n, s.sum))
+            Iterator(UserSession(uid, s.start, s.last, s.n, s.cents))
           } else {
             // Batch rows arrive unordered; fold in event-time order.
             // True microseconds via Instant (Timestamp.getTime is millis —
@@ -132,12 +136,12 @@ object EventStreams {
               cur match {
                 case Some(s) if t - s.last < gapUs =>
                   cur = Some(SessionAgg(s.start, math.max(s.last, t),
-                                        s.n + 1, s.sum + e.value))
+                                        s.n + 1, s.cents + cents(e.value)))
                 case Some(s) =>
-                  out += UserSession(uid, s.start, s.last, s.n, s.sum)
-                  cur = Some(SessionAgg(t, t, 1L, e.value))
+                  out += UserSession(uid, s.start, s.last, s.n, s.cents)
+                  cur = Some(SessionAgg(t, t, 1L, cents(e.value)))
                 case None =>
-                  cur = Some(SessionAgg(t, t, 1L, e.value))
+                  cur = Some(SessionAgg(t, t, 1L, cents(e.value)))
               }
             }
             cur.foreach { s =>
@@ -233,9 +237,12 @@ object EventStreams {
 
   /** Typed input row for [[customSessions]]. */
   case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
-  /** Fixed-size per-user custom state (epoch micros). */
-  case class SessionAgg(start: Long, last: Long, n: Long, sum: Double)
+  /** Fixed-size per-user custom state (epoch micros; exact cents sum —
+    * order-free LONG arithmetic, so the emitted value is deterministic
+    * under any micro-batch arrival order AND replayable by an integer
+    * SQL oracle, unlike a Double fold). */
+  case class SessionAgg(start: Long, last: Long, n: Long, cents: Long)
   /** One closed session, emitted exactly once. */
   case class UserSession(user_id: Long, session_start: Long,
-                         session_last: Long, n_events: Long, sum_value: Double)
+                         session_last: Long, n_events: Long, sum_cents: Long)
 }

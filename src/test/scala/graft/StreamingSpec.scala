@@ -100,13 +100,13 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
     } finally q.stop()
     val got = spark.table("t_custom_sess").as[UserSession].collect()
-      .map(s => (s.user_id, s.n_events, s.sum_value)).sorted
-    // Session A closed by timeout: 2 events, 4.0 total. User 2's first
-    // session (min 300) closes when the watermark reaches min 300+30 (the
-    // min-600 batch sets watermark to min 480... not yet) — so exactly
-    // user 1's session is emitted.
-    assert(got.contains((1L, 2L, 4.0)))
-    assert(got.forall(_._1 == 1L) || got.contains((2L, 1L, 9.0)))
+      .map(s => (s.user_id, s.n_events, s.sum_cents)).sorted
+    // Session A closed by timeout: 2 events, 400 cents total. User 2's
+    // first session (min 300) closes when the watermark reaches min
+    // 300+30 (the min-600 batch sets watermark to min 480... not yet) —
+    // so exactly user 1's session is emitted.
+    assert(got.contains((1L, 2L, 400L)))
+    assert(got.forall(_._1 == 1L) || got.contains((2L, 1L, 900L)))
   }
 
   test("stream-stream interval join matches views in the preceding hour only") {
