@@ -57,6 +57,26 @@ object SqlQueries {
         |  COUNT(*) AS n
         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin)),
 
+    // Genuinely CORRELATED scalar subqueries through the parser —
+    // complements r17, whose DataFrame form is pre-decorrelated by hand.
+    // Here Catalyst's RewriteCorrelatedScalarSubquery must do the
+    // decorrelation (subquery → aggregate + join) itself; the gate proves
+    // the rewritten plan computes the same answer DuckDB's decorrelator
+    // does. "Above the customer's average" is tested by CROSS-
+    // MULTIPLICATION (price·n > Σ), all DECIMAL-exact — a decimal
+    // DIVISION here would round at engine-specific scales and make the
+    // filter boundary non-portable.
+    "sql5_correlated" -> ((s, d) => Engine.sql(s, d,
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+        |FROM orders o
+        |WHERE CAST(o_totalprice AS DECIMAL(18,2)) *
+        |      (SELECT COUNT(*) FROM orders i
+        |       WHERE i.o_custkey = o.o_custkey) >
+        |      (SELECT SUM(CAST(i.o_totalprice AS DECIMAL(18,2)))
+        |       FROM orders i WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin)),
+
     // Hourly event counts through the SQL-registered events view — pins
     // the view's microsecond TimestampType (a regression here surfaces as
     // a ws hash mismatch, the exact failure mode the r3 ADVICE flagged).
@@ -81,6 +101,16 @@ object SqlQueries {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
         |ORDER BY flag, status""".stripMargin,
+    "sql5_correlated" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+        |FROM orders o
+        |WHERE CAST(o_totalprice AS DECIMAL(18,2)) *
+        |      (SELECT COUNT(*) FROM orders i
+        |       WHERE i.o_custkey = o.o_custkey) >
+        |      (SELECT SUM(CAST(i.o_totalprice AS DECIMAL(18,2)))
+        |       FROM orders i WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
     "sql2_events_hourly" ->
       """SELECT epoch_us(date_trunc('hour', ts)) AS ws, event_type,
         |  COUNT(*) AS n
