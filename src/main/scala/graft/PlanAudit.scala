@@ -19,7 +19,9 @@ object PlanAudit {
       "m1_matmul", "m4_matmul_sparse", "l2_near_dup", "l5_vector_topk",
       "l6_label_centroids", "l10_cosine_dup", "l11_fingerprint",
       "s6_interval_join", "s7_asof_join", "r20_pivot", "l12_bpe_tokens",
-      "io3_partitioned_scan", "io4_bucketed_join")
+      "io3_partitioned_scan", "io4_bucketed_join",
+      "r22_ntile", "s9_gapfill", "j2_props_map", "l14_simhash_pairs",
+      "l17_tfidf", "l18_array_hof", "sql5_correlated")
     val spark = Engine.configure(
       SparkSession.builder().master("local[8]").appName("graft-audit")
         .config("spark.sql.shuffle.partitions", 8)
