@@ -77,6 +77,22 @@ object SqlQueries {
         |       FROM orders i WHERE i.o_custkey = o.o_custkey)
         |ORDER BY o_orderkey""".stripMargin)),
 
+    // LATERAL correlated subquery with LIMIT — each customer's single
+    // most expensive order. The per-group top-1 expressed as the parser's
+    // lateral-join shape (complementing r9's window formulation);
+    // Catalyst plans the correlated limit via DomainJoin rewrites. Total
+    // tie-break (price desc, orderkey asc) keeps the picked row unique.
+    "sql6_lateral" -> ((s, d) => Engine.sql(s, d,
+      """SELECT c.c_custkey, t.o_orderkey, t.price
+        |FROM customer c
+        |JOIN LATERAL (
+        |  SELECT o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+        |  FROM orders
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 1) t
+        |ORDER BY c_custkey""".stripMargin)),
+
     // Hourly event counts through the SQL-registered events view — pins
     // the view's microsecond TimestampType (a regression here surfaces as
     // a ws hash mismatch, the exact failure mode the r3 ADVICE flagged).
@@ -111,6 +127,17 @@ object SqlQueries {
         |      (SELECT SUM(CAST(i.o_totalprice AS DECIMAL(18,2)))
         |       FROM orders i WHERE i.o_custkey = o.o_custkey)
         |ORDER BY o_orderkey""".stripMargin,
+    // DuckDB's grammar wants ON TRUE for JOIN LATERAL; same semantics.
+    "sql6_lateral" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.price
+        |FROM customer c
+        |JOIN LATERAL (
+        |  SELECT o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+        |  FROM orders
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 1) t ON TRUE
+        |ORDER BY c_custkey""".stripMargin,
     "sql2_events_hourly" ->
       """SELECT epoch_us(date_trunc('hour', ts)) AS ws, event_type,
         |  COUNT(*) AS n
