@@ -127,6 +127,42 @@ object MatrixOps {
   def powerIteration(a: DataFrame, x0: DataFrame, k: Int): DataFrame =
     (1 to k).foldLeft(x0)((x, _) => matvec(a, x))
 
+  /** Damped PageRank over the NONZERO STRUCTURE of A (edge i→j where
+    * A[i,j] ≠ 0), in exact fixed-point integer arithmetic so the result
+    * is hash-deterministic and SQL-replayable — doubles would make the
+    * per-node sums order-dependent across engines:
+    * ranks scale by 10^6; each edge contributes ⌊r_src / outdeg_src⌋;
+    * the damping step is r'_i = 150000 + ⌊85·Σ contribs / 100⌋
+    * (d = 0.85, teleport 0.15, dangling mass dropped — documented
+    * semantics of THIS operator, not a claim about full PageRank).
+    *
+    * Execution shape per iteration: one equi-join of the rank vector to
+    * the edge list on src + one hash aggregate on dst — exactly the
+    * matvec shuffle pattern ([[powerIteration]]); at scale the edge list
+    * stays hash-partitioned by src across iterations, and the rank vector
+    * (one LONG per node) is the only moving state.
+    */
+  def pageRank(a: DataFrame, nNodes: Long, iters: Int): DataFrame = {
+    val spark = a.sparkSession
+    val edges = a.filter(col("v") =!= 0)
+      .select(col("i").as("src"), col("j").as("dst"))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val nodes = spark.range(nNodes).select(col("id").as("node"))
+    var r = nodes.select(col("node"), lit(1000000L).as("r"))
+    (1 to iters).foreach { _ =>
+      val contrib = edges.join(deg, "src")
+        .join(r.select(col("node").as("src"), col("r")), "src")
+        .select(col("dst"), graft.Q.intDiv(col("r"), col("d")).as("c"))
+      val in = contrib.groupBy(col("dst")).agg(sum(col("c")).as("s"))
+        .select(col("dst").as("node"), col("s"))
+      r = nodes.join(in, Seq("node"), "left")
+        .select(col("node"),
+          (lit(150000L) +
+           graft.Q.intDiv(coalesce(col("s"), lit(0L)) * 85L, lit(100L))).as("r"))
+    }
+    r
+  }
+
   /** Transpose: (i,j,v) → (j,i,v). Pure projection — no shuffle. */
   def transpose(a: DataFrame): DataFrame =
     a.select(col("j").as("i"), col("i").as("j"), col("v"))

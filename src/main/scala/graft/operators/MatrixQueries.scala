@@ -64,6 +64,15 @@ object MatrixQueries {
         .orderBy("i")
     },
 
+    // M11 — damped PageRank over matA's nonzero structure: the iterative
+    // damped-linear-algebra workload (teleport + normalize) on top of
+    // M10's raw power iteration, in exact fixed-point integers so the
+    // 3-iteration result hashes identically on both engines.
+    "m11_pagerank" -> ((s, _) =>
+      MatrixOps.pageRank(A50(s), 50, 3)
+        .select(col("node").as("i"), col("r"))
+        .orderBy("i")),
+
     // M9 — ingest the reference's ACTUAL storage format (dense JSON
     // array-of-arrays, orchestrator/main.py:58-64) and multiply; the
     // fixtures hold exactly the formula matrices, so the result shares
@@ -112,6 +121,29 @@ object MatrixQueries {
          |x2 AS (SELECT a.i AS j, SUM(a.v * x1.v) AS v FROM a JOIN x1 ON a.j = x1.j GROUP BY 1),
          |x3 AS (SELECT a.i AS j, SUM(a.v * x2.v) AS v FROM a JOIN x2 ON a.j = x2.j GROUP BY 1)
          |SELECT j AS i, CAST(v AS BIGINT) AS v FROM x3 ORDER BY 1""".stripMargin,
+    // Three unrolled fixed-point iterations; `//` on positive BIGINTs is
+    // the same floor division Q.intDiv computes.
+    "m11_pagerank" -> {
+      def step(prev: String, cur: String): String =
+        s"""$cur AS (
+           |  SELECT n.node,
+           |    CAST(150000 + (85 * COALESCE(SUM($prev.r // deg.d), 0)) // 100
+           |         AS BIGINT) AS r
+           |  FROM nodes n
+           |  LEFT JOIN edges e ON e.dst = n.node
+           |  LEFT JOIN deg ON deg.src = e.src
+           |  LEFT JOIN $prev ON $prev.node = e.src
+           |  GROUP BY 1)""".stripMargin
+      s"""WITH ${duckA("a", 50, 50)},
+         |edges AS (SELECT i AS src, j AS dst FROM a WHERE v != 0),
+         |deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY 1),
+         |nodes AS (SELECT range AS node FROM range(50)),
+         |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+         |${step("r0", "r1")},
+         |${step("r1", "r2")},
+         |${step("r2", "r3")}
+         |SELECT node AS i, r FROM r3 ORDER BY 1""".stripMargin
+    },
     "m8_matpow" ->
       s"""WITH ${duckA("a", 50, 50)}, ${duckA("a2", 50, 50)}
          |SELECT a.i AS i, a2.j AS k, CAST(SUM(a.v * a2.v) AS BIGINT) AS v

@@ -119,6 +119,25 @@ class MatrixSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("pageRank matches an independent integer reference (incl. dangling)") {
+    import spark.implicits._
+    // 0→1, 0→2, 1→0, 2 dangling, 3 isolated (no in/out edges).
+    val adj = Seq((0L, 1L, 1L), (0L, 2L, 1L), (1L, 0L, 1L), (2L, 2L, 0L))
+      .toDF("i", "j", "v")
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 0L))
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    def step(r: Map[Long, Long]): Map[Long, Long] =
+      (0L until 4L).map { n =>
+        val in = edges.collect { case (s, d) if d == n => r(s) / deg(s) }.sum
+        n -> (150000L + 85L * in / 100L)
+      }.toMap
+    val expected = Iterator.iterate((0L until 4L).map(_ -> 1000000L).toMap)(step)
+      .drop(3).next()
+    val got = MatrixOps.pageRank(adj, 4, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
   test("dense JSON write → read roundtrips the reference interchange format") {
     val a = matA(7, 5)
     val dir = java.nio.file.Files.createTempDirectory("graft-mio")
