@@ -166,6 +166,15 @@ object RelationalQueries {
     "r12_intersect" -> ((s, d) => setOps(s, d, "intersect")),
     "r12_except" -> ((s, d) => setOps(s, d, "except")),
 
+    // R12b/R12c — MULTISET set operations (ALL semantics): per-element
+    // multiplicity is max(0, n_a − n_b) for EXCEPT ALL and min(n_a, n_b)
+    // for INTERSECT ALL — the bag algebra DISTINCT-flavored r12 can't
+    // express (e.g. "how many 1995 shipments of this part exceed its 1996
+    // shipments"). Duplicate output rows are identical, so the sorted
+    // hash is order-stable.
+    "r12b_except_all" -> ((s, d) => setOpsAll(s, d, "except_all")),
+    "r12c_intersect_all" -> ((s, d) => setOpsAll(s, d, "intersect_all")),
+
     // R13 — ROLLUP with grouping flags (NULL group keys coalesced to 'ALL'
     // so null-ordering never enters the hash).
     "r13_rollup" -> ((s, d) =>
@@ -279,6 +288,18 @@ object RelationalQueries {
         .orderBy("l_returnflag", "l_linestatus"))
   )
 
+  private def setOpsAll(s: SparkSession, d: String, op: String): DataFrame = {
+    def keys(y: Int) = t(s, d, "lineitem")
+      .filter(year(col("l_shipdate")) === y).select("l_partkey")
+    val a = keys(1995)
+    val b = keys(1996)
+    val r = op match {
+      case "except_all"    => a.exceptAll(b)
+      case "intersect_all" => a.intersectAll(b)
+    }
+    r.orderBy("l_partkey")
+  }
+
   private def setOps(s: SparkSession, d: String, op: String): DataFrame = {
     val auto = t(s, d, "customer").filter(col("c_mktsegment") === "AUTOMOBILE")
       .select("c_custkey")
@@ -376,6 +397,16 @@ object RelationalQueries {
     "r11_top10" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "r12b_except_all" ->
+      """SELECT l_partkey FROM lineitem WHERE YEAR(l_shipdate) = 1995
+        |EXCEPT ALL
+        |SELECT l_partkey FROM lineitem WHERE YEAR(l_shipdate) = 1996
+        |ORDER BY l_partkey""".stripMargin,
+    "r12c_intersect_all" ->
+      """SELECT l_partkey FROM lineitem WHERE YEAR(l_shipdate) = 1995
+        |INTERSECT ALL
+        |SELECT l_partkey FROM lineitem WHERE YEAR(l_shipdate) = 1996
+        |ORDER BY l_partkey""".stripMargin,
     "r12_union" ->
       """SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
         |UNION
