@@ -183,6 +183,22 @@ object EventQueries {
         .orderBy("event_type", "key")
     },
 
+    // J3 — VARIANT semi-structured path: props ingested ONCE as the
+    // binary VARIANT type (parse_json), then typed extraction
+    // (variant_get) — Spark 4's answer to repeated get_json_object
+    // string re-parsing: parse once, extract many times from the binary
+    // encoding. Same aggregate and oracle as J1's string path, proving
+    // the two ingestion routes agree value-for-value.
+    "j3_variant" -> { (s, d) =>
+      ev(s, d)
+        .withColumn("pv", parse_json(col("props")))
+        .select(col("event_type"),
+                variant_get(col("pv"), "$.k", "long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(Q.avgInt4(col("k")).as("avg_k"), count(lit(1)).as("n"))
+        .orderBy("event_type")
+    },
+
     // S9 — time-series gap-fill: per event_type, the FULL hourly spine
     // from its first to its last event (integer epoch-micros sequence —
     // calendar densification without timestamp-type hazards), zero-filled
@@ -364,6 +380,15 @@ object EventQueries {
     // Sign-aware JSON extraction (json_extract_string keeps '-'), non-null
     // count as the AVG divisor (matching Spark's count(k)), and the
     // tie-free integer ROUND formula every other ratio oracle uses.
+    "j3_variant" ->
+      s"""WITH kv AS (
+         |  SELECT event_type,
+         |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+         |  FROM events)
+         |SELECT event_type,
+         |  ${Q.duckRound4Ratio("SUM(k)", "COUNT(k)")} AS avg_k,
+         |  COUNT(*) AS n
+         |FROM kv GROUP BY 1 ORDER BY 1""".stripMargin,
     "j1_json_extract" ->
       s"""WITH kv AS (
          |  SELECT event_type,
