@@ -403,10 +403,17 @@ object DedupOps {
     val comp = connectedComponents(
       classes.select(col("cid").as("doc_id")), cp)
       .select(col("doc_id").as("cid"), col("component_id"))
+    // LEFT join from the full doc set: a document with no tokens has no
+    // fingerprint (simhash emits nothing for it) but is still part of the
+    // corpus — it forms its own singleton component, exactly as the
+    // transitive-closure oracle (whose base case is every document) says.
     val out = materialize(
-      fp.join(classes, "simhash16")
-        .join(comp, "cid")
-        .select(col("doc_id"), col("component_id")))
+      docs.select(col("doc_id"))
+        .join(fp.join(classes, "simhash16").join(comp, "cid")
+                .select(col("doc_id"), col("component_id")),
+              Seq("doc_id"), "left")
+        .select(col("doc_id"),
+                coalesce(col("component_id"), col("doc_id")).as("component_id")))
     classes.unpersist(blocking = false)
     fp.unpersist(blocking = false)
     out

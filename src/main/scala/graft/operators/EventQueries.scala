@@ -236,34 +236,45 @@ object EventQueries {
       import s.implicits._
       val raw = Tables.loadEventsRaw(s, d)
       // Scratch stream dir: the fixture file + a one-row sentinel parquet
-      // (same raw schema, ts far beyond max + watermark + gap).
+      // (same raw schema). The sentinel ts is DERIVED from the data —
+      // max(ts) + watermark (2h) + gap (30min) + a day of margin — so the
+      // flush guarantee survives any fixture regeneration.
       val dir = java.nio.file.Files.createTempDirectory("graft-s11-")
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$d/events.parquet"),
-        dir.resolve("events.parquet"))
-      val sentinelNanos = 1735689600L * 1000000000L // 2025-01-01 UTC
-      // Written OUTSIDE the stream dir (the file source lists it).
-      val tmpOut = java.nio.file.Files
-        .createTempDirectory("graft-s11-tmp-").toString + "/out"
-      s.createDataFrame(
-          java.util.List.of(org.apache.spark.sql.Row(
-            -1L, sentinelNanos, -1L, "sentinel", 0.0, "{}")),
-          raw.schema)
-        .coalesce(1).write.parquet(tmpOut)
-      val part = new java.io.File(tmpOut).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      java.nio.file.Files.copy(part.toPath, dir.resolve("zz_sentinel.parquet"))
-      val stream = Tables.withEventTime(
-        s.readStream.schema(raw.schema)
-          .option("pathGlobFilter", "*.parquet")
-          .parquet(dir.toString))
-      val typed = stream
-        .select(col("user_id"), col("ts"), col("value"))
-        .as[EventStreams.UserEvent]
-      val sess = EventStreams.customSessions(typed).toDF
-      EventStreams.runToCompletion(s, sess, "s11_sink", mode = "append")
-        .filter(col("user_id") >= 0)
-        .orderBy("user_id", "session_start")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-s11-tmp-")
+      try {
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$d/events.parquet"),
+          dir.resolve("events.parquet"))
+        val maxNanos = raw.agg(max(col("ts"))).head().getLong(0)
+        val sentinelNanos =
+          maxNanos + (2L * 3600 + 30L * 60 + 24L * 3600) * 1000000000L
+        // Written OUTSIDE the stream dir (the file source lists it).
+        val tmpOut = tmp.resolve("out").toString
+        s.createDataFrame(
+            java.util.List.of(org.apache.spark.sql.Row(
+              -1L, sentinelNanos, -1L, "sentinel", 0.0, "{}")),
+            raw.schema)
+          .coalesce(1).write.parquet(tmpOut)
+        val part = new java.io.File(tmpOut).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.copy(part.toPath, dir.resolve("zz_sentinel.parquet"))
+        val stream = Tables.withEventTime(
+          s.readStream.schema(raw.schema)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(dir.toString))
+        val typed = stream
+          .select(col("user_id"), col("ts"), col("value"))
+          .as[EventStreams.UserEvent]
+        val sess = EventStreams.customSessions(typed).toDF
+        EventStreams.runToCompletion(s, sess, "s11_sink", mode = "append")
+          .filter(col("user_id") >= 0)
+          .orderBy("user_id", "session_start")
+      } finally {
+        // The memory sink holds the result; the scratch inputs are dead
+        // weight after the run (3 bench passes x fixture copy otherwise).
+        EventStreams.deleteRecursively(tmp)
+        EventStreams.deleteRecursively(dir)
+      }
     },
 
     // S10 — foreachBatch ETL: the stream lands in a parquet table via the
@@ -273,15 +284,20 @@ object EventQueries {
     // batch-writer path loses nothing: counts, exact cents sums, and
     // micro timestamps must survive stream → parquet → scan.
     "s10_foreachbatch" -> { (s, d) =>
-      val out = java.nio.file.Files
-        .createTempDirectory("graft-s10-").toString + "/landed"
-      val projected = evStream(s, d).select(
-        col("event_type"), col("value"), Q.micros(col("ts")).as("ts_us"))
-      EventStreams.foreachBatchEtl(s, projected, out)
-        .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"), Q.sumMoney(col("value")).as("sum_value"),
-             max(col("ts_us")).as("last_us"))
-        .orderBy("event_type")
+      val scratch = java.nio.file.Files.createTempDirectory("graft-s10-")
+      try {
+        val projected = evStream(s, d).select(
+          col("event_type"), col("value"), Q.micros(col("ts")).as("ts_us"))
+        // Eagerly materialize the (tiny) aggregate so the landed parquet
+        // can be deleted before returning — the landed table is the lazy
+        // source of the result otherwise.
+        EventStreams.foreachBatchEtl(s, projected, s"$scratch/landed")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), Q.sumMoney(col("value")).as("sum_value"),
+               max(col("ts_us")).as("last_us"))
+          .orderBy("event_type")
+          .localCheckpoint(true)
+      } finally EventStreams.deleteRecursively(scratch)
     },
 
     // S5 (batch form) — dedup by event_id keeping the MIN-ts row (total
@@ -398,12 +414,14 @@ object EventQueries {
          |  ${Q.duckRound4Ratio("SUM(k)", "COUNT(k)")} AS avg_k,
          |  COUNT(*) AS n
          |FROM kv GROUP BY 1 ORDER BY 1""".stripMargin,
-    // Keys genuinely come from the JSON (json_keys + path re-extraction),
-    // not a hardcoded 'k' — the gate checks the dynamic-key machinery.
+    // Keys genuinely come from the JSON (json_keys + bare-key
+    // re-extraction — injection-proof for keys containing quotes or
+    // backslashes, unlike '$."<key>"' string concatenation), not a
+    // hardcoded 'k' — the gate checks the dynamic-key machinery.
     "j2_props_map" ->
       """WITH kv AS (
         |  SELECT event_type, key,
-        |    CAST(json_extract_string(props, '$."' || key || '"') AS BIGINT) AS v
+        |    CAST(json_extract_string(props, key) AS BIGINT) AS v
         |  FROM (SELECT event_type, props, unnest(json_keys(props)) AS key
         |        FROM events))
         |SELECT event_type, key, COUNT(*) AS n, SUM(v) AS sum_v

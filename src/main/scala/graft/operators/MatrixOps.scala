@@ -144,13 +144,20 @@ object MatrixOps {
     */
   def pageRank(a: DataFrame, nNodes: Long, iters: Int): DataFrame = {
     val spark = a.sparkSession
+    // Edge list + degrees are loop-invariant: persist once instead of
+    // re-deriving from `a` every iteration, and cut each iteration's
+    // lineage (localCheckpoint) so the plan doesn't deepen by one
+    // join+agg per round — the connectedComponents lesson; at iters=3
+    // it's negligible, but the API takes arbitrary iters.
     val edges = a.filter(col("v") =!= 0)
       .select(col("i").as("src"), col("j").as("dst"))
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .withColumn("d", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
+      .persist()
     val nodes = spark.range(nNodes).select(col("id").as("node"))
     var r = nodes.select(col("node"), lit(1000000L).as("r"))
     (1 to iters).foreach { _ =>
-      val contrib = edges.join(deg, "src")
+      val contrib = edges
         .join(r.select(col("node").as("src"), col("r")), "src")
         .select(col("dst"), graft.Q.intDiv(col("r"), col("d")).as("c"))
       val in = contrib.groupBy(col("dst")).agg(sum(col("c")).as("s"))
@@ -159,7 +166,9 @@ object MatrixOps {
         .select(col("node"),
           (lit(150000L) +
            graft.Q.intDiv(coalesce(col("s"), lit(0L)) * 85L, lit(100L))).as("r"))
+        .localCheckpoint(true)
     }
+    edges.unpersist(blocking = false)
     r
   }
 

@@ -90,6 +90,17 @@ object EventStreams {
            sum(when((col("value").cast("decimal(18,2)") * 100).cast("long")
                       * col("vn") > col("vc"), 1L).otherwise(0L)).as("n_above"))
 
+  /** Exact cents of a money double, under the SAME convention as every
+    * batch path (`Q.dec2`: Spark's double→DECIMAL(18,2) cast rounds the
+    * shortest decimal representation HALF_UP, which `BigDecimal.valueOf`
+    * reproduces exactly). `math.rint` would round HALF_EVEN and diverge
+    * from the oracle on exact .5-cent boundaries (e.g. 0.125).
+    */
+  private def cents(v: Double): Long =
+    BigDecimal.valueOf(v)
+      .setScale(2, scala.math.BigDecimal.RoundingMode.HALF_UP)
+      .underlying().unscaledValue().longValueExact()
+
   /** CUSTOM-STATE sessionization via `flatMapGroupsWithState`: the
     * arbitrary-state path for semantics `session_window` can't express
     * (here: per-session event count AND value sum, emitted exactly once
@@ -97,10 +108,6 @@ object EventStreams {
     * fixed-size [[EventStreams.SessionAgg]]; timeouts are event-time based
     * so late data within the watermark still extends its session.
     */
-  /** Exact cents of a 2-decimal money double (rint absorbs the binary
-    * representation error of e.g. 12.34 · 100 = 1233.999...). */
-  private def cents(v: Double): Long = math.rint(v * 100).toLong
-
   def customSessions(events: org.apache.spark.sql.Dataset[EventStreams.UserEvent],
                      gapMinutes: Int = 30)
       : org.apache.spark.sql.Dataset[EventStreams.UserSession] = {
@@ -171,37 +178,51 @@ object EventStreams {
     */
   def runToCompletion(spark: SparkSession, streaming: DataFrame,
                       name: String, mode: String = "complete"): DataFrame = {
-    val base = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else
-      System.getProperty("java.io.tmpdir")
-    val ckpt = java.nio.file.Files
-      .createTempDirectory(java.nio.file.Paths.get(base), s"graft-ckpt-$name-")
-    // Stateful-operator parallelism: every micro-batch opens, commits, and
-    // snapshots one state store PER shuffle partition, so a bounded gate at
-    // the batch engine's 32 partitions pays 32x state overhead for data
-    // that fits comfortably in 8. The conf is read at query planning;
-    // restored after the run (gates execute sequentially). A production
-    // deployment sizes this to cluster width x state volume instead.
-    val partKey = "spark.sql.shuffle.partitions"
-    val prevParts = spark.conf.get(partKey)
-    spark.conf.set(partKey, "8")
-    val q =
+    withScratchCheckpoint(name) { ckpt =>
+      // Stateful-operator parallelism: every micro-batch opens, commits,
+      // and snapshots one state store PER shuffle partition, so a bounded
+      // gate at the batch engine's 32 partitions pays 32x state overhead
+      // for data that fits comfortably in 8. The conf is read at query
+      // planning; restored after the run (gates execute sequentially). A
+      // production deployment sizes this to cluster width x state volume.
+      val partKey = "spark.sql.shuffle.partitions"
+      val prevParts = spark.conf.get(partKey)
+      spark.conf.set(partKey, "8")
       try streaming.writeStream
         .format("memory").queryName(name).outputMode(mode)
-        .option("checkpointLocation", ckpt.toString)
+        .option("checkpointLocation", ckpt)
         .start()
       finally spark.conf.set(partKey, prevParts)
-    try q.processAllAvailable() finally {
-      q.stop()
-      // Best-effort cleanup: bounded-gate checkpoints have no value after
-      // the run; leaking them would bloat tmpfs across a long bench.
-      try {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      } catch { case _: Throwable => () }
     }
     spark.table(name)
   }
+
+  /** Shared bounded-gate checkpoint scaffolding: tmpfs-backed scratch
+    * checkpoint dir, start the query via `start(ckptPath)`, run to
+    * completion, stop, and best-effort delete the checkpoint (bounded-
+    * gate checkpoints have no value after the run; leaking them would
+    * bloat tmpfs across a long bench).
+    */
+  private def withScratchCheckpoint(tag: String)(
+      start: String => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val base = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else
+      System.getProperty("java.io.tmpdir")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get(base), s"graft-ckpt-$tag-")
+    val q = start(ckpt.toString)
+    try q.processAllAvailable() finally {
+      q.stop()
+      deleteRecursively(ckpt)
+    }
+  }
+
+  /** Best-effort recursive delete of a scratch directory. */
+  def deleteRecursively(dir: java.nio.file.Path): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    } catch { case _: Throwable => () }
 
   /** Streaming ETL through the `foreachBatch` sink — the production API
     * for sinks Structured Streaming has no native writer for (JDBC,
@@ -214,23 +235,13 @@ object EventStreams {
     */
   def foreachBatchEtl(spark: SparkSession, stream: DataFrame,
                       outDir: String): DataFrame = {
-    val base = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else
-      System.getProperty("java.io.tmpdir")
-    val ckpt = java.nio.file.Files
-      .createTempDirectory(java.nio.file.Paths.get(base), "graft-ckpt-fb-")
-    val q = stream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").parquet(outDir)
-      }
-      .option("checkpointLocation", ckpt.toString)
-      .start()
-    try q.processAllAvailable() finally {
-      q.stop()
-      try {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      } catch { case _: Throwable => () }
+    withScratchCheckpoint("fb") { ckpt =>
+      stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(outDir)
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
     }
     spark.read.parquet(outDir)
   }

@@ -97,13 +97,18 @@ class LlmSpec extends SparkSpec {
   }
 
   test("simhashComponents equals CC over the full simhashPairs graph") {
+    // Token-less docs (empty / all-space text) have no fingerprint but are
+    // still corpus members — they must come back as singleton components.
+    val withEmpty = corpus.unionByName(Seq(
+      (8L, ""), (9L, "   ")).toDF("doc_id", "text"))
     for (d <- Seq(0, 1, 3)) {
       val direct = DedupOps.connectedComponents(
-          corpus, DedupOps.simhashPairs(corpus, d)).collect()
+          withEmpty, DedupOps.simhashPairs(withEmpty, d)).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
-      val contracted = DedupOps.simhashComponents(corpus, d).collect()
+      val contracted = DedupOps.simhashComponents(withEmpty, d).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(contracted == direct, s"maxHamming $d")
+      assert(contracted.contains((8L, 8L)) && contracted.contains((9L, 9L)))
     }
   }
 
