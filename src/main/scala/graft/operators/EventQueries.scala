@@ -31,6 +31,53 @@ object EventQueries {
         .parquet(d))
   }
 
+  /** Build a bounded event stream that ends with END-OF-STREAM SENTINEL
+    * rows (one per requested event_type, user_id −1, value 0), run `body`
+    * over it, and clean up the scratch inputs afterwards (the memory sink
+    * holds the result — the copies are dead weight once the query stops).
+    *
+    * Why sentinels: watermark-gated emissions (session timeouts, outer-
+    * join null rows) only fire when the watermark PASSES their deadline,
+    * which never happens at the natural end of a bounded stream. A
+    * production bounded replay closes the books the same way. The
+    * sentinel ts is DERIVED from the data — max(ts) + the 2 h watermark +
+    * 30 min gap + a day of margin — so the flush guarantee survives any
+    * fixture regeneration; sentinel rows are filtered from every gated
+    * output by their negative user_id.
+    */
+  private def sentinelStream(s: SparkSession, d: String, types: Seq[String])(
+      body: DataFrame => DataFrame): DataFrame = {
+    val raw = Tables.loadEventsRaw(s, d)
+    val dir = java.nio.file.Files.createTempDirectory("graft-sentinel-")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sentinel-tmp-")
+    try {
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$d/events.parquet"),
+        dir.resolve("events.parquet"))
+      val maxNanos = raw.agg(max(col("ts"))).head().getLong(0)
+      val sentinelNanos =
+        maxNanos + (2L * 3600 + 30L * 60 + 24L * 3600) * 1000000000L
+      // Written OUTSIDE the stream dir (the file source lists it).
+      val tmpOut = tmp.resolve("out").toString
+      val rows: java.util.List[org.apache.spark.sql.Row] =
+        scala.jdk.CollectionConverters.SeqHasAsJava(
+          types.zipWithIndex.map { case (t, i) =>
+            org.apache.spark.sql.Row(-1L - i, sentinelNanos, -1L, t, 0.0, "{}")
+          }).asJava
+      s.createDataFrame(rows, raw.schema).coalesce(1).write.parquet(tmpOut)
+      val part = new java.io.File(tmpOut).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath, dir.resolve("zz_sentinel.parquet"))
+      body(Tables.withEventTime(
+        s.readStream.schema(raw.schema)
+          .option("pathGlobFilter", "*.parquet")
+          .parquet(dir.toString)))
+    } finally {
+      EventStreams.deleteRecursively(tmp)
+      EventStreams.deleteRecursively(dir)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // J1 — JSON scalar extraction: props is a JSON string {"k": int}.
@@ -234,34 +281,7 @@ object EventQueries {
     // emitted exactly once, equal to the batch gaps-and-islands oracle.
     "s11_custom_sessions" -> { (s, d) =>
       import s.implicits._
-      val raw = Tables.loadEventsRaw(s, d)
-      // Scratch stream dir: the fixture file + a one-row sentinel parquet
-      // (same raw schema). The sentinel ts is DERIVED from the data —
-      // max(ts) + watermark (2h) + gap (30min) + a day of margin — so the
-      // flush guarantee survives any fixture regeneration.
-      val dir = java.nio.file.Files.createTempDirectory("graft-s11-")
-      val tmp = java.nio.file.Files.createTempDirectory("graft-s11-tmp-")
-      try {
-        java.nio.file.Files.copy(
-          java.nio.file.Paths.get(s"$d/events.parquet"),
-          dir.resolve("events.parquet"))
-        val maxNanos = raw.agg(max(col("ts"))).head().getLong(0)
-        val sentinelNanos =
-          maxNanos + (2L * 3600 + 30L * 60 + 24L * 3600) * 1000000000L
-        // Written OUTSIDE the stream dir (the file source lists it).
-        val tmpOut = tmp.resolve("out").toString
-        s.createDataFrame(
-            java.util.List.of(org.apache.spark.sql.Row(
-              -1L, sentinelNanos, -1L, "sentinel", 0.0, "{}")),
-            raw.schema)
-          .coalesce(1).write.parquet(tmpOut)
-        val part = new java.io.File(tmpOut).listFiles()
-          .find(_.getName.endsWith(".parquet")).get
-        java.nio.file.Files.copy(part.toPath, dir.resolve("zz_sentinel.parquet"))
-        val stream = Tables.withEventTime(
-          s.readStream.schema(raw.schema)
-            .option("pathGlobFilter", "*.parquet")
-            .parquet(dir.toString))
+      sentinelStream(s, d, Seq("sentinel")) { stream =>
         val typed = stream
           .select(col("user_id"), col("ts"), col("value"))
           .as[EventStreams.UserEvent]
@@ -269,13 +289,24 @@ object EventQueries {
         EventStreams.runToCompletion(s, sess, "s11_sink", mode = "append")
           .filter(col("user_id") >= 0)
           .orderBy("user_id", "session_start")
-      } finally {
-        // The memory sink holds the result; the scratch inputs are dead
-        // weight after the run (3 bench passes x fixture copy otherwise).
-        EventStreams.deleteRecursively(tmp)
-        EventStreams.deleteRecursively(dir)
       }
     },
+
+    // S12 — LEFT OUTER stream-stream join: the interval join (S6) in its
+    // outer form, where an unmatched click must STILL emit (null view
+    // side) — and may only do so once the watermark proves no match can
+    // arrive. That state-expiry emission is the hardest stream-stream
+    // semantics; end-of-stream alone never triggers it, so the source
+    // carries click+view sentinels (user −1) that advance BOTH sides'
+    // watermarks past every real row. Hash equals the batch LEFT JOIN.
+    "s12_interval_left_stream" -> ((s, d) =>
+      sentinelStream(s, d, Seq("click", "view")) { stream =>
+        EventStreams.runToCompletion(
+            s, EventStreams.intervalJoinOuter(stream, stream),
+            "s12_sink", mode = "append")
+          .filter(col("user_id") >= 0)
+          .orderBy("click_id", "view_id")
+      }),
 
     // S10 — foreachBatch ETL: the stream lands in a parquet table via the
     // foreachBatch sink (each micro-batch written with the BATCH writer —
@@ -392,6 +423,17 @@ object EventQueries {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "s6_interval_join" -> intervalOracle,
     "s6_interval_stream" -> intervalOracle,
+    // Outer form: a click with no view in its window emits one null-view
+    // row. No click mixes null and non-null view_ids, so the null-
+    // ordering difference between engines can never surface in the sort.
+    "s12_interval_left_stream" ->
+      """SELECT c.event_id AS click_id, v.event_id AS view_id,
+        |       c.user_id, epoch_us(c.ts) AS c_ts_us, epoch_us(v.ts) AS v_ts_us
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON c.user_id = v.user_id
+        | AND epoch_us(v.ts) BETWEEN epoch_us(c.ts) - 3600000000 AND epoch_us(c.ts)
+        |ORDER BY click_id, view_id""".stripMargin,
     "s7_asof_join" -> asofOracle,
     // Sign-aware JSON extraction (json_extract_string keeps '-'), non-null
     // count as the AVG divisor (matching Spark's count(k)), and the

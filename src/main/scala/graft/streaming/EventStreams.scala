@@ -72,6 +72,33 @@ object EventStreams {
               unix_micros(col("v_ts")).as("v_ts_us"))
   }
 
+  /** S12 — LEFT OUTER stream-stream interval join: like [[intervalJoin]]
+    * but every click emits even without a matching view — the null-padded
+    * row may only be produced once the watermark passes the click's match
+    * window (no earlier match can be ruled out before that), which is the
+    * state-expiry behavior that distinguishes outer from inner streaming
+    * joins. A bounded run therefore needs end-of-stream sentinel rows on
+    * BOTH input types to push the watermarks past every real row.
+    */
+  def intervalJoinOuter(clicks: DataFrame, views: DataFrame): DataFrame = {
+    val c = clicks.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+              col("ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    val v = views.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+              col("ts").as("v_ts"))
+      .withWatermark("v_ts", "2 hours")
+    c.join(v,
+        col("c_user") === col("v_user") &&
+        col("v_ts") >= col("c_ts") - expr("INTERVAL 1 HOUR") &&
+        col("v_ts") <= col("c_ts"),
+        "leftOuter")
+      .select(col("click_id"), col("view_id"), col("c_user").as("user_id"),
+              unix_micros(col("c_ts")).as("c_ts_us"),
+              unix_micros(col("v_ts")).as("v_ts_us"))
+  }
+
   /** S8 — STREAM-STATIC join: the unbounded event stream enriched with a
     * broadcast static dimension (per-type exact cents total + count,
     * computed once from the batch table), then aggregated per type: how
