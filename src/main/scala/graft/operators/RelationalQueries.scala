@@ -6,10 +6,11 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
-/** Declared relational queries R1–R18 (SURVEY.md §2.2 R-table): every operator
+/** Declared relational queries R1–R22 (SURVEY.md §2.2 R-table): every operator
   * family the judge checks — scan/filter/project, hash aggregate, all join
-  * shapes, windows, sort/limit, set ops, rollup, distinct agg, scalar
-  * functions, conditional agg, decorrelated subquery, HAVING.
+  * shapes, windows (ranking, analytic, RANGE frames, distribution), sort/
+  * limit, set ops (distinct + multiset ALL), rollup/cube/pivot, distinct
+  * agg, scalar functions, conditional agg, decorrelated subquery, HAVING.
   *
   * Plans are declarative DataFrame ops: filters/projections reach the parquet
   * scan via Catalyst pushdown; small dims (region/nation) get explicit
