@@ -176,6 +176,29 @@ object RelationalQueries {
     "r12b_except_all" -> ((s, d) => setOpsAll(s, d, "except_all")),
     "r12c_intersect_all" -> ((s, d) => setOpsAll(s, d, "intersect_all")),
 
+    // R23 — salted skew join through the oracle gate: lineitem's
+    // l_returnflag has THREE values across every row — the textbook
+    // hot-key shape where a plain shuffle join serializes each key into
+    // one task. SkewOps.saltedJoin widens the key to (flag, salt∈[0,8))
+    // with a deterministic row-hash salt and an 8×-replicated dim; the
+    // gate proves the salting algebra is row-for-row identical to the
+    // plain join (the spec additionally asserts equivalence on skewed
+    // synthetic data). At fixture scale Catalyst may still broadcast the
+    // replicated dim — the correctness contract, not the task spread, is
+    // what's hashed.
+    "r23_salted_skew_join" -> { (s, d) =>
+      val li = t(s, d, "lineitem")
+      val dim = li.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("flag_total"))
+      SkewOps.saltedJoin(
+          li.select(col("l_returnflag"), col("l_quantity")), dim,
+          "l_returnflag", 8)
+        .groupBy(col("l_returnflag"), col("flag_total"))
+        .agg(Q.sumMoney(col("l_quantity")).as("sum_qty"),
+             count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+
     // R13 — ROLLUP with grouping flags (NULL group keys coalesced to 'ALL'
     // so null-ordering never enters the hash).
     "r13_rollup" -> ((s, d) =>
@@ -398,6 +421,15 @@ object RelationalQueries {
     "r11_top10" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "r23_salted_skew_join" ->
+      """WITH dim AS (
+        |  SELECT l_returnflag, COUNT(*) AS flag_total
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l.l_returnflag, d.flag_total,
+        |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem l JOIN dim d USING (l_returnflag)
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     "r12b_except_all" ->
       """SELECT l_partkey FROM lineitem WHERE YEAR(l_shipdate) = 1995
         |EXCEPT ALL
