@@ -131,6 +131,38 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((1L, 11L), (1L, 14L)))
   }
 
+  test("outer interval join: no premature null row; late view converts the match") {
+    implicit val sq = spark.sqlContext
+    val cs = MemoryStream[Ev]
+    val vs = MemoryStream[Ev]
+    val q = EventStreams.intervalJoinOuter(cs.toDF(), vs.toDF()).writeStream
+      .format("memory").queryName("t_ojoin").outputMode("append")
+      .start()
+    def rows() = spark.table("t_ojoin")
+      .select("click_id", "view_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    try {
+      // Click with no view yet: the outer row must NOT emit — a match
+      // could still arrive until the watermark passes its window.
+      cs.addData(Seq(Ev(1, t(100), 1, "click", 0)))
+      q.processAllAvailable()
+      assert(rows().isEmpty, "outer row emitted before watermark proof")
+      // A LATE view inside the window arrives → inner match emits.
+      vs.addData(Seq(Ev(20, t(60), 1, "view", 0)))
+      q.processAllAvailable()
+      assert(rows() == Set((1L, 20L)))
+      // A second click that will never match; far-future rows on BOTH
+      // sides push the watermarks past its window → null row emits, and
+      // click 1 does NOT additionally emit a null row.
+      cs.addData(Seq(Ev(2, t(120), 7, "click", 0)))
+      q.processAllAvailable()
+      cs.addData(Seq(Ev(90, t(5000), 99, "click", 0)))
+      vs.addData(Seq(Ev(91, t(5000), 99, "view", 0)))
+      q.processAllAvailable()
+      assert(rows() == Set((1L, 20L), (2L, -1L), (90L, 91L)))
+    } finally q.stop()
+  }
+
   test("stream-static join enriches each micro-batch against the static dim") {
     // Static dim: per-type exact cents total + count (what s8 derives from
     // the batch table). Type 'a': values 1.0, 3.0 → vc=400 cents, vn=2;
