@@ -54,23 +54,8 @@ object EventStreams {
     * shape under which an unbounded two-stream join has bounded state.
     * Inner matches emit as soon as both sides arrive (append mode).
     */
-  def intervalJoin(clicks: DataFrame, views: DataFrame): DataFrame = {
-    val c = clicks.filter(col("event_type") === "click")
-      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
-              col("ts").as("c_ts"))
-      .withWatermark("c_ts", "2 hours")
-    val v = views.filter(col("event_type") === "view")
-      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
-              col("ts").as("v_ts"))
-      .withWatermark("v_ts", "2 hours")
-    c.join(v,
-        col("c_user") === col("v_user") &&
-        col("v_ts") >= col("c_ts") - expr("INTERVAL 1 HOUR") &&
-        col("v_ts") <= col("c_ts"))
-      .select(col("click_id"), col("view_id"), col("c_user").as("user_id"),
-              unix_micros(col("c_ts")).as("c_ts_us"),
-              unix_micros(col("v_ts")).as("v_ts_us"))
-  }
+  def intervalJoin(clicks: DataFrame, views: DataFrame): DataFrame =
+    intervalJoinImpl(clicks, views, "inner")
 
   /** S12 — LEFT OUTER stream-stream interval join: like [[intervalJoin]]
     * but every click emits even without a matching view — the null-padded
@@ -80,7 +65,11 @@ object EventStreams {
     * joins. A bounded run therefore needs end-of-stream sentinel rows on
     * BOTH input types to push the watermarks past every real row.
     */
-  def intervalJoinOuter(clicks: DataFrame, views: DataFrame): DataFrame = {
+  def intervalJoinOuter(clicks: DataFrame, views: DataFrame): DataFrame =
+    intervalJoinImpl(clicks, views, "leftOuter")
+
+  private def intervalJoinImpl(clicks: DataFrame, views: DataFrame,
+                               joinType: String): DataFrame = {
     val c = clicks.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
               col("ts").as("c_ts"))
@@ -93,7 +82,7 @@ object EventStreams {
         col("c_user") === col("v_user") &&
         col("v_ts") >= col("c_ts") - expr("INTERVAL 1 HOUR") &&
         col("v_ts") <= col("c_ts"),
-        "leftOuter")
+        joinType)
       .select(col("click_id"), col("view_id"), col("c_user").as("user_id"),
               unix_micros(col("c_ts")).as("c_ts_us"),
               unix_micros(col("v_ts")).as("v_ts_us"))
