@@ -144,7 +144,19 @@ object Bench {
     val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}""")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}"""
+    // Round-5 postmortem: the single full line outgrew the driver's stdout
+    // tail-capture window, so BENCH_r05.json came back `parsed: null` with
+    // the per-query head truncated. Emit the full map FIRST (and persist it
+    // to a file the round commit picks up), then a compact summary as the
+    // FINAL line — short enough to always survive tail capture and parse.
+    println(full)
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("/root/repo/bench_full.json"),
+        (full + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () } // best-effort; stdout already has it
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"full":"bench_full.json","sf":"$sfDir"}""")
     if (!spark.sparkContext.isStopped) spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

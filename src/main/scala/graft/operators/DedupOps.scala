@@ -491,6 +491,13 @@ object DedupOps {
       labels = next.select(col("x"), col("comp"))
       round += 1
     }
+    // Pointer-jumping converges in O(log d) rounds (each round ≥ doubles the
+    // propagation distance), so 40 two-hop rounds cover any diameter that
+    // fits in memory; if the cap is somehow hit, unconverged labels are
+    // WRONG components — fail, never return them silently.
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $round rounds ($changed labels still changing)")
     labels.select(col("x").as("doc_id"), col("comp").as("component_id"))
   }
 

@@ -51,10 +51,16 @@ object EventQueries {
     val dir = java.nio.file.Files.createTempDirectory("graft-sentinel-")
     val tmp = java.nio.file.Files.createTempDirectory("graft-sentinel-tmp-")
     try {
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$d/events.parquet"),
-        dir.resolve("events.parquet"))
-      val maxNanos = raw.agg(max(col("ts"))).head().getLong(0)
+      // Files.copy on a directory copies it as an EMPTY dir — a regenerated
+      // Spark-written fixture (a directory of part files) would silently
+      // stream zero rows. Fail loudly instead.
+      val src = java.nio.file.Paths.get(s"$d/events.parquet")
+      require(java.nio.file.Files.isRegularFile(src),
+        s"sentinelStream needs a single-file events fixture; $src is not a regular file")
+      java.nio.file.Files.copy(src, dir.resolve("events.parquet"))
+      val maxRow = raw.agg(max(col("ts"))).head()
+      require(!maxRow.isNullAt(0), s"events fixture at $src is empty")
+      val maxNanos = maxRow.getLong(0)
       val sentinelNanos =
         maxNanos + (2L * 3600 + 30L * 60 + 24L * 3600) * 1000000000L
       // Written OUTSIDE the stream dir (the file source lists it).
@@ -466,7 +472,8 @@ object EventQueries {
         |    CAST(json_extract_string(props, key) AS BIGINT) AS v
         |  FROM (SELECT event_type, props, unnest(json_keys(props)) AS key
         |        FROM events))
-        |SELECT event_type, key, COUNT(*) AS n, SUM(v) AS sum_v
+        |SELECT event_type, key, COUNT(*) AS n,
+        |  CAST(SUM(v) AS BIGINT) AS sum_v
         |FROM kv GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "s9_gapfill" ->

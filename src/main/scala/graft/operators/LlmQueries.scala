@@ -565,7 +565,7 @@ object LlmQueries {
         |tf AS (
         |  SELECT lang, token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS dfl
         |  FROM toks GROUP BY 1, 2),
-        |df AS (SELECT token, SUM(dfl) AS df FROM tf GROUP BY 1),
+        |df AS (SELECT token, CAST(SUM(dfl) AS BIGINT) AS df FROM tf GROUP BY 1),
         |n AS (SELECT COUNT(DISTINCT doc_id) AS nn FROM documents),
         |scored AS (
         |  SELECT lang, token, tf,

@@ -6,11 +6,12 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
-/** Declared relational queries R1–R22 (SURVEY.md §2.2 R-table): every operator
+/** Declared relational queries R1–R23 (SURVEY.md §2.2 R-table): every operator
   * family the judge checks — scan/filter/project, hash aggregate, all join
   * shapes, windows (ranking, analytic, RANGE frames, distribution), sort/
   * limit, set ops (distinct + multiset ALL), rollup/cube/pivot, distinct
-  * agg, scalar functions, conditional agg, decorrelated subquery, HAVING.
+  * agg, scalar functions, conditional agg, decorrelated subquery, HAVING,
+  * salted skew join.
   *
   * Plans are declarative DataFrame ops: filters/projections reach the parquet
   * scan via Catalyst pushdown; small dims (region/nation) get explicit

@@ -41,6 +41,20 @@ def main():
                 print(f"FAIL {name}: columns spark={gcols} duck={ecols}")
                 n_fail += 1
                 continue
+            # Type parity: the driver's canonical row formatter renders a
+            # DuckDB HUGEINT/DECIMAL differently from Spark's BIGINT even
+            # when the Python values compare equal, so a type mismatch is a
+            # driver hash-fail that value comparison below cannot see
+            # (that's exactly how j2/l17 shipped red in round 5).
+            gtypes = {c.lower(): str(t) for c, t in zip(got.columns, got.types)}
+            etypes = {c.lower(): str(t) for c, t in zip(exp.columns, exp.types)}
+            mism = [(c, gtypes[c], etypes[c]) for c in sorted(gtypes)
+                    if not type_ok(gtypes[c], etypes[c])]
+            if mism:
+                c, gt, et = mism[0]
+                print(f"FAIL {name}: type parity col {c}: spark={gt} duck={et}")
+                n_fail += 1
+                continue
             if len(got_rows) != len(exp_rows):
                 print(f"FAIL {name}: rows spark={len(got_rows)} duck={len(exp_rows)}")
                 n_fail += 1
@@ -68,6 +82,18 @@ def main():
 
 def q(c):
     return f'"{c}"'
+
+def type_ok(spark_t, duck_t):
+    """Conservative cross-engine type equivalence. Anything not listed is a
+    mismatch — in particular HUGEINT or DECIMAL on the oracle side of an
+    integer/double Spark column, the two shapes that diverge in the gate
+    driver's canonical formatter while comparing equal as Python values."""
+    if spark_t == duck_t:
+        return True
+    # Narrower oracle integers formatting identically to Spark's wider ones
+    # (and vice versa) are safe: the formatter prints digits either way.
+    ints = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT"}
+    return spark_t in ints and duck_t in ints
 
 def eq(a, b):
     if a is None or b is None:
