@@ -122,6 +122,25 @@ object IoQueries {
              count(lit(1)).as("n"))
         .orderBy("ship_month")),
 
+    // IO7 — DYNAMIC partition pruning: the fact is partitioned by ship
+    // year (io3's layout), but the filter lives on a NON-key column of a
+    // year dim (order volume ≥ 80% of the busiest year) — the surviving
+    // partition set only exists at runtime, so Catalyst must inject the
+    // broadcast dim's key set into the fact scan as a dynamicpruning
+    // PartitionFilter (asserted by LayoutSpec). io3 proves the static
+    // half; this is the star-join half a 100 TB layout actually lives on.
+    "io7_dpp_join" -> { (s, d) =>
+      val dim = LayoutOps.orderYearDim(s, d)
+        .filter(col("n_orders") * 5 >= col("max_n") * 4)
+        .select(col("yr"))
+      LayoutOps.lineitemByShipYear(s, d)
+        .join(broadcast(dim), col("ship_year") === col("yr"))
+        .groupBy(col("ship_year").cast("long").as("ship_year"))
+        .agg(Q.sumDiscounted(col("l_extendedprice"), col("l_discount")).as("revenue"),
+             count(lit(1)).as("n"))
+        .orderBy("ship_year")
+    },
+
     // IO4 — bucketed co-located join: orders ⋈ customer on custkey with
     // both sides pre-bucketed on the key — zero shuffle exchange in the
     // join AND the downstream per-customer aggregate (asserted by
@@ -159,6 +178,17 @@ object IoQueries {
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
         |  COUNT(*) AS n
         |FROM lineitem WHERE YEAR(l_shipdate) = 1996
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "io7_dpp_join" ->
+      """WITH dim AS (
+        |  SELECT YEAR(o_orderdate) AS yr, COUNT(*) AS n
+        |  FROM orders GROUP BY 1),
+        |sel AS (
+        |  SELECT yr FROM dim WHERE n * 5 >= (SELECT MAX(n) FROM dim) * 4)
+        |SELECT CAST(YEAR(l_shipdate) AS BIGINT) AS ship_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n
+        |FROM lineitem JOIN sel ON YEAR(l_shipdate) = sel.yr
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "io4_bucketed_join" ->
       """SELECT c_custkey, c_mktsegment, COUNT(o_orderkey) AS n_orders,

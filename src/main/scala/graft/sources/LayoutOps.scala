@@ -75,6 +75,29 @@ object LayoutOps {
            graft.Q.sumMoney(col("o_totalprice")).as("spend"))
   }
 
+  /** A small on-disk "year dimension" derived from `orders`: one row per
+    * order year with its order count and the corpus-wide max count (stored
+    * denormalized so a query-time filter is a plain scan+Filter — the
+    * textbook shape dynamic partition pruning keys on). Exists for io7:
+    * joining [[lineitemByShipYear]] to this dim filtered on a NON-key
+    * column means the surviving partition set is only known at runtime, so
+    * static pruning can't help — DPP must inject the dim's key set into the
+    * fact scan's PartitionFilters. At 100 TB this is the canonical
+    * fact-to-dim star-join prune (read one year, not the decade).
+    */
+  def orderYearDim(spark: SparkSession, dir: String): DataFrame = {
+    val base = scratch("order_year_dim", dir)
+    val done = new java.io.File(s"$base/_SUCCESS")
+    if (!done.isFile) {
+      val counts = Tables.load(spark, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("yr"))
+        .agg(count(lit(1)).as("n_orders"))
+      counts.crossJoin(broadcast(counts.agg(max(col("n_orders")).as("max_n"))))
+        .write.mode("overwrite").parquet(base)
+    }
+    spark.read.parquet(base)
+  }
+
   /** `lineitem` re-written partitioned by ship year (one directory per
     * year). Written once per source dir — keyed by a `_SUCCESS` probe so a
     * fresh session (the common case: Verify and Bench are separate JVMs)

@@ -59,6 +59,24 @@ class LayoutSpec extends SparkSpec {
     assert(allYears > 1, "fixture must span multiple ship years for pruning to mean anything")
   }
 
+  test("io7: the dim filter reaches the fact scan as a DYNAMIC pruning filter") {
+    val df = IoQueries.queries("io7_dpp_join")(spark, dir)
+    df.queryExecution.toRdd.foreach(_ => ())
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // The partitioned lineitem scan must carry a runtime pruning subquery —
+    // the filter is on the dim's n_orders, invisible to static pruning.
+    assert(formatted.toLowerCase.contains("dynamicpruning"),
+           s"no dynamic pruning in the fact scan:\n$formatted")
+    // And it must actually prune: the fixture's 2001 order volume is well
+    // under 80% of the busiest year at every sf, so one partition drops.
+    val years = df.collect().map(_.getLong(0)).toSet
+    val allYears = LayoutOps.lineitemByShipYear(spark, dir)
+      .select("ship_year").distinct().count()
+    assert(years.size < allYears,
+           s"DPP join kept all $allYears years — the dim filter selected everything")
+  }
+
   test("io1/io2: text roundtrips are lossless against the direct aggregate") {
     val viaCsv = IoQueries.queries("io1_csv_roundtrip")(spark, dir).collect()
     val direct = Tables.load(spark, dir, "lineitem")
