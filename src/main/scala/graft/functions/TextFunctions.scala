@@ -42,12 +42,14 @@ object TextFunctions {
   def shingleCode(sh: String): Column =
     expr(s"ascii(substring($sh,1,1)) * 65536 + ascii(substring($sh,2,1)) * 256 + ascii(substring($sh,3,1))")
 
-  /** Polynomial token hash: fold (acc·31 + ascii(char)) mod 1000003, in
-    * character order. SQL-reproducible (DuckDB list_reduce).
+  /** Polynomial token hash: fold (acc·mult + ascii(char)) mod 1000003, in
+    * character order. SQL-reproducible (DuckDB list_reduce). Distinct
+    * multipliers give the independent hash lanes a >16-bit SimHash needs
+    * (acc < 2^20 and mult ≤ 43 keep the fold far from LONG overflow).
     */
-  def tokenHash(tok: String): Column =
+  def tokenHash(tok: String, mult: Long = 31L): Column =
     expr(s"""aggregate(sequence(1, length($tok)), 0L,
-             (acc, i) -> (acc * 31 + ascii(substring($tok, i, 1))) % 1000003)""")
+             (acc, i) -> (acc * $mult + ascii(substring($tok, i, 1))) % 1000003)""")
 
   /** Rolling-hash document fingerprint: min over all w-char windows of the
     * polynomial hash Σ ascii(text[i+p])·31^(w-1-p) mod 1e9+7 — computed by

@@ -200,6 +200,16 @@ object LlmQueries {
     "l14_simhash_pairs" -> ((s, d) =>
       DedupOps.simhashPairs(docs(s, d), maxHamming = 1).orderBy("da", "db")),
 
+    // L14b — L14 at the PRODUCTION fingerprint width: 64-bit SimHash (four
+    // independent 16-bit hash lanes — the mod-1000003 hash has ~20 useful
+    // bits, so wider fingerprints need more hashes, not more bits of one),
+    // Hamming ≤ 3 via 4 pigeonhole blocks × 16 bits. A 16-bit space
+    // saturates on large corpora (sf0.1: 5000 docs → 1195 distinct
+    // fingerprints); 64 bits is the width Manku's crawl dedup runs at.
+    "l14b_simhash64_pairs" -> ((s, d) =>
+      DedupOps.simhashPairs(docs(s, d), maxHamming = 3, bits = 64)
+        .orderBy("da", "db")),
+
     // L16 — dedup clusters: connected components over the SimHash ≤1 pair
     // graph (L14's edges). Pairs alone don't dedup a corpus — the keep/drop
     // decision needs the transitive closure, one canonical doc (min
@@ -508,6 +518,48 @@ object LlmQueries {
         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.f, b.f)) <= 1
         |ORDER BY da, db""".stripMargin,
+
+    // l14's scheme at 64 bits: four independent polynomial hash lanes
+    // (multipliers 31/37/41/43, 16 fingerprint bits each), then the exact
+    // quadratic pair join at Hamming ≤ 3. Bit 63 is the BIGINT sign bit —
+    // DuckDB refuses the overflowing `1 << 63`, so that term is the
+    // explicit MIN_BIGINT literal; xor/bit_count are two's-complement-
+    // exact in both engines, so negative fingerprints compare fine.
+    "l14b_simhash64_pairs" -> {
+      val lanes = Seq(31, 37, 41, 43).zipWithIndex.map { case (m, k) =>
+        s"""    list_reduce(
+           |      list_prepend(CAST(0 AS BIGINT),
+           |        list_transform(range(1, length(tok) + 1),
+           |                       i -> CAST(ascii(substring(tok, i, 1)) AS BIGINT))),
+           |      (acc, c) -> (acc * $m + c) % 1000003) AS h$k""".stripMargin
+      }.mkString(",\n")
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    unnest(list_filter(string_split(text, ' '), t -> t != '')) AS tok
+         |  FROM documents),
+         |h AS (
+         |  SELECT doc_id,
+         |$lanes
+         |  FROM toks),
+         |votes AS (
+         |  SELECT doc_id, b.range AS b,
+         |    SUM(CASE WHEN ((CASE b.range // 16 WHEN 0 THEN h0 WHEN 1 THEN h1
+         |                    WHEN 2 THEN h2 ELSE h3 END)
+         |                   // (1 << (b.range % 16))) % 2 = 1
+         |             THEN 1 ELSE -1 END) AS s
+         |  FROM h, range(64) b GROUP BY 1, 2),
+         |fp AS (
+         |  SELECT doc_id,
+         |    CAST(SUM(CASE WHEN s <= 0 THEN 0
+         |                  WHEN b = 63 THEN -9223372036854775807 - 1
+         |                  ELSE CAST(1 AS BIGINT) << b END) AS BIGINT) AS f
+         |  FROM votes GROUP BY 1)
+         |SELECT a.doc_id AS da, b.doc_id AS db,
+         |       CAST(bit_count(xor(a.f, b.f)) AS BIGINT) AS hamming
+         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.f, b.f)) <= 3
+         |ORDER BY da, db""".stripMargin
+    },
 
     // l14's fingerprint CTE → edge list → transitive closure via a
     // recursive CTE (UNION dedups, so it terminates), min reachable id

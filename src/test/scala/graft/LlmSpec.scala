@@ -67,16 +67,33 @@ class LlmSpec extends SparkSpec {
   }
 
   test("simhashPairs equals the quadratic formulation for every distance") {
-    val fp = DedupOps.simhash(corpus).collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
-    for (d <- 0 to 3) {
-      val expected = (for {
-        (ia, fa) <- fp; (ib, fb) <- fp if ia < ib
-        h = java.lang.Long.bitCount(fa ^ fb) if h <= d
-      } yield (ia, ib, h.toLong)).toSet
-      val banded = DedupOps.simhashPairs(corpus, d).collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-      assert(banded == expected, s"maxHamming $d")
+    // Both the 16-bit fixture width and the 64-bit production width (whose
+    // fingerprints can be negative LONGs — the banding must be sign-proof).
+    // A seeded random extension makes the corpus large enough that sign-bit
+    // fingerprints provably occur (asserted), so the 64-bit run genuinely
+    // exercises the negative-fingerprint banding path.
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "omega", "sigma",
+                       "shuffle", "fox", "dog", "partition")
+    val wide = corpus.unionByName(
+      (10L to 49L).map(i =>
+        (i, Seq.fill(6)(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+        .toDF("doc_id", "text"))
+    for (bits <- Seq(16, 64)) {
+      val fp = DedupOps.simhash(wide, bits).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      if (bits == 64)
+        assert(fp.exists(_._2 < 0L),
+               "no sign-bit fingerprint in the test corpus — widen it")
+      for (d <- 0 to 3) {
+        val expected = (for {
+          (ia, fa) <- fp; (ib, fb) <- fp if ia < ib
+          h = java.lang.Long.bitCount(fa ^ fb) if h <= d
+        } yield (ia, ib, h.toLong)).toSet
+        val banded = DedupOps.simhashPairs(wide, d, bits).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        assert(banded == expected, s"bits $bits maxHamming $d")
+      }
     }
   }
 
