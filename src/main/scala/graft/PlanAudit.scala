@@ -8,20 +8,46 @@ import org.apache.spark.sql.SparkSession
   * broadcasts on dim joins, interpreted (non-codegen) hot paths.
   *
   * Usage: `sbt "runMain graft.PlanAudit [sfDir] [query ...]"`.
-  * Output is for eyeballing + the round log; the assertions live in the
-  * grep summary lines (`[audit]`).
+  * The flags are ASSERTED per-query by `PlanAuditSpec` in `sbt test`
+  * (r5 verdict item 5: a regression that introduces a cartesian product
+  * into a gated query must fail the build, not just print); this main
+  * remains the eyeball/round-log view of the full formatted plans.
   */
 object PlanAudit {
+
+  /** Queries whose plans the audit covers by default — representative of
+    * every family (scan/filter, multi-join, window, matrix, dedup,
+    * similarity, streaming-batch, layout, SQL entry).
+    */
+  val defaultQueries: Set[String] = Set(
+    "r1_filter_project", "r4_multijoin_region", "r9_window_topk",
+    "m1_matmul", "m4_matmul_sparse", "l2_near_dup", "l5_vector_topk",
+    "l6_label_centroids", "l10_cosine_dup", "l11_fingerprint",
+    "s6_interval_join", "s7_asof_join", "r20_pivot", "l12_bpe_tokens",
+    "io3_partitioned_scan", "io4_bucketed_join", "io7_dpp_join",
+    "r22_ntile", "s9_gapfill", "j2_props_map", "l14_simhash_pairs",
+    "l14b_simhash64_pairs", "l17_tfidf", "l18_array_hof", "sql5_correlated")
+
+  /** Execute `df` (noop traversal — AQE's final plan only exists after
+    * execution) and compute the anti-pattern flags from the executed plan.
+    */
+  def audit(df: org.apache.spark.sql.DataFrame): Map[String, Boolean] = {
+    df.queryExecution.toRdd.foreach(_ => ())
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // Formatted mode carries no codegen annotation in Spark 4; the
+    // executed-plan string marks codegen stages with `*(n)` prefixes.
+    val simple = df.queryExecution.executedPlan.toString
+    Map(
+      "PushedFilters" -> plan.contains("PushedFilters: ["),
+      "WholeStageCodegen" -> simple.contains("*("),
+      "BroadcastHashJoin" -> plan.contains("BroadcastHashJoin"),
+      "CartesianProduct(!)" -> plan.contains("CartesianProduct"),
+      "SortMergeJoin" -> plan.contains("SortMergeJoin"))
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val names = if (args.length > 1) args.drop(1).toSet else Set(
-      "r1_filter_project", "r4_multijoin_region", "r9_window_topk",
-      "m1_matmul", "m4_matmul_sparse", "l2_near_dup", "l5_vector_topk",
-      "l6_label_centroids", "l10_cosine_dup", "l11_fingerprint",
-      "s6_interval_join", "s7_asof_join", "r20_pivot", "l12_bpe_tokens",
-      "io3_partitioned_scan", "io4_bucketed_join",
-      "r22_ntile", "s9_gapfill", "j2_props_map", "l14_simhash_pairs",
-      "l17_tfidf", "l18_array_hof", "sql5_correlated")
+    val names = if (args.length > 1) args.drop(1).toSet else defaultQueries
     val spark = Engine.configure(
       SparkSession.builder().master("local[8]").appName("graft-audit")
         .config("spark.sql.shuffle.partitions", 8)
@@ -31,27 +57,12 @@ object PlanAudit {
     names.toSeq.sorted.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         val df = fn(spark, sfDir)
-        // Execute THIS df's own QueryExecution first (a sink write would
-        // plan a separate execution): under AQE the pre-execution plan is
-        // a bare AdaptiveSparkPlan skeleton — codegen stages, final join
-        // strategies, and coalesced exchanges only exist in the final
-        // plan. toRdd.foreach runs it without driver materialization.
-        df.queryExecution.toRdd.foreach(_ => ())
-        val plan = df.queryExecution.explainString(
-          org.apache.spark.sql.execution.FormattedMode)
-        // Formatted mode carries no codegen annotation in Spark 4; the
-        // executed-plan string marks codegen stages with `*(n)` prefixes.
-        val simple = df.queryExecution.executedPlan.toString
+        val flags = audit(df)
         println(s"\n========== $name ==========")
-        println(plan)
-        def has(s: String) = plan.contains(s)
-        val flags = Seq(
-          "PushedFilters" -> has("PushedFilters: ["),
-          "WholeStageCodegen" -> simple.contains("*("),
-          "BroadcastHashJoin" -> has("BroadcastHashJoin"),
-          "CartesianProduct(!)" -> has("CartesianProduct"),
-          "SortMergeJoin" -> has("SortMergeJoin"))
-        println(s"[audit] $name " + flags.map { case (k, v) => s"$k=$v" }.mkString(" "))
+        println(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+        println(s"[audit] $name " +
+          flags.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(" "))
       }
     }
     spark.stop()
