@@ -104,6 +104,19 @@ object MatrixOps {
                bs: Int = 128): DataFrame =
     if (denseHint) blockMatmul(a, b, bs) else matmul(a, b)
 
+  /** PLANNER-selected multiply: emits a [[graft.plans.MatMul]] logical node
+    * and lets [[graft.plans.MatMulStrategy]] (injected via
+    * `SparkSessionExtensions`) choose the physical formulation from the
+    * operands' cost statistics — broadcastable side ⇒ row join (no
+    * contraction shuffle), both sides big ⇒ block GEMM. Same result as
+    * [[multiply]]; the dispatch moves from the caller's `denseHint` into
+    * the planner, where Spark makes its own join-strategy calls.
+    */
+  def multiplyPlanned(a: DataFrame, b: DataFrame, bs: Int = 128): DataFrame =
+    org.apache.spark.sql.GraftSqlShim.ofRows(a.sparkSession,
+      graft.plans.MatMul.node(
+        a.queryExecution.analyzed, b.queryExecution.analyzed, bs))
+
   /** y = A·x for a COO vector x = (j, v): one equi-join on the contraction
     * index + hash aggregate on i — the building block of iterative methods
     * (power iteration, PageRank). Output is keyed (j, v) so it feeds the

@@ -73,6 +73,14 @@ object MatrixQueries {
         .select(col("node").as("i"), col("r"))
         .orderBy("i")),
 
+    // M12 — the same 50×50 product through the PLANNER: a custom MatMul
+    // logical node whose row-join-vs-block-GEMM choice is made by
+    // MatMulStrategy from cost statistics (SparkSessionExtensions planner
+    // hook), not by the caller's denseHint. Shares the mm50 oracle — every
+    // formulation is result-identical.
+    "m12_matmul_planned" -> ((s, _) =>
+      MatrixOps.multiplyPlanned(A50(s), B50(s)).orderBy("i", "k")),
+
     // M9 — ingest the reference's ACTUAL storage format (dense JSON
     // array-of-arrays, orchestrator/main.py:58-64) and multiply; the
     // fixtures hold exactly the formula matrices, so the result shares
@@ -94,6 +102,7 @@ object MatrixQueries {
   val oracles: Map[String, String] = Map(
     "m1_matmul" -> mm50,
     "m2_matmul_block" -> mm50,
+    "m12_matmul_planned" -> mm50,
     "m4_matmul_sparse" -> mm50,
     "m9_dense_json_io" -> mm50,
     "m3_matmul_rect" ->

@@ -8,11 +8,13 @@ import org.apache.spark.sql.types.IntegerType
 
 /** Engine extension entry point, registered via `spark.sql.extensions`
   * ([[graft.Engine.configure]]) — the public `SparkSessionExtensions` hook
-  * for custom expressions (and, later, rules/strategies if an operator
-  * ever needs planner participation; none does today — SURVEY.md §4.2).
+  * for custom expressions and for the one operator with planner
+  * participation: [[MatMul]], whose physical formulation (row join vs
+  * block GEMM) is selected by [[MatMulStrategy]] from cost statistics.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectPlannerStrategy(session => new MatMulStrategy(session))
     ext.injectFunction((
       new FunctionIdentifier("sorted_intersect_count"),
       new ExpressionInfo(classOf[SortedIntersectCount].getName,

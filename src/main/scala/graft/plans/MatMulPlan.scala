@@ -1,0 +1,81 @@
+package graft.plans
+
+import graft.operators.MatrixOps
+import org.apache.spark.sql.{GraftSqlShim, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types.LongType
+
+/** Logical matrix-multiply operator: `C = A · B` over COO children with
+  * schema `(i, j, v)` (B read as B[j,k] — row = contraction index, exactly
+  * [[MatrixOps.matmul]]'s convention). The node carries INTENT only; the
+  * physical formulation — row-level join+aggregate vs 2-D block GEMM — is
+  * chosen by [[MatMulStrategy]] at planning time from the children's cost
+  * statistics. This replaces the caller-supplied `denseHint` of
+  * [[MatrixOps.multiply]] with a planner decision, the way Spark itself
+  * picks broadcast vs sort-merge joins (SURVEY §7's declared-optional
+  * `extraStrategies` hook, r5 verdict item 9).
+  *
+  * `output` is a constructor parameter so the attribute ids survive
+  * `copy()`/`transform` — parents resolve against these exact ids, and the
+  * strategy re-aligns the expansion's output to them with a final Project.
+  */
+case class MatMul(left: LogicalPlan, right: LogicalPlan, blockSize: Int,
+                  output: Seq[Attribute]) extends BinaryNode {
+  // The output attributes are PRODUCED here, not passed through from the
+  // children — without this, CheckAnalysis counts them as missing inputs
+  // (MISSING_ATTRIBUTES) because they appear in this node's expression list.
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    outputSet
+  // And the node CONSUMES every child column (both COO triples): with the
+  // default (empty) references, ColumnPruning decides no child column is
+  // needed and rewrites the children to zero-column Projects, which the
+  // strategy's expansion then fails to resolve against.
+  override def references: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(left.output ++ right.output)
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): MatMul =
+    copy(left = newLeft, right = newRight)
+}
+
+object MatMul {
+  def node(left: LogicalPlan, right: LogicalPlan, blockSize: Int): MatMul =
+    MatMul(left, right, blockSize, Seq(
+      AttributeReference("i", LongType)(),
+      AttributeReference("k", LongType)(),
+      AttributeReference("v", LongType)()))
+}
+
+/** Plans [[MatMul]]: if either operand's estimated size fits the broadcast
+  * threshold, the row-level join+aggregate wins (the join becomes a
+  * broadcast hash join — no shuffle on the contraction index, and the
+  * block path's two collect_list groupings + object serde would be pure
+  * overhead). Otherwise both sides are big: the 2-D block GEMM path, whose
+  * shuffle volume is O(tiles) of grouped rows rather than the dense row
+  * join's |A⋈B| = m·n·p intermediate (the r3 scale-killer).
+  *
+  * The expansion reuses the DataFrame builders (one formulation, used by
+  * both the planned and the handwritten entry points), analyzed into a
+  * logical subtree handed back to the planner via `planLater`; a final
+  * Project pins the expansion's output to the node's attribute ids.
+  */
+class MatMulStrategy(spark: SparkSession) extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case m: MatMul =>
+      val bcThreshold = spark.sessionState.conf.autoBroadcastJoinThreshold
+      val minSide = m.left.stats.sizeInBytes.min(m.right.stats.sizeInBytes)
+      val a = GraftSqlShim.ofRows(spark, m.left)
+      val b = GraftSqlShim.ofRows(spark, m.right)
+      val composed =
+        if (bcThreshold > 0 && minSide <= bcThreshold) MatrixOps.matmul(a, b)
+        else MatrixOps.blockMatmul(a, b, m.blockSize)
+      val expanded = composed.queryExecution.analyzed
+      val aligned = Project(
+        m.output.zip(expanded.output).map { case (target, src) =>
+          Alias(src, target.name)(exprId = target.exprId)
+        }, expanded)
+      planLater(aligned) :: Nil
+    case _ => Nil
+  }
+}

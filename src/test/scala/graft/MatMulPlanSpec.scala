@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.{MatrixGen, MatrixOps}
+import org.apache.spark.sql.DataFrame
+
+/** The planner-selected MatMul node (SURVEY §7's extraStrategies hook):
+  * MatMulStrategy must pick the row join when a side is broadcastable, the
+  * block-GEMM path when broadcast is off the table, and both must equal the
+  * handwritten formulations cell-for-cell.
+  */
+class MatMulPlanSpec extends SparkSpec {
+
+  private def canon(df: DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+
+  private def planned() = MatrixOps.multiplyPlanned(
+    MatrixGen.matA(spark, 40, 30), MatrixGen.matB(spark, 30, 20), bs = 16)
+
+  private def executedPlan(df: DataFrame): String = {
+    df.queryExecution.toRdd.foreach(_ => ())
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("small operands plan as the broadcast row join (no object serde)") {
+    val df = planned()
+    val plan = executedPlan(df)
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast row join:\n$plan")
+    assert(!plan.contains("SerializeFromObject"),
+           s"block GEMM chosen for broadcastable operands:\n$plan")
+    assert(canon(df) == canon(MatrixOps.matmul(
+      MatrixGen.matA(spark, 40, 30), MatrixGen.matB(spark, 30, 20))))
+  }
+
+  test("without broadcast the strategy switches to the block-GEMM path") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = planned()
+      val plan = executedPlan(df)
+      assert(plan.contains("SerializeFromObject"),
+             s"expected the block-GEMM object pipeline:\n$plan")
+      assert(canon(df) == canon(MatrixOps.blockMatmul(
+        MatrixGen.matA(spark, 40, 30), MatrixGen.matB(spark, 30, 20), 16)))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("downstream operators compose over the MatMul node's output") {
+    import org.apache.spark.sql.functions._
+    // Filter + aggregate ABOVE the custom node: parent expressions resolve
+    // against the node's attribute ids, which the strategy's final Project
+    // must preserve through the expansion.
+    val total = planned().filter(col("i") < 10L).agg(sum(col("v")))
+      .head().getLong(0)
+    val expected = MatrixOps.matmul(
+        MatrixGen.matA(spark, 40, 30), MatrixGen.matB(spark, 30, 20))
+      .filter(col("i") < 10L).agg(sum(col("v"))).head().getLong(0)
+    assert(total == expected && total > 0L)
+  }
+}
