@@ -21,7 +21,8 @@ object PlanAudit {
     */
   val defaultQueries: Set[String] = Set(
     "r1_filter_project", "r4_multijoin_region", "r9_window_topk",
-    "m1_matmul", "m4_matmul_sparse", "l2_near_dup", "l5_vector_topk",
+    "m1_matmul", "m4_matmul_sparse", "m12_matmul_planned", "l2_near_dup",
+    "l5_vector_topk",
     "l6_label_centroids", "l10_cosine_dup", "l11_fingerprint",
     "s6_interval_join", "s7_asof_join", "r20_pivot", "l12_bpe_tokens",
     "io3_partitioned_scan", "io4_bucketed_join", "io7_dpp_join",

@@ -87,11 +87,13 @@ object ScaleProbe {
       val tL10 = time(sink(SimilarityOps.cosinePairsLsh(e, 0.9)))
       val tL5 = time(sink(SimilarityOps.bruteTopK(e, e.filter(col("vec_id") <= 9), 5)))
       val tL16 = time(sink(DedupOps.simhashComponents(d, 1)))
+      val tL14b = time(sink(DedupOps.simhashPairs(d, 3, bits = 64)))
       println(f"l2_prefix_jaccard      $x%3d $nD%10d $tL2%8.2f")
       println(f"l7_simhash             $x%3d $nD%10d $tL7%8.2f")
       println(f"l10_srp_lsh_pairs      $x%3d $nE%10d $tL10%8.2f")
       println(f"l5_brute_topk          $x%3d $nE%10d $tL5%8.2f")
       println(f"l16_simhash_components $x%3d $nD%10d $tL16%8.2f")
+      println(f"l14b_simhash64_pairs   $x%3d $nD%10d $tL14b%8.2f")
     }
     spark.stop()
   }

@@ -30,6 +30,9 @@ class PlanAuditSpec extends SparkSpec {
     "r22_ntile" -> Set("WholeStageCodegen"),
     "m1_matmul" -> Set("WholeStageCodegen", "BroadcastHashJoin"),
     "m4_matmul_sparse" -> Set("WholeStageCodegen", "BroadcastHashJoin"),
+    // Planner-selected MatMul: at sf-independent 50×50 operand stats the
+    // strategy must pick the broadcast row join.
+    "m12_matmul_planned" -> Set("WholeStageCodegen", "BroadcastHashJoin"),
     "l2_near_dup" -> Set("PushedFilters", "BroadcastHashJoin"),
     "l5_vector_topk" -> Set("PushedFilters", "WholeStageCodegen"),
     "l6_label_centroids" -> Set("WholeStageCodegen"),
