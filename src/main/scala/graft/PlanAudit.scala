@@ -27,7 +27,8 @@ object PlanAudit {
     "s6_interval_join", "s7_asof_join", "r20_pivot", "l12_bpe_tokens",
     "io3_partitioned_scan", "io4_bucketed_join", "io7_dpp_join",
     "r22_ntile", "s9_gapfill", "j2_props_map", "l14_simhash_pairs",
-    "l14b_simhash64_pairs", "l17_tfidf", "l18_array_hof", "sql5_correlated")
+    "l14b_simhash64_pairs", "l17_tfidf", "l18_array_hof", "l19_pipeline",
+    "sql5_correlated")
 
   /** Execute `df` (noop traversal — AQE's final plan only exists after
     * execution) and compute the anti-pattern flags from the executed plan.

@@ -287,7 +287,35 @@ object LlmQueries {
     "l11_fingerprint" -> ((s, d) =>
       docs(s, d).select(col("doc_id"),
           TextFunctions.rollingFingerprint("text").as("fingerprint"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // L19 — the CAPSTONE curation pass, end to end: exact dedup (keep the
+    // min doc_id per content hash) → quality filter (L8's keep flag) →
+    // deterministic split assignment (L15's multiplicative hash) →
+    // per-(lang, split) corpus accounting. This is the actual shape of a
+    // training-data pipeline — each stage is an already-gated operator;
+    // the gate proves they COMPOSE: two hash aggregates + two doc_id
+    // equi-joins + one final aggregate, no operator-boundary
+    // rematerialization anywhere.
+    "l19_pipeline" -> { (s, d) =>
+      val base = docs(s, d)
+      val survivors = base.join(
+        DedupOps.exactDedup(base).select(col("keep_doc_id").as("doc_id")),
+        "doc_id")
+      val quality = TextAnalysis.qualityScore(survivors)
+        .filter(col("keep"))
+        .select(col("doc_id"), col("n_tokens"))
+      val h = (col("doc_id") % 1000003L) * 2654435761L % 1000L
+      survivors.select(col("doc_id"), col("lang"), col("n_chars"))
+        .join(quality, "doc_id")
+        .withColumn("split",
+          when(h < 800, "train").when(h < 900, "val").otherwise("test"))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_tokens")).as("total_tokens"),
+             Q.avgInt4(col("n_chars")).as("avg_chars"))
+        .orderBy("lang", "split")
+    }
   )
 
   /** DuckDB list-lambda fragment: Σ a[i]·b[i] folded in index order 1..64 —
@@ -604,6 +632,38 @@ object LlmQueries {
          |         ELSE 'test' END AS split
          |  FROM documents)
          |SELECT lang, split, COUNT(*) AS n_docs,
+         |  ${Q.duckRound4Ratio("SUM(n_chars)", "COUNT(n_chars)")} AS avg_chars
+         |FROM assigned GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // The capstone pass replayed stage by stage: dedup keeps MIN(doc_id)
+    // per text (sha2 grouping ≡ text grouping — the hash is injective on
+    // any real corpus), quality is l8's keep predicate, the split is
+    // l15's multiplicative hash. total_tokens is CAST to BIGINT — a naked
+    // SUM would come back HUGEINT and fail the driver's hash (r5 lesson,
+    // now enforced by check.py's type parity).
+    "l19_pipeline" ->
+      s"""WITH kept AS (
+         |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
+         |surv AS (
+         |  SELECT d.doc_id, d.lang, d.n_chars, d.text
+         |  FROM documents d JOIN kept ON d.doc_id = kept.doc_id),
+         |q AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(string_split(text, ' '), t -> t != '')) AS BIGINT) AS n_tokens,
+         |    CAST(length(regexp_replace(text, '[^a-z ]', '', 'g')) AS BIGINT) AS clean_chars,
+         |    CAST(length(text) AS BIGINT) AS text_len
+         |  FROM surv),
+         |k AS (
+         |  SELECT doc_id, n_tokens FROM q
+         |  WHERE n_tokens BETWEEN 5 AND 1000 AND clean_chars = text_len),
+         |assigned AS (
+         |  SELECT s.lang, s.n_chars, k.n_tokens,
+         |    CASE WHEN (s.doc_id % 1000003) * 2654435761 % 1000 < 800 THEN 'train'
+         |         WHEN (s.doc_id % 1000003) * 2654435761 % 1000 < 900 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM surv s JOIN k ON s.doc_id = k.doc_id)
+         |SELECT lang, split, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
          |  ${Q.duckRound4Ratio("SUM(n_chars)", "COUNT(n_chars)")} AS avg_chars
          |FROM assigned GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 

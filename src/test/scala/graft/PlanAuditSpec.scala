@@ -43,6 +43,10 @@ class PlanAuditSpec extends SparkSpec {
     "l14b_simhash64_pairs" -> Set("WholeStageCodegen"),
     "l17_tfidf" -> Set("WholeStageCodegen", "BroadcastHashJoin"),
     "l18_array_hof" -> Set("WholeStageCodegen"),
+    // The capstone composition: the dedup-keeper join must broadcast (the
+    // keeper set is a fraction of the corpus) and the stage chain must stay
+    // inside codegen — a rematerialization between stages would break both.
+    "l19_pipeline" -> Set("WholeStageCodegen", "BroadcastHashJoin"),
     "j2_props_map" -> Set("WholeStageCodegen"),
     "s6_interval_join" -> Set("PushedFilters", "BroadcastHashJoin"),
     "s7_asof_join" -> Set("PushedFilters"),
