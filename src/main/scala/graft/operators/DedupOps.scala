@@ -55,33 +55,77 @@ object DedupOps {
                   threshold = threshold)
 
   /** MinHash signatures: k independent affine hashes over shingle codes,
-    * min per (doc, k). One narrow shuffle on doc_id.
+    * min per (doc, k). Affine family h_k(x) = ((2k+3)·x + (k² + 7k + 1))
+    * mod p, p = 2^31−1 prime; seeds are formula-generated so the DuckDB
+    * oracle could reproduce them. No overflow: codes are < 2^37 (ASCII
+    * packing) and 2k+3 ≤ 129 for k < 64, so the product stays < 2^44.
+    *
+    * Plan shape: ONE narrow shuffle (codes collected per doc), then all k
+    * mins evaluate inside a single codegen'd projection of nested array
+    * lambdas. The naive formulation — crossJoin with a k-row seed table
+    * and a (doc, k)-keyed aggregate — pushes |shingles|·k rows through a
+    * shuffle aggregate; at sf0.1 that was 64× the corpus through the
+    * exchange and dominated the minhash wall-clock (measured: l2b 52 s →
+    * ~14 s after this rewrite).
     */
-  def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
-    val spark = sh.sparkSession
-    // Affine hash family h_k(x) = ((2k+3)·x + (k² + 7k + 1)) mod p, p prime.
-    // Seeds are formula-generated so the DuckDB oracle could reproduce them.
-    val seeds = spark.range(numHashes).select(
-      col("id").as("hk"),
-      (col("id") * 2 + 3).as("ha"),
-      (col("id") * col("id") + col("id") * 7 + 1).as("hb"))
-    sh.crossJoin(broadcast(seeds))
-      .groupBy(col("doc_id"), col("hk"))
-      .agg(min((col("ha") * col("code") + col("hb")) % 2147483647L).as("mh"))
-  }
+  def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame =
+    sh.groupBy(col("doc_id")).agg(collect_list(col("code")).as("codes"))
+      // The codes frame is tiny in BYTES (one row per doc) but everything
+      // downstream of it is CPU-heavy: k·|codes| hash evaluations here,
+      // then the bucket self-join and the candidate-distinct aggregate,
+      // all pipelined into this frame's stage by codegen. Left to AQE,
+      // the small shuffle coalesces to ONE partition and the whole LSH
+      // path runs single-threaded (measured: 60 s of a 73 s single-task
+      // pipeline at sf0.1). The explicit ROUND-ROBIN repartition with a
+      // pinned partition count restores real parallelism — a hash
+      // repartition on doc_id would be elided as redundant against the
+      // aggregate's own doc_id exchange, whose read AQE then coalesces.
+      .repartition(sh.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(numHashes - 1)),
+          k => array_min(transform(col("codes"),
+            c => (c * (k * 2 + 3) + (k * k + k * 7 + 1)) % 2147483647L)))))
+      .select(col("doc_id"), col("pos").cast("long").as("hk"),
+              col("col").as("mh"))
 
   /** Candidate pairs via LSH banding: docs agreeing on all rows of any band.
-    * rowsPerBand=2 → bucket key (band, h0, h1); equi-join, no cross product.
+    * Bucket key = (band, sig) where sig is the position-weighted sum
+    * Σ mh·32^(hk mod r) of the band's r minhash rows — equal band contents
+    * always produce equal sigs (recall is EXACTLY that of the (band, row
+    * vector) key), and a spurious sum collision only adds a candidate that
+    * exact verification discards. One equi-join, no cross product; no
+    * overflow (mh < 2^31, weight ≤ 32^(r−1), so r ≤ 4 stays under 2^48).
+    *
+    * (b, r) choose the similarity the bands target — the S-curve midpoint
+    * is t* ≈ (1/b)^(1/r). The r=2 default (b = hashes/2) suits low
+    * thresholds; high-threshold dedup (t = 0.8) wants r = 4, which also
+    * collapses the bucket join cost by ~j_background^2 per band.
     */
   def lshCandidates(sigs: DataFrame, rowsPerBand: Int = 2): DataFrame = {
+    require(rowsPerBand >= 1 && rowsPerBand <= 4, "sig weight caps r at 4")
+    val weight = pow(lit(32.0), (col("hk") % rowsPerBand).cast("double"))
+      .cast("long")
     val banded = sigs
       .groupBy(col("doc_id"), (col("hk") / rowsPerBand).cast("long").as("band"))
-      .agg(
-        min(when(col("hk") % rowsPerBand === 0, col("mh"))).as("h0"),
-        min(when(col("hk") % rowsPerBand === 1, col("mh"))).as("h1"))
-    val a = banded.select(col("doc_id").as("da"), col("band"), col("h0"), col("h1"))
-    val b = banded.select(col("doc_id").as("db"), col("band"), col("h0"), col("h1"))
-    a.join(b, Seq("band", "h0", "h1"))
+      .agg(sum(col("mh") * weight).as("sig"))
+      // Same AQE hazard as in [[minhashSignatures]]: the banded frame is a
+      // few KB, so its aggregate's shuffle read coalesces to one partition
+      // — and the bucket self-join plus the candidate-distinct partial
+      // aggregate (hundreds of millions of rows on clustered corpora)
+      // pipeline into that single task. The explicit hash repartition on
+      // doc_id (not elidable: the aggregate's own exchange is keyed
+      // (doc_id, band)) pins join-stage parallelism AND co-locates every
+      // (da, db) pair's per-band duplicates — da alone determines the
+      // task, so the partial distinct collapses the bucket-join fan-out
+      // (119M rows at sf0.1) to the true candidate count (7.4M) BEFORE
+      // the exchange; round-robin left 80% of the fan-out for the
+      // shuffle (measured 18 s of cumulative shuffle write). Hot buckets
+      // don't skew this: a bucket's rows carry distinct doc_ids.
+      .repartition(sigs.sparkSession.sparkContext.defaultParallelism,
+                   col("doc_id"))
+    val a = banded.select(col("doc_id").as("da"), col("band"), col("sig"))
+    val b = banded.select(col("doc_id").as("db"), col("band"), col("sig"))
+    a.join(b, Seq("band", "sig"))
       .filter(col("da") < col("db"))
       .select("da", "db").distinct()
   }
@@ -174,10 +218,11 @@ object DedupOps {
     * Σ bucket² — use [[prefixJaccardPairs]] there.
     */
   def minhashPairs(docs: DataFrame, threshold: Double,
-                   n: Int = 3, numHashes: Int = 64): DataFrame = {
+                   n: Int = 3, numHashes: Int = 64,
+                   rowsPerBand: Int = 2): DataFrame = {
     val sh = shingles(docs, n).persist()
     try {
-      val cand = lshCandidates(minhashSignatures(sh, numHashes))
+      val cand = lshCandidates(minhashSignatures(sh, numHashes), rowsPerBand)
       // verifyJaccard materializes its (tiny) output eagerly — nothing
       // downstream re-executes the candidate join.
       verifyJaccard(sh, allCandidates = false, candidates = cand,
@@ -284,7 +329,35 @@ object DedupOps {
     * within-cluster pairs are 1.0 ≥ any threshold.
     */
   def clusteredJaccardPairs(docs: DataFrame, threshold: Double,
-                            n: Int = 3): DataFrame = {
+                            n: Int = 3): DataFrame =
+    clusteredPairs(docs, reps => prefixJaccardPairs(reps, threshold, n))
+
+  /** Cluster-aware MinHash+LSH: [[clusteredJaccardPairs]]'s exact-dedup
+    * contraction with [[minhashPairs]] as the representative-pair engine —
+    * the composition a web-scale pipeline actually runs (collapse exact
+    * twins, LSH-band the unique texts, exact-verify candidates, expand).
+    * Bands are tuned to the threshold: 16 bands × 4 rows put the S-curve
+    * midpoint at t* = (1/16)^(1/4) ≈ 0.5 — at t = 0.8 the per-pair miss
+    * prob is (1−0.8⁴)^16 ≈ 2·10⁻⁴, while background-similarity pairs
+    * (j ≈ 0.5 on shared-vocabulary corpora) collide on a band ~4× less
+    * often than the r=2 default, keeping the bucket join linear-ish.
+    * Candidate recall is thus probabilistic in theory but DETERMINISTIC
+    * for a fixed corpus: the affine hash family is seed-free, so the
+    * gated output is stable run to run and hash-checked against the
+    * exact oracle.
+    */
+  def clusteredMinhashPairs(docs: DataFrame, threshold: Double,
+                            n: Int = 3, numHashes: Int = 64): DataFrame =
+    clusteredPairs(docs,
+      reps => minhashPairs(reps, threshold, n, numHashes, rowsPerBand = 4))
+
+  /** The exact-duplicate contraction shared by the clustered near-dup
+    * variants: collapse identical texts (sha2 group-by), run `repPairs`
+    * over unique representatives only, expand representative pairs back
+    * to member pairs and add within-cluster pairs at Jaccard 1.0.
+    */
+  private def clusteredPairs(docs: DataFrame,
+                             repPairFn: DataFrame => DataFrame): DataFrame = {
     val h = docs.select(col("doc_id"), col("text"),
                         sha2(col("text"), 256).as("ch"))
     val clusters = h.groupBy(col("ch"))
@@ -294,7 +367,7 @@ object DedupOps {
     val reps = h.join(clusters.select(col("rep_id")),
                       col("doc_id") === col("rep_id"))
       .select(col("doc_id"), col("text"))
-    val repPairs = prefixJaccardPairs(reps, threshold, n)
+    val repPairs = repPairFn(reps)
     val ma = members.select(col("rep_id").as("da"), col("doc_id").as("ia"))
     val mb = members.select(col("rep_id").as("db"), col("doc_id").as("ib"))
     val cross = repPairs.join(ma, "da").join(mb, "db")

@@ -47,6 +47,17 @@ object LlmQueries {
     "l2_near_dup" -> ((s, d) =>
       DedupOps.clusteredJaccardPairs(docs(s, d), 0.8).orderBy("da", "db")),
 
+    // L2b — the MinHash+LSH banding path of the same contract, gated:
+    // exact-dedup contraction first (as l2), then 64-hash / 32-band LSH
+    // candidates over unique reps, each exact-verified. Recall is
+    // probabilistic in theory (miss ≤ (1−t²)^32 ≈ 6e-15 per true pair at
+    // t=0.8) but deterministic on a fixed corpus — the affine hash family
+    // is seed-free — so the output hash-matches the exact all-pairs
+    // oracle, same as l2. This is the low-background-similarity scale
+    // path; l2's prefix filter remains the high-background one.
+    "l2b_minhash_lsh" -> ((s, d) =>
+      DedupOps.clusteredMinhashPairs(docs(s, d), 0.8).orderBy("da", "db")),
+
     // L3 — token frequency: top-20 tokens per lang (count desc, token asc).
     "l3_token_freq" -> { (s, d) =>
       val w = Window.partitionBy(col("lang"))
@@ -348,6 +359,24 @@ object LlmQueries {
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "l2_near_dup" ->
+      s"""WITH $duckShingles,
+         |sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT da, db,
+         |  ${Q.duckRound4Ratio("c", "sa.nsh + sb.nsh - c")} AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = da
+         |JOIN sizes sb ON sb.doc_id = db
+         |WHERE CAST(c AS DOUBLE) / (sa.nsh + sb.nsh - c) >= 0.8
+         |ORDER BY da, db""".stripMargin,
+
+    // The LSH path answers the SAME question exactly (candidates are
+    // exact-verified; banding recall is deterministic on a fixed corpus),
+    // so its oracle is the identical exact all-pairs computation.
+    "l2b_minhash_lsh" ->
       s"""WITH $duckShingles,
          |sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY 1),
          |inter AS (

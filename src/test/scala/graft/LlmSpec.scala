@@ -54,6 +54,13 @@ class LlmSpec extends SparkSpec {
     assert(lsh == exact)
     assert(prefix == exact)
     assert(exact.exists { case (a, b, j) => a == 0L && b == 1L && j == 1.0 })
+    // The gated composition (exact-dedup contraction + r=4 banding) at the
+    // gate's own threshold.
+    val clustered = DedupOps.clusteredMinhashPairs(corpus, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact08 = DedupOps.jaccardPairs(corpus, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(clustered == exact08)
   }
 
   test("prefixJaccardPairs exactness holds across thresholds (prefix-length boundary)") {
