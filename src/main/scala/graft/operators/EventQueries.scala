@@ -298,6 +298,32 @@ object EventQueries {
       }
     },
 
+    // S13 — the S11 sessionization through Spark 4's transformWithState
+    // (the successor arbitrary-state API): named ValueState + explicit
+    // event-time timers on RocksDB-backed state. The provider conf is
+    // query-scoped (set/restore around the bounded run — the operator
+    // REQUIRES RocksDB; the other gates keep the default store). Same
+    // sentinel close-of-books pattern and the same gaps-and-islands
+    // oracle as S11 — two arbitrary-state APIs, one declared semantics.
+    "s13_tws_sessions" -> { (s, d) =>
+      import s.implicits._
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+                      "RocksDBStateStoreProvider")
+      try {
+        sentinelStream(s, d, Seq("sentinel")) { stream =>
+          val typed = stream
+            .select(col("user_id"), col("ts"), col("value"))
+            .as[EventStreams.UserEvent]
+          val sess = EventStreams.twsSessions(typed).toDF
+          EventStreams.runToCompletion(s, sess, "s13_sink", mode = "append")
+            .filter(col("user_id") >= 0)
+            .orderBy("user_id", "session_start")
+        }
+      } finally prev.fold(s.conf.unset(key))(v => s.conf.set(key, v))
+    },
+
     // S12 — LEFT OUTER stream-stream join: the interval join (S6) in its
     // outer form, where an unmatched click must STILL emit (null view
     // side) — and may only do so once the watermark proves no match can
@@ -498,6 +524,25 @@ object EventQueries {
     // The custom-state operator must reproduce the batch gaps-and-islands
     // sessionization exactly — counts and exact cents sums per session.
     "s11_custom_sessions" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000
+        |         OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), numbered AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked)
+        |SELECT user_id, epoch_us(MIN(ts)) AS session_start,
+        |       epoch_us(MAX(ts)) AS session_last, COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS sum_cents
+        |FROM numbered GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    // transformWithState must reproduce the same batch sessionization as
+    // the flatMapGroupsWithState path — one oracle, two state APIs.
+    "s13_tws_sessions" ->
       """WITH marked AS (
         |  SELECT user_id, ts, value,
         |    CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000

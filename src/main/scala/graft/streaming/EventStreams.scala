@@ -117,6 +117,15 @@ object EventStreams {
       .setScale(2, scala.math.BigDecimal.RoundingMode.HALF_UP)
       .underlying().unscaledValue().longValueExact()
 
+  /** True epoch MICROseconds (Timestamp.getTime is millis — it silently
+    * discards the sub-milli precision the micros fixtures carry; VERDICT
+    * r3 latent item 7).
+    */
+  private def micros(ts: java.sql.Timestamp): Long = {
+    val i = ts.toInstant
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+  }
+
   /** CUSTOM-STATE sessionization via `flatMapGroupsWithState`: the
     * arbitrary-state path for semantics `session_window` can't express
     * (here: per-session event count AND value sum, emitted exactly once
@@ -144,13 +153,6 @@ object EventStreams {
             Iterator(UserSession(uid, s.start, s.last, s.n, s.cents))
           } else {
             // Batch rows arrive unordered; fold in event-time order.
-            // True microseconds via Instant (Timestamp.getTime is millis —
-            // it silently discarded the sub-milli precision the micros
-            // fixtures carry; VERDICT r3 latent item 7).
-            def micros(ts: java.sql.Timestamp): Long = {
-              val i = ts.toInstant
-              i.getEpochSecond * 1000000L + i.getNano / 1000L
-            }
             val evs = it.toSeq.sortBy(e => micros(e.ts))
             val out = scala.collection.mutable.Buffer.empty[UserSession]
             var cur = state.getOption
@@ -178,6 +180,91 @@ object EventStreams {
             out.iterator
           }
       }
+  }
+
+  /** The [[customSessions]] semantics re-expressed through Spark 4's
+    * `transformWithState` — the successor arbitrary-state API: named typed
+    * state slots from a `StatefulProcessorHandle` (vs the single implicit
+    * `GroupState`), EXPLICIT event-time timers that the processor registers
+    * and deletes itself (vs the one setTimeoutTimestamp slot), and
+    * RocksDB-backed state (the provider the operator requires — the
+    * at-scale store, since HDFS-backed state is bounded by executor heap).
+    * Same contract as S11: one row per closed session, emitted exactly
+    * once when the watermark passes last-event + gap, equal to the batch
+    * gaps-and-islands oracle.
+    */
+  def twsSessions(events: org.apache.spark.sql.Dataset[EventStreams.UserEvent],
+                  gapMinutes: Int = 30)
+      : org.apache.spark.sql.Dataset[EventStreams.UserSession] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapMinutes),
+                          TimeMode.EventTime, OutputMode.Append)
+  }
+
+  /** Per-user session state machine for [[twsSessions]]. One ValueState
+    * slot holds the open session; exactly one live timer per key closes it
+    * one gap after its last event (stale timers are deleted on extension
+    * AND guarded against in the expiry handler — deletion alone races a
+    * same-batch extension, the guard alone leaks timer state).
+    */
+  private class SessionProcessor(gapMinutes: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, EventStreams.UserEvent, EventStreams.UserSession] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode,
+      TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var session: ValueState[SessionAgg] = _
+    private val gapUs = gapMinutes * 60000000L
+    private val gapMs = gapMinutes * 60000L
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      session = getHandle.getValueState[SessionAgg]("session",
+        org.apache.spark.sql.Encoders.product[SessionAgg], TTLConfig.NONE)
+
+    override def handleInputRows(uid: Long, rows: Iterator[UserEvent],
+                                 timers: TimerValues): Iterator[UserSession] = {
+      val evs = rows.toSeq.sortBy(e => micros(e.ts))
+      val out = scala.collection.mutable.Buffer.empty[UserSession]
+      var cur = if (session.exists) Some(session.get) else None
+      evs.foreach { e =>
+        val t = micros(e.ts)
+        cur match {
+          case Some(s) if t - s.last < gapUs =>
+            cur = Some(SessionAgg(s.start, math.max(s.last, t),
+                                  s.n + 1, s.cents + cents(e.value)))
+          case Some(s) =>
+            out += UserSession(uid, s.start, s.last, s.n, s.cents)
+            cur = Some(SessionAgg(t, t, 1L, cents(e.value)))
+          case None =>
+            cur = Some(SessionAgg(t, t, 1L, cents(e.value)))
+        }
+      }
+      cur.foreach { s =>
+        session.update(s)
+        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        // Close one gap after the last event; clamp above the watermark so
+        // a timer already in the past still registers and fires next batch.
+        getHandle.registerTimer(math.max(s.last / 1000L + gapMs,
+                                         timers.getCurrentWatermarkInMs() + 1))
+      }
+      out.iterator
+    }
+
+    override def handleExpiredTimer(uid: Long, timers: TimerValues,
+                                    expired: ExpiredTimerInfo): Iterator[UserSession] = {
+      if (session.exists) {
+        val s = session.get
+        if (expired.getExpiryTimeInMs >= s.last / 1000L + gapMs) {
+          session.clear()
+          return Iterator(UserSession(uid, s.start, s.last, s.n, s.cents))
+        }
+      }
+      Iterator.empty
+    }
   }
 
   /** Run a streaming frame to completion against a bounded source and return

@@ -109,6 +109,40 @@ class StreamingSpec extends SparkSpec {
     assert(got.forall(_._1 == 1L) || got.contains((2L, 1L, 900L)))
   }
 
+  test("transformWithState sessions: extension deletes the stale timer, emits once") {
+    import graft.streaming.EventStreams.{UserEvent, UserSession}
+    implicit val sq = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+                        "RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[UserEvent]
+      val sessions = EventStreams.twsSessions(ms.toDS(), gapMinutes = 30)
+      val q = sessions.writeStream
+        .format("memory").queryName("t_tws_sess").outputMode("append").start()
+      try {
+        // User 1: events at minutes 0 and 10 → open session, timer at 40.
+        ms.addData(Seq(UserEvent(1, t(0), 1.5), UserEvent(1, t(10), 2.5)))
+        q.processAllAvailable()
+        // Minute 35 extends the session (25 < 30 gap): the minute-40 timer
+        // must be DELETED, or it would close a live session prematurely.
+        ms.addData(Seq(UserEvent(1, t(35), 0.5)))
+        q.processAllAvailable()
+        // Advance the watermark (2h behind) past minute 65 → timer fires,
+        // the session emits exactly once with all three events.
+        ms.addData(Seq(UserEvent(2, t(300), 9.0)))
+        q.processAllAvailable()
+        ms.addData(Seq(UserEvent(2, t(600), 1.0)))
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table("t_tws_sess").as[UserSession].collect()
+        .map(s => (s.user_id, s.n_events, s.sum_cents)).toSeq.sorted
+      assert(got.count(_._1 == 1L) == 1, s"user-1 session must emit once: $got")
+      assert(got.contains((1L, 3L, 450L)), s"3 events, 450 cents: $got")
+    } finally prev.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
+  }
+
   test("stream-stream interval join matches views in the preceding hour only") {
     implicit val sq = spark.sqlContext
     val ms = MemoryStream[Ev]
