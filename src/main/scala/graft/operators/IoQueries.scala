@@ -141,6 +141,38 @@ object IoQueries {
         .orderBy("ship_year")
     },
 
+    // IO8 — schema evolution across parquet file generations: a 100 TB
+    // table accretes columns over years, so the reader must unify an old
+    // slice (written before a column existed) with a new one. The write
+    // is part of the query: two generations land as separate file sets,
+    // the read merges their footers (`mergeSchema` — a footer-listing
+    // cost paid at plan time, which is why production catalogs the merged
+    // schema instead of re-deriving it per scan), legacy rows surface the
+    // new column as NULL, and the aggregate counts them per group. The
+    // oracle replays the generation split from the original table.
+    "io8_schema_evolution" -> { (s, d) =>
+      val path = scratch("evolve", d)
+      val orders = Tables.load(s, d, "orders")
+      // Generation 1: written before o_orderpriority existed.
+      orders.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+                Q.dec2(col("o_totalprice")).as("price"))
+        .write.mode("overwrite").parquet(s"$path/g1")
+      // Generation 2: the evolved schema adds the priority column.
+      orders.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+                Q.dec2(col("o_totalprice")).as("price"),
+                col("o_orderpriority"))
+        .write.mode("overwrite").parquet(s"$path/g2")
+      s.read.option("mergeSchema", "true").parquet(s"$path/g1", s"$path/g2")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("price")).cast("double").as("sum_price"),
+             count(col("o_orderpriority")).as("n_evolved"),
+             countDistinct(col("o_orderpriority")).as("n_priorities"))
+        .orderBy("o_orderstatus")
+    },
+
     // IO4 — bucketed co-located join: orders ⋈ customer on custkey with
     // both sides pre-bucketed on the key — zero shuffle exchange in the
     // join AND the downstream per-customer aggregate (asserted by
@@ -194,6 +226,18 @@ object IoQueries {
       """SELECT c_custkey, c_mktsegment, COUNT(o_orderkey) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
         |FROM customer JOIN orders ON c_custkey = o_custkey
-        |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    // Replays the generation split: even keys predate the priority column
+    // (NULL there), odd keys carry it.
+    "io8_schema_evolution" ->
+      """WITH unioned AS (
+        |  SELECT o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |    CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END AS pri
+        |  FROM orders)
+        |SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(price) AS DOUBLE) AS sum_price,
+        |  COUNT(pri) AS n_evolved,
+        |  COUNT(DISTINCT pri) AS n_priorities
+        |FROM unioned GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
