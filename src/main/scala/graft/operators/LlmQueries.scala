@@ -300,6 +300,38 @@ object LlmQueries {
           TextFunctions.rollingFingerprint("text").as("fingerprint"))
         .orderBy("doc_id")),
 
+    // L20 — the embedding gram matrix G = Eᵀ·E (the PCA/covariance
+    // precursor every embedding pipeline eventually computes), expressed
+    // as the M1 matmul plan over the posexploded COO view: join on the
+    // contraction index (vec_id), hash aggregate on (dim_i, dim_j) —
+    // upper triangle only, G being symmetric. Values ride the exact
+    // fp45 encoding; PRODUCTS of two fp45 longs need ~2^90, so the sum
+    // runs in DECIMAL(38,0) (exact, order-free, ≤31 digits at any doc
+    // count below 10^7 — past that, rescale the encoding, not the sum
+    // type) and the reported entry is the half-up 4-decimal value-scale
+    // ratio (sum / 2^90) — the repo's signed-ratio convention, never a
+    // raw DECIMAL output (the r5 formatter hazard). Scale shape:
+    // |docs|·64² join rows collapse map-side into 64·65/2 = 2080 groups
+    // — the shuffle carries one partial row per group per task
+    // regardless of corpus size.
+    "l20_embedding_gram" -> { (s, d) =>
+      val e = Tables.load(s, d, "embeddings")
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("vec_id"), col("pos").cast("long").as("dim"),
+                Q.fp45(col("col")).as("w"))
+      val a = e.select(col("vec_id"), col("dim").as("i"), col("w").as("wa"))
+      val b = e.select(col("vec_id"), col("dim").as("j"), col("w").as("wb"))
+      val fp90 = lit(new java.math.BigDecimal(
+        java.math.BigInteger.ONE.shiftLeft(90)))
+      a.join(b, "vec_id")
+        .filter(col("i") <= col("j"))
+        .groupBy(col("i"), col("j"))
+        .agg(Q.round4RatioSigned(
+          sum(col("wa").cast("decimal(38,0)") *
+              col("wb").cast("decimal(38,0)")), fp90).as("g"))
+        .orderBy("i", "j")
+    },
+
     // L19 — the CAPSTONE curation pass, end to end: exact dedup (keep the
     // min doc_id per content hash) → quality filter (L8's keep flag) →
     // deterministic split assignment (L15's multiplicative hash) →
@@ -469,6 +501,23 @@ object LlmQueries {
          |SELECT label, dim,
          |  ${Q.duckRound4RatioSigned("p", s"n * ${Q.Fp45}")} AS centroid
          |FROM s ORDER BY label, dim""".stripMargin,
+
+    // The gram replay: same fp45 encoding, HUGEINT product sums, and the
+    // shared signed half-up ratio at the 2^90 product scale.
+    "l20_embedding_gram" ->
+      s"""WITH e AS (
+         |  SELECT vec_id,
+         |    generate_subscripts(embedding, 1) - 1 AS dim,
+         |    CAST(CAST(unnest(embedding) AS DOUBLE) * ${Q.Fp45}.0 AS BIGINT) AS w
+         |  FROM embeddings),
+         |p AS (
+         |  SELECT CAST(a.dim AS BIGINT) AS i, CAST(b.dim AS BIGINT) AS j,
+         |         SUM(CAST(a.w AS HUGEINT) * b.w) AS s
+         |  FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+         |  GROUP BY 1, 2)
+         |SELECT i, j,
+         |  ${Q.duckRound4RatioSigned("s", "1237940039285380274899124224")} AS g
+         |FROM p ORDER BY i, j""".stripMargin,
 
     "l7_simhash" ->
       """WITH toks AS (

@@ -93,6 +93,24 @@ object SqlQueries {
         |  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 1) t
         |ORDER BY c_custkey""".stripMargin)),
 
+    // Predicate subqueries through the parser: EXISTS and NOT EXISTS in
+    // one WHERE clause, which Catalyst's RewritePredicateSubquery turns
+    // into a left-semi plus a left-anti join — the predicate complement
+    // of sql5's scalar-subquery decorrelation (r6/r7 prove the same plans
+    // from the DataFrame API; this gate proves the parser route). The
+    // price threshold keeps NOT EXISTS selective rather than vacuous.
+    "sql7_exists" -> ((s, d) => Engine.sql(s, d,
+      """SELECT c.c_mktsegment, COUNT(*) AS n_active
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_orderstatus = 'F')
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND CAST(o.o_totalprice AS DECIMAL(18,2)) >
+        |                        300000.00)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Hourly event counts through the SQL-registered events view — pins
     // the view's microsecond TimestampType (a regression here surfaces as
     // a ws hash mismatch, the exact failure mode the r3 ADVICE flagged).
@@ -142,6 +160,17 @@ object SqlQueries {
       """SELECT epoch_us(date_trunc('hour', ts)) AS ws, event_type,
         |  COUNT(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "sql7_exists" ->
+      """SELECT c.c_mktsegment, COUNT(*) AS n_active
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_orderstatus = 'F')
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND CAST(o.o_totalprice AS DECIMAL(18,2)) >
+        |                        300000.00)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // Same index-order fold as VecDot's generated loop: ((0+v1)+v2)+... —
     // identical IEEE sequence, so the doubles match bit-for-bit.
     "sql4_vec_norms" ->

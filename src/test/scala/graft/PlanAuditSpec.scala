@@ -54,7 +54,14 @@ class PlanAuditSpec extends SparkSpec {
     "io3_partitioned_scan" -> Set("WholeStageCodegen"),
     "io4_bucketed_join" -> Set("WholeStageCodegen", "SortMergeJoin"),
     "io7_dpp_join" -> Set("WholeStageCodegen", "BroadcastHashJoin"),
-    "sql5_correlated" -> Set("PushedFilters", "BroadcastHashJoin"))
+    "sql5_correlated" -> Set("PushedFilters", "BroadcastHashJoin"),
+    // The gram matmul must stay codegen'd end to end; at production vector
+    // counts the contraction join shuffles, so only codegen is REQUIRED.
+    "l20_embedding_gram" -> Set("WholeStageCodegen"),
+    // EXISTS / NOT EXISTS must decorrelate to semi/anti joins (broadcast
+    // at dim scale) — a cartesian here means the rewrite regressed.
+    "sql7_exists" -> Set("PushedFilters", "BroadcastHashJoin",
+                         "WholeStageCodegen"))
 
   test("every audited gated query is cartesian-free with its required plan features") {
     // Keep the spec's coverage locked to the audit's default set — adding a
