@@ -83,17 +83,21 @@ object ScaleProbe {
       val e = embX(emb, x)
       val nD = d.count(); val nE = e.count()
       val tL2 = time(sink(DedupOps.prefixJaccardPairs(d, 0.8)))
+      val tL2b = time(sink(DedupOps.clusteredMinhashPairs(d, 0.8)))
       val tL7 = time(sink(DedupOps.simhash(d)))
       val tL10 = time(sink(SimilarityOps.cosinePairsLsh(e, 0.9)))
       val tL5 = time(sink(SimilarityOps.bruteTopK(e, e.filter(col("vec_id") <= 9), 5)))
       val tL16 = time(sink(DedupOps.simhashComponents(d, 1)))
       val tL14b = time(sink(DedupOps.simhashPairs(d, 3, bits = 64)))
+      val tL20 = time(sink(SimilarityOps.gramMatrix(e)))
       println(f"l2_prefix_jaccard      $x%3d $nD%10d $tL2%8.2f")
+      println(f"l2b_minhash_lsh        $x%3d $nD%10d $tL2b%8.2f")
       println(f"l7_simhash             $x%3d $nD%10d $tL7%8.2f")
       println(f"l10_srp_lsh_pairs      $x%3d $nE%10d $tL10%8.2f")
       println(f"l5_brute_topk          $x%3d $nE%10d $tL5%8.2f")
       println(f"l16_simhash_components $x%3d $nD%10d $tL16%8.2f")
       println(f"l14b_simhash64_pairs   $x%3d $nD%10d $tL14b%8.2f")
+      println(f"l20_embedding_gram     $x%3d $nE%10d $tL20%8.2f")
     }
     spark.stop()
   }

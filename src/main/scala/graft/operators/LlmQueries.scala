@@ -7,7 +7,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Declared LLM-data-pipeline queries L1–L6 + the multimodal decode check
+/** Declared LLM-data-pipeline queries L1–L20 + the multimodal gates
   * (SURVEY.md §2.2 L-table; north-star training-data-pipeline mandate) over
   * the `documents` / `embeddings` tables, with DuckDB oracles.
   *
@@ -304,33 +304,13 @@ object LlmQueries {
     // precursor every embedding pipeline eventually computes), expressed
     // as the M1 matmul plan over the posexploded COO view: join on the
     // contraction index (vec_id), hash aggregate on (dim_i, dim_j) —
-    // upper triangle only, G being symmetric. Values ride the exact
-    // fp45 encoding; PRODUCTS of two fp45 longs need ~2^90, so the sum
-    // runs in DECIMAL(38,0) (exact, order-free, ≤31 digits at any doc
-    // count below 10^7 — past that, rescale the encoding, not the sum
-    // type) and the reported entry is the half-up 4-decimal value-scale
-    // ratio (sum / 2^90) — the repo's signed-ratio convention, never a
-    // raw DECIMAL output (the r5 formatter hazard). Scale shape:
-    // |docs|·64² join rows collapse map-side into 64·65/2 = 2080 groups
-    // — the shuffle carries one partial row per group per task
-    // regardless of corpus size.
-    "l20_embedding_gram" -> { (s, d) =>
-      val e = Tables.load(s, d, "embeddings")
-        .select(col("vec_id"), posexplode(col("embedding")))
-        .select(col("vec_id"), col("pos").cast("long").as("dim"),
-                Q.fp45(col("col")).as("w"))
-      val a = e.select(col("vec_id"), col("dim").as("i"), col("w").as("wa"))
-      val b = e.select(col("vec_id"), col("dim").as("j"), col("w").as("wb"))
-      val fp90 = lit(new java.math.BigDecimal(
-        java.math.BigInteger.ONE.shiftLeft(90)))
-      a.join(b, "vec_id")
-        .filter(col("i") <= col("j"))
-        .groupBy(col("i"), col("j"))
-        .agg(Q.round4RatioSigned(
-          sum(col("wa").cast("decimal(38,0)") *
-              col("wb").cast("decimal(38,0)")), fp90).as("g"))
-        .orderBy("i", "j")
-    },
+    // upper triangle only, G being symmetric. Exact order-free product
+    // arithmetic and the constant-size-shuffle scale shape live in
+    // [[SimilarityOps.gramMatrix]]; the output is the half-up 4-decimal
+    // value-scale ratio — never a raw DECIMAL (the r5 formatter hazard).
+    "l20_embedding_gram" -> ((s, d) =>
+      SimilarityOps.gramMatrix(Tables.load(s, d, "embeddings"))
+        .orderBy("i", "j")),
 
     // L19 — the CAPSTONE curation pass, end to end: exact dedup (keep the
     // min doc_id per content hash) → quality filter (L8's keep flag) →

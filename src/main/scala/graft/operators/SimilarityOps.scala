@@ -160,4 +160,32 @@ object SimilarityOps {
       .localCheckpoint(eager = true)
     finally sig.unpersist(blocking = false)
   }
+
+  /** Embedding gram matrix G = Eᵀ·E, upper triangle, as the M1 matmul plan
+    * over the posexploded COO view: join on the contraction index
+    * (vec_id), hash aggregate on (dim_i, dim_j). Arithmetic is exact and
+    * order-free at product scale — fp45-encoded values, DECIMAL(38,0)
+    * product sums (fp45² needs ~2^90; 38 digits hold any corpus below
+    * 10^7 vectors — past that, rescale the ENCODING, not the sum type),
+    * reported as the half-up 4-decimal value-scale ratio (sum / 2^90,
+    * [[graft.Q.round4RatioSigned]]). Scale shape: |docs|·64² join rows
+    * collapse map-side into 64·65/2 = 2080 groups, so the shuffle carries
+    * one partial row per group per task regardless of corpus size.
+    */
+  def gramMatrix(emb: DataFrame): DataFrame = {
+    val e = emb
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").cast("long").as("dim"),
+              graft.Q.fp45(col("col")).as("w"))
+    val a = e.select(col("vec_id"), col("dim").as("i"), col("w").as("wa"))
+    val b = e.select(col("vec_id"), col("dim").as("j"), col("w").as("wb"))
+    val fp90 = lit(new java.math.BigDecimal(
+      java.math.BigInteger.ONE.shiftLeft(90)))
+    a.join(b, "vec_id")
+      .filter(col("i") <= col("j"))
+      .groupBy(col("i"), col("j"))
+      .agg(graft.Q.round4RatioSigned(
+        sum(col("wa").cast("decimal(38,0)") *
+            col("wb").cast("decimal(38,0)")), fp90).as("g"))
+  }
 }
