@@ -123,6 +123,34 @@ object EventQueries {
                 Q.micros(col("t1")).as("session_last"), col("n_events"))
         .orderBy("user_id", "session_start")),
 
+    // S14 (batch form) — two-level window rollup: 10-minute counts
+    // re-aggregated into hours. Same plan family as the chained stream.
+    "s14_chained_window" -> ((s, d) =>
+      ev(s, d)
+        .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n10"))
+        .groupBy(window(window_time(col("window")), "1 hour"), col("event_type"))
+        .agg(sum(col("n10")).as("n"), count(lit(1)).as("n_sub"))
+        .select(Q.micros(col("window.start")).as("ws"), col("event_type"),
+                col("n"), col("n_sub"))
+        .orderBy("ws", "event_type")),
+
+    // S14 (stream form) — CHAINED stateful operators in ONE streaming
+    // query (Spark ≥3.5 multi-stateful pipeline): tumbling 10-minute agg
+    // whose finalized windows feed a second 1-hour windowed agg, append
+    // mode (the only mode chained aggs support — each hour row emits
+    // exactly once when the watermark passes). The sentinel advances the
+    // watermark past every real hour window so the bounded replay emits
+    // them all; the sentinel's own windows never finalize (watermark
+    // stops 2 h short of it) and are belt-and-braces filtered by type.
+    "s14_chained_stream" -> ((s, d) =>
+      sentinelStream(s, d, Seq("sentinel")) { stream =>
+        EventStreams.runToCompletion(
+            s, EventStreams.chainedCounts(stream), "s14_sink", mode = "append")
+          .filter(col("event_type") =!= "sentinel")
+          .orderBy("ws", "event_type")
+      }),
+
     // S4 — the real streaming path: readStream over the same parquet,
     // watermark + tumbling agg, complete mode run to completion. Must equal
     // the batch S1 computation (same oracle).
@@ -388,6 +416,15 @@ object EventQueries {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  private val chainedOracle =
+    """WITH w10 AS (
+      |  SELECT (epoch_us(ts) // 600000000) * 600000000 AS w10s, event_type,
+      |         COUNT(*) AS n10
+      |  FROM events GROUP BY 1, 2)
+      |SELECT (w10s // 3600000000) * 3600000000 AS ws, event_type,
+      |       CAST(SUM(n10) AS BIGINT) AS n, COUNT(*) AS n_sub
+      |FROM w10 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   private val slidingOracle =
     """WITH slid AS (
       |  SELECT (epoch_us(ts) // 900000000 - k.range) * 900000000 AS ws, event_type
@@ -570,6 +607,8 @@ object EventQueries {
     "s2_sliding_stream" -> slidingOracle,
     "s3_session_stream" -> sessionOracle,
     "s5_dedup_stream" -> dedupOracle,
+    "s14_chained_window" -> chainedOracle,
+    "s14_chained_stream" -> chainedOracle,
     "s2_sliding_window" -> slidingOracle,
     "s3_session_window" -> sessionOracle,
     "s5_dedup_events" -> dedupOracle

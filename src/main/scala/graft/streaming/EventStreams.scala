@@ -41,6 +41,30 @@ object EventStreams {
       .select(col("user_id"), unix_micros(col("t0")).as("session_start"),
               unix_micros(col("t1")).as("session_last"), col("n_events"))
 
+  /** S14 — CHAINED stateful aggregations in one streaming query: tumbling
+    * 10-minute counts per event_type, re-aggregated into 1-hour windows
+    * (sum of sub-window counts + number of non-empty sub-windows). Two
+    * shuffles, two state stores, one query — the multi-stateful-operator
+    * pipeline Spark supports since 3.5 (append mode only: the downstream
+    * agg consumes the upstream's FINALIZED windows, so each hour row is
+    * emitted exactly once, when the watermark passes the hour end).
+    * `window_time` (window.end − 1µs) re-derives the event-time column
+    * from the first aggregation's window struct — the only column the
+    * second `window()` call can legally bucket on. At 100 TB the two-level
+    * rollup is the canonical cost shape: the 10-minute layer absorbs the
+    * raw-event volume map-side, so the hour layer shuffles one row per
+    * (sub-window, type) — data-volume-independent.
+    */
+  def chainedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n10"))
+      .groupBy(window(window_time(col("window")), "1 hour"), col("event_type"))
+      .agg(sum(col("n10")).as("n"), count(lit(1)).as("n_sub"))
+      .select(unix_micros(col("window.start")).as("ws"), col("event_type"),
+              col("n"), col("n_sub"))
+
   /** S5 — stateful streaming dedup on event_id within the watermark. */
   def dedup(events: DataFrame): DataFrame =
     events

@@ -71,6 +71,25 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == Seq((ws(0), "a", 1L, 1.0)))
   }
 
+  test("chained windowed aggs emit each hour exactly once; late data stays dead") {
+    // Hour 0 holds four events across three distinct 10-minute sub-windows
+    // (0, 10, 20). Batch 2's far-future event pushes the watermark past the
+    // hour-0 end, so BOTH stateful operators finalize it: the 10-minute
+    // layer emits three sub-window rows, the hour layer folds them into one
+    // row. Batch 3's event is behind the watermark — it must not resurrect
+    // either layer's closed windows.
+    val batches = Seq(
+      Seq(Ev(1, t(5), 1, "a", 1.0), Ev(2, t(12), 1, "a", 2.0),
+          Ev(3, t(25), 2, "a", 3.0), Ev(4, t(12), 2, "a", 4.0)),
+      Seq(Ev(5, t(400), 1, "a", 5.0)),
+      Seq(Ev(6, t(8), 1, "a", 6.0)))
+    val got = runStream(batches, EventStreams.chainedCounts, "append", "t_chained")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // Exactly ONE finalized row: hour 0 with n=4 events over n_sub=3
+    // sub-windows. The minute-400 hour is still open (wm = 280 < 420).
+    assert(got.toSeq == Seq((ws(0), "a", 4L, 3L)))
+  }
+
   test("streaming dedup keeps one row per event_id within the watermark") {
     val batches = Seq(
       Seq(Ev(1, t(10), 1, "a", 1.0), Ev(2, t(11), 1, "a", 2.0)),
