@@ -35,6 +35,19 @@ object TextFunctions {
 
   private def tokensSql(text: String) = s"filter(split($text, ' '), t -> t != '')"
 
+  /** All word n-grams (space-joined, WITH multiplicity — the language-model
+    * counting form, vs [[wordShingles]]'s per-doc-distinct set form) over
+    * the token array. Array-local: no positional self-join, no shuffle —
+    * each doc's n-grams materialize inside the row's projection. The
+    * explicit size guard matters: `sequence(1, 0)` is the DESCENDING
+    * sequence [1, 0], not empty.
+    */
+  def wordNgrams(text: String, n: Int): Column =
+    expr(s"""CASE WHEN size(${tokensSql(text)}) >= $n THEN
+               transform(sequence(1, size(${tokensSql(text)}) - ${n - 1}),
+                         i -> array_join(slice(${tokensSql(text)}, i, $n), ' '))
+             ELSE array() END""")
+
   /** Numeric code of a 3-char shingle: ascii₁·65536 + ascii₂·256 + ascii₃.
     * Injective for ASCII input — used as the MinHash pre-hash so DuckDB can
     * reproduce it exactly.

@@ -249,6 +249,54 @@ object LlmQueries {
         .orderBy("lang", "split")
     },
 
+    // L22 — bigram language-model counts: top-10 word bigrams per language
+    // by frequency (ties broken lexicographically so the rank-10 boundary
+    // is deterministic cross-engine). Bigram extraction is ARRAY-LOCAL —
+    // tokens → transform(sequence, slice) inside each row's projection —
+    // not a positional self-join: at 100 TB the join formulation would
+    // shuffle the exploded token table twice on (doc_id, pos); this shape
+    // shuffles only (lang, bigram) partial counts. Same top-k window
+    // funnel as L3 (unigrams).
+    "l22_bigram_freq" -> { (s, d) =>
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("cnt").desc, col("bigram").asc)
+      docs(s, d)
+        .select(col("lang"),
+                explode(TextFunctions.wordNgrams("text", 2)).as("bigram"))
+        .groupBy("lang", "bigram")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 10)
+        .select("lang", "rnk", "bigram", "cnt")
+        .orderBy("lang", "rnk")
+    },
+
+    // L21 — stratified corpus rebalancing: per-language keep rates (the
+    // over-represented language downsampled hard, long-tail kept whole)
+    // applied via a DETERMINISTIC multiplicative hash — the curation twin
+    // of `sampleBy`, but reproducible across runs, engines, and cluster
+    // widths, which seeded-RNG sampling is not. Rates live in a tiny dim
+    // BROADCAST onto the fact (zero shuffle for the join); a language
+    // absent from the dim defaults to keep-all via LEFT join + coalesce —
+    // the fail-open posture a curation pass wants for newly appearing
+    // languages. Hash constants differ from L15's so the sample is
+    // independent of the train/val/test split. One broadcast join + one
+    // hash aggregate, no pre-count pass: kept/total ride the same scan.
+    "l21_stratified_sample" -> { (s, d) =>
+      import s.implicits._
+      val rates = Seq(("en", 250L), ("de", 600L), ("es", 800L), ("fr", 800L))
+        .toDF("lang", "rate")   // zh intentionally absent -> default 1000
+      val h = (col("doc_id") % 999983L) * 2246822519L % 1000L
+      docs(s, d)
+        .join(broadcast(rates), Seq("lang"), "left")
+        .withColumn("keep", h < coalesce(col("rate"), lit(1000L)))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_total"),
+             sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+             sum(when(col("keep"), col("n_chars"))).as("chars_kept"))
+        .orderBy("lang")
+    },
+
     // L17 — distinctive terms per lang: TF-IDF-shaped scoring with
     // integer-exact inverse document frequency (score = tf · ⌊N·10^6/df⌋;
     // log-free so both engines compute bit-identical longs — for fixed tf
@@ -692,6 +740,34 @@ object LlmQueries {
          |SELECT lang, split, COUNT(*) AS n_docs,
          |  ${Q.duckRound4Ratio("SUM(n_chars)", "COUNT(n_chars)")} AS avg_chars
          |FROM assigned GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "l22_bigram_freq" ->
+      """WITH toks AS (
+        |  SELECT lang, list_filter(string_split(text, ' '), t -> t != '') AS tk
+        |  FROM documents),
+        |bi AS (
+        |  SELECT lang,
+        |    unnest(list_transform(range(1, len(tk)),
+        |                          i -> tk[i] || ' ' || tk[i+1])) AS bigram
+        |  FROM toks),
+        |c AS (SELECT lang, bigram, COUNT(*) AS cnt FROM bi GROUP BY 1, 2),
+        |r AS (SELECT lang, bigram, cnt,
+        |        ROW_NUMBER() OVER (PARTITION BY lang
+        |                           ORDER BY cnt DESC, bigram ASC) AS rnk
+        |      FROM c)
+        |SELECT lang, rnk, bigram, cnt FROM r WHERE rnk <= 10
+        |ORDER BY lang, rnk""".stripMargin,
+
+    "l21_stratified_sample" ->
+      """WITH rates(lang, rate) AS (VALUES ('en', 250), ('de', 600), ('es', 800), ('fr', 800)),
+        |k AS (
+        |  SELECT d.lang, d.n_chars,
+        |    (d.doc_id % 999983) * 2246822519 % 1000 < COALESCE(r.rate, 1000) AS keep
+        |  FROM documents d LEFT JOIN rates r ON d.lang = r.lang)
+        |SELECT lang, COUNT(*) AS n_total,
+        |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN keep THEN n_chars END) AS BIGINT) AS chars_kept
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // The capstone pass replayed stage by stage: dedup keeps MIN(doc_id)
     // per text (sha2 grouping ≡ text grouping — the hash is injective on

@@ -150,6 +150,21 @@ class LlmSpec extends SparkSpec {
     assert(t == Seq("a", "b", "c"))
   }
 
+  test("wordNgrams keeps multiplicity, handles short docs, survives multi-space") {
+    val df = Seq(
+      (0L, "a b a b a"),          // bigrams: a b, b a, a b, b a — multiplicity 2+2
+      (1L, "one"),                // shorter than a bigram -> empty
+      (2L, ""),                   // empty text -> empty (the sequence(1,0) trap)
+      (3L, "x  y")                // double space: tokens drop the empty
+    ).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), TextFunctions.wordNgrams("text", 2).as("bi"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got(0L) == Seq("a b", "b a", "a b", "b a"))
+    assert(got(1L) == Seq.empty)
+    assert(got(2L) == Seq.empty)
+    assert(got(3L) == Seq("x y"))
+  }
+
   test("cosine of identical vectors is 1; orthogonal is 0") {
     val df = Seq(
       (Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f)),
