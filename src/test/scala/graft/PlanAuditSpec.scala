@@ -61,7 +61,14 @@ class PlanAuditSpec extends SparkSpec {
     // EXISTS / NOT EXISTS must decorrelate to semi/anti joins (broadcast
     // at dim scale) — a cartesian here means the rewrite regressed.
     "sql7_exists" -> Set("PushedFilters", "BroadcastHashJoin",
-                         "WholeStageCodegen"))
+                         "WholeStageCodegen"),
+    // The rates dim must BROADCAST (a shuffled join on lang would be the
+    // classic small-dim regression); the keep predicate stays codegen'd.
+    "l21_stratified_sample" -> Set("BroadcastHashJoin", "WholeStageCodegen"),
+    // Array-local n-gram extraction: the whole explode→count chain is
+    // codegen'd; a positional self-join would surface as an extra join.
+    "l22_bigram_freq" -> Set("WholeStageCodegen"),
+    "s14_chained_window" -> Set("WholeStageCodegen"))
 
   test("every audited gated query is cartesian-free with its required plan features") {
     // Keep the spec's coverage locked to the audit's default set — adding a
