@@ -111,6 +111,47 @@ object SqlQueries {
         |                        300000.00)
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // RECURSIVE CTE (Spark 4's WITH RECURSIVE) — per-customer order-chain
+    // walk: anchor = each customer's first order, step = LEAD successor in
+    // (o_orderdate, o_orderkey) order, accumulating exact cents along the
+    // path. A path-local accumulation is deterministic regardless of
+    // execution order (each row's value depends only on its unique chain
+    // prefix — no reduction reordering exists to diverge), and cents are
+    // monotone along the chain so MAX(cents) is the chain total. Depth is
+    // bounded by max orders/customer (24 at sf0.1) — far under the default
+    // recursion limit of 100. UNION ALL semantics only (Spark has no
+    // UNION-distinct fixpoint yet), so the walked relation must be a DAG —
+    // which the LEAD successor relation is by construction.
+    // The edge list is materialized ONCE through SQL DDL (CREATE VIEW +
+    // CACHE LAZY TABLE) before the loop: Spark's UnionLoop re-executes the
+    // step plan every iteration, so an inline edges CTE would re-scan and
+    // re-window orders 24 times (measured 17 s → ~2 s at sf0.01). LAZY
+    // keeps the gate honest — the cache builds inside the timed recursion,
+    // not at statement-registration time. This is the production posture
+    // for iterating over a derived relation: materialize, then loop.
+    "sql8_recursive_chain" -> { (s, d) =>
+      Engine.sql(s, d,
+        """CREATE OR REPLACE TEMPORARY VIEW order_edges AS
+          |SELECT /*+ COALESCE(4) */ o_custkey, o_orderkey,
+          |       CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+          |       LEAD(o_orderkey) OVER w AS next_key,
+          |       ROW_NUMBER() OVER w AS rn
+          |FROM orders
+          |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin)
+      s.sql("CACHE LAZY TABLE order_edges")
+      s.sql(
+        """WITH RECURSIVE walk AS (
+          |  SELECT o_custkey, o_orderkey, next_key, cents, CAST(1 AS BIGINT) AS hop
+          |  FROM order_edges WHERE rn = 1
+          |  UNION ALL
+          |  SELECT /*+ BROADCAST(w) */
+          |         e.o_custkey, e.o_orderkey, e.next_key, w.cents + e.cents, w.hop + 1
+          |  FROM walk w JOIN order_edges e ON w.next_key = e.o_orderkey
+          |)
+          |SELECT o_custkey, MAX(hop) AS chain_len, MAX(cents) AS chain_cents
+          |FROM walk GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)
+    },
+
     // Hourly event counts through the SQL-registered events view — pins
     // the view's microsecond TimestampType (a regression here surfaces as
     // a ws hash mismatch, the exact failure mode the r3 ADVICE flagged).
@@ -171,6 +212,26 @@ object SqlQueries {
         |                    AND CAST(o.o_totalprice AS DECIMAL(18,2)) >
         |                        300000.00)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // The identical statement runs in DuckDB — recursion, WINDOW clause,
+    // and exact-cents arithmetic are dialect-shared.
+    "sql8_recursive_chain" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT o_custkey, o_orderkey,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |         LEAD(o_orderkey) OVER w AS next_key,
+        |         ROW_NUMBER() OVER w AS rn
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |),
+        |walk AS (
+        |  SELECT o_custkey, o_orderkey, next_key, cents, CAST(1 AS BIGINT) AS hop
+        |  FROM edges WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.o_custkey, e.o_orderkey, e.next_key, w.cents + e.cents, w.hop + 1
+        |  FROM walk w JOIN edges e ON w.next_key = e.o_orderkey
+        |)
+        |SELECT o_custkey, MAX(hop) AS chain_len, MAX(cents) AS chain_cents
+        |FROM walk GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     // Same index-order fold as VecDot's generated loop: ((0+v1)+v2)+... —
     // identical IEEE sequence, so the doubles match bit-for-bit.
     "sql4_vec_norms" ->

@@ -34,6 +34,20 @@ class EngineSqlSpec extends SparkSpec {
     assert(df.collect().map(_.getString(0)).nonEmpty)
   }
 
+  test("sql8 recursive chain walk equals the direct per-customer aggregate") {
+    // Independent formulation: the full-depth walk visits every order of
+    // each customer exactly once, so chain_len must equal the customer's
+    // order count and chain_cents its exact cents total — computed here
+    // WITHOUT recursion.
+    val got = operators.SqlQueries.queries("sql8_recursive_chain")(spark, sfDir)
+    val want = spark.sql(
+      """SELECT o_custkey, COUNT(*) AS chain_len,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |       AS BIGINT) AS chain_cents
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)
+    assert(got.collect().toSeq == want.collect().toSeq)
+  }
+
   test("Tables.loadEvents works under a bare session conf (defensive nanos)") {
     // Simulate a session missing the Engine.configure conf: unset, load,
     // restore. The loader must set it itself (r3 ADVICE).
