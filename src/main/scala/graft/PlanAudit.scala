@@ -29,7 +29,8 @@ object PlanAudit {
     "r22_ntile", "s9_gapfill", "j2_props_map", "l14_simhash_pairs",
     "l14b_simhash64_pairs", "l17_tfidf", "l18_array_hof", "l19_pipeline",
     "l20_embedding_gram", "sql5_correlated", "sql7_exists",
-    "l21_stratified_sample", "l22_bigram_freq", "s14_chained_window")
+    "l21_stratified_sample", "l22_bigram_freq", "s14_chained_window",
+    "l5c_pq_topk")
 
   /** Execute `df` (noop traversal — AQE's final plan only exists after
     * execution) and compute the anti-pattern flags from the executed plan.

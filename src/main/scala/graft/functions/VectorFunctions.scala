@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  private def asDouble(a: Column): Column = a.cast("array<double>")
+  def asDouble(a: Column): Column = a.cast("array<double>")
 
   /** Dot product Σ a[i]·b[i], folded in index order — the native codegen'd
     * [[VecDot]] expression (bit-identical result to the zip_with +

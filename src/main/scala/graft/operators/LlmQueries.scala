@@ -122,6 +122,15 @@ object LlmQueries {
       SimilarityOps.ivfTopK(emb(s, d), emb(s, d).filter(col("vec_id") <= 9), 5)
         .orderBy("query_id", "rank")),
 
+    // L5c — PRODUCT-QUANTIZATION ANN, the third rung of the ladder (brute
+    // → IVF → PQ): 64 floats stored as 8 codebook indices, ADC ranking
+    // against reconstructions, exact re-rank of the shortlist. Codebooks
+    // are donor-vector slices (k-means would converge engine-specifically)
+    // so DuckDB replays every stage bit-for-bit.
+    "l5c_pq_topk" -> ((s, d) =>
+      SimilarityOps.pqTopK(emb(s, d), emb(s, d).filter(col("vec_id") <= 9), 5)
+        .orderBy("query_id", "rank")),
+
     // L8 — document quality scoring: token counts, average token length,
     // stopword ratio, alpha-space purity, composite keep/drop flag. One
     // narrow projection pass — the shape of a 100 TB quality filter.
@@ -515,6 +524,51 @@ object LlmQueries {
          |          ${duckCosine("p.qe", "s.ce")} AS sim
          |        FROM probes p JOIN assigned s ON p.cid = s.ncid
          |        WHERE s.neighbor_id != p.query_id))
+         |SELECT query_id, rank, neighbor_id, sim FROM ranked WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // Replays SimilarityOps.pqTopK stage by stage: codebooks = subspace
+    // slices of vec_id ≡ 0 mod 50 donors; encode = argmin ROUNDED squared
+    // L2 (cid tie-break) — the index-order fold matches vec_dot's
+    // generated loop; recon = codes rejoined to sub-centroids in subspace
+    // order; ADC shortlist of 20 by rounded cosine vs reconstructions;
+    // exact re-rank of the shortlist to the final top 5.
+    "l5c_pq_topk" ->
+      s"""WITH e AS (SELECT vec_id,
+         |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS a
+         |           FROM embeddings),
+         |js AS (SELECT unnest(range(0, 8)) AS j),
+         |cents AS (
+         |  SELECT js.j, e.vec_id AS cid, e.a[js.j*8+1 : js.j*8+8] AS cent
+         |  FROM e, js WHERE e.vec_id % 50 = 0),
+         |vs AS (SELECT e.vec_id, js.j, e.a[js.j*8+1 : js.j*8+8] AS sv FROM e, js),
+         |enc AS (
+         |  SELECT vec_id, j, cid FROM (
+         |    SELECT vs.vec_id, vs.j, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY vs.vec_id, vs.j ORDER BY
+         |        ROUND(list_reduce(list_prepend(0.0,
+         |          list_transform(range(1, 9),
+         |                         i -> (vs.sv[i] - c.cent[i]) * (vs.sv[i] - c.cent[i]))),
+         |          (acc, v) -> acc + v), 4) ASC, c.cid ASC) AS ern
+         |    FROM vs JOIN cents c ON vs.j = c.j) WHERE ern = 1),
+         |recon AS (
+         |  SELECT enc.vec_id, flatten(list(c.cent ORDER BY enc.j)) AS re
+         |  FROM enc JOIN cents c ON enc.j = c.j AND enc.cid = c.cid
+         |  GROUP BY enc.vec_id),
+         |short AS (
+         |  SELECT query_id, qe, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, q.a AS qe, r.vec_id AS neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |        ${duckCosine("q.a", "r.re")} DESC, r.vec_id ASC) AS srn
+         |    FROM e q JOIN recon r ON q.vec_id <= 9 AND r.vec_id != q.vec_id)
+         |  WHERE srn <= 20),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, sim,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |                       ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |  FROM (SELECT s.query_id, s.neighbor_id,
+         |          ${duckCosine("s.qe", "c.a")} AS sim
+         |        FROM short s JOIN e c ON s.neighbor_id = c.vec_id))
          |SELECT query_id, rank, neighbor_id, sim FROM ranked WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
 

@@ -161,6 +161,89 @@ object SimilarityOps {
     finally sig.unpersist(blocking = false)
   }
 
+  /** Product-quantization ANN — the third rung of the ladder (brute →
+    * IVF → PQ), the shape that scales past what an inverted file alone
+    * can hold: vectors are stored as `m` small codebook indices instead
+    * of `dim` floats (here 64 floats → 8 bytes of codes, an 8×–32×
+    * memory cut), and queries rank against RECONSTRUCTED vectors
+    * (asymmetric distance computation) before an exact re-rank of a
+    * short candidate list.
+    *
+    * Stages, each deterministic so DuckDB can replay bit-for-bit:
+    *  1. codebooks: subspace `j` of every stride-th vector (the same
+    *     donor-subset trick as [[ivfTopK]] — k-means would converge
+    *     engine-specifically, a donor subset is exactly reproducible);
+    *  2. encode: per (vector, subspace), nearest sub-centroid by
+    *     ROUNDED squared L2 (cid tie-break) — codebooks broadcast, one
+    *     narrow shuffle-free pass per vector row;
+    *  3. reconstruct: codes → sub-centroids, reassembled in subspace
+    *     order (`sort_array(collect_list(struct))` — collect order is
+    *     partition-dependent, the sort restores determinism);
+    *  4. ADC shortlist: rounded cosine(query, reconstruction), top
+    *     `k·shortlistFactor` per query;
+    *  5. exact re-rank: true rounded cosine on ORIGINAL vectors for the
+    *     shortlist only, top `k`.
+    * At 100 TB: codebooks are KBs (always broadcast), codes are bytes
+    * per vector, and the exact pass touches `k·factor` vectors per
+    * query instead of the corpus — the standard billion-scale recipe
+    * (IVF partitions the corpus, PQ compresses the residuals).
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             m: Int = 8, centroidStride: Long = 50,
+             shortlistFactor: Int = 4): DataFrame = {
+    val dim = 64; val sub = dim / m
+    val subspace = explode(sequence(lit(0), lit(m - 1))).as("j")
+
+    val cents = corpus.filter(col("vec_id") % centroidStride === 0)
+      .select(col("vec_id").as("cid"), subspace, col("embedding"))
+      .withColumn("cent", slice(col("embedding"), col("j") * sub + 1, lit(sub)))
+      .select("j", "cid", "cent")
+
+    val vecsub = corpus.select(col("vec_id"), subspace, col("embedding"))
+      .withColumn("sv", slice(col("embedding"), col("j") * sub + 1, lit(sub)))
+      .select("vec_id", "j", "sv")
+
+    val diff = zip_with(
+      VectorFunctions.asDouble(col("sv")), VectorFunctions.asDouble(col("cent")),
+      (x, y) => x - y)
+    val wEnc = Window.partitionBy(col("vec_id"), col("j"))
+      .orderBy(col("d2").asc, col("cid").asc)
+    val codes = vecsub.join(broadcast(cents), "j")
+      .withColumn("d2", round(call_function("vec_dot", diff, diff), 4))
+      .withColumn("ern", row_number().over(wEnc))
+      .filter(col("ern") === 1)
+      .select("vec_id", "j", "cid")
+
+    val recon = codes.join(broadcast(cents), Seq("j", "cid"))
+      .groupBy(col("vec_id"))
+      .agg(flatten(transform(
+        sort_array(collect_list(struct(col("j"), col("cent")))),
+        s => s.getField("cent"))).as("re"))
+
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val wShort = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim_adc").desc, col("neighbor_id").asc)
+    val shortlist = recon
+      .select(col("vec_id").as("neighbor_id"), col("re"))
+      .crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("qe"), col("neighbor_id"),
+              sim("qe", "re").as("sim_adc"))
+      .withColumn("srn", row_number().over(wShort))
+      .filter(col("srn") <= k * shortlistFactor)
+      .select("query_id", "qe", "neighbor_id")
+
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    shortlist
+      .join(corpus.select(col("vec_id").as("neighbor_id"),
+                          col("embedding").as("ce")), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), sim("qe", "ce").as("sim"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sim")
+  }
+
   /** Embedding gram matrix G = Eᵀ·E, upper triangle, as the M1 matmul plan
     * over the posexploded COO view: join on the contraction index
     * (vec_id), hash aggregate on (dim_i, dim_j). Arithmetic is exact and

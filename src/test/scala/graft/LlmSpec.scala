@@ -226,6 +226,23 @@ class LlmSpec extends SparkSpec {
     assert(ivf == brute)
   }
 
+  test("pqTopK with every vector a donor reconstructs exactly and equals bruteTopK") {
+    // centroidStride = 1 makes each vector its own nearest sub-centroid in
+    // every subspace (d2 = 0), so reconstruction is the identity and the
+    // ADC ranking collapses to the exact ranking — PQ must return
+    // bit-identical results to the brute-force baseline. This pins the
+    // encode/reconstruct plumbing (slicing, argmin tie-break, subspace
+    // reassembly order) independent of quantization error.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") < 100)
+    val q = emb.filter(col("vec_id") <= 4)
+    val pq = SimilarityOps.pqTopK(emb, q, 5, centroidStride = 1)
+      .orderBy("query_id", "rank").collect().toSeq
+    val brute = SimilarityOps.bruteTopK(emb, q, 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(pq == brute)
+  }
+
   test("cosinePairsLsh equals the exact quadratic baseline on planted near-dups") {
     // Deterministic corpus: 40 pseudo-random near-orthogonal vectors, plus
     // 3 planted near-duplicates (base + small perturbation → cosine ≈ 0.99).

@@ -68,7 +68,10 @@ class PlanAuditSpec extends SparkSpec {
     // Array-local n-gram extraction: the whole explode→count chain is
     // codegen'd; a positional self-join would surface as an extra join.
     "l22_bigram_freq" -> Set("WholeStageCodegen"),
-    "s14_chained_window" -> Set("WholeStageCodegen"))
+    "s14_chained_window" -> Set("WholeStageCodegen"),
+    // Codebooks must BROADCAST into the encode join (they are KBs at any
+    // corpus size); the ADC + re-rank chain stays codegen'd.
+    "l5c_pq_topk" -> Set("BroadcastHashJoin", "WholeStageCodegen"))
 
   test("every audited gated query is cartesian-free with its required plan features") {
     // Keep the spec's coverage locked to the audit's default set — adding a
