@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.TextFunctions
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over a document corpus `(doc_id, text, ...)`:
@@ -36,6 +37,41 @@ object DedupOps {
   def exactDedup(docs: DataFrame): DataFrame =
     docs.groupBy(sha2(col("text"), 256).as("content_hash"))
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_dups"))
+
+  /** INCREMENTAL ingestion classification (L23): snapshot-split the corpus
+    * by doc_id parity (even = base, odd = arriving increment) and give
+    * every arriving doc exactly one status:
+    *   - `exact_dup` — its text already in base (hash-index anti-lookup)
+    *     or a smaller-id twin inside the same increment;
+    *   - `near_dup`  — survives exact but has a SimHash neighbor
+    *     (Hamming ≤ `maxHamming`) in BASE — the fingerprint-index lookup;
+    *   - `ingested`  — novel.
+    * Reuses [[simhashPairs]] over the union and keeps cross-side pairs
+    * only; a production pass band-joins increment fingerprints directly
+    * against the persisted base fingerprint index — same plan shape,
+    * minus the within-side candidates.
+    */
+  def incrementalClassify(docs: DataFrame, maxHamming: Int = 1): DataFrame = {
+    val incr = docs.filter(col("doc_id") % 2 === 1)
+    val baseTexts = docs.filter(col("doc_id") % 2 === 0)
+      .select(sha2(col("text"), 256).as("th")).distinct()
+      .withColumn("in_base", lit(true))
+    val nearSet = simhashPairs(docs, maxHamming)
+      .filter((col("da") % 2) =!= (col("db") % 2))
+      .select(when(col("da") % 2 === 1, col("da")).otherwise(col("db"))
+                .as("doc_id"))
+      .distinct().withColumn("near_base", lit(true))
+    val wTxt = Window.partitionBy(col("th")).orderBy(col("doc_id"))
+    incr.withColumn("th", sha2(col("text"), 256))
+      .withColumn("rn", row_number().over(wTxt))
+      .join(baseTexts, Seq("th"), "left")
+      .join(nearSet, Seq("doc_id"), "left")
+      .withColumn("status",
+        when(col("rn") > 1 || coalesce(col("in_base"), lit(false)), "exact_dup")
+          .when(coalesce(col("near_base"), lit(false)), "near_dup")
+          .otherwise("ingested"))
+      .select(col("doc_id"), col("lang"), col("status"))
+  }
 
   /** (doc_id, code) pairs — distinct character n-gram codes per doc.
     * Codes are the injective ASCII packing of the n-gram

@@ -258,6 +258,28 @@ object LlmQueries {
         .orderBy("lang", "split")
     },
 
+    // L23 — INCREMENTAL ingestion dedup: the corpus is a live table, and
+    // each arriving batch must be classified against the EXISTING index —
+    // the shape every production curation system actually runs (the batch
+    // pipeline l19 is the bootstrap; this is steady state). Snapshot split
+    // by doc_id parity: even = base corpus, odd = arriving increment.
+    // Each arriving doc gets exactly one status:
+    //   exact_dup — its text already in base (hash-index anti-lookup), or
+    //               a smaller-id twin inside the same increment;
+    //   near_dup  — survives exact but has a SimHash neighbor (Hamming ≤ 1)
+    //               in BASE (the fingerprint-index lookup);
+    //   ingested  — novel.
+    // Reuses the banded pair machinery over the union then keeps only
+    // cross-side pairs; a production pass band-joins increment fingerprints
+    // directly against the persisted base fingerprint index — same plan
+    // shape, minus the within-side candidates. Output: per-(lang, status)
+    // accounting, the ingestion dashboard row.
+    "l23_incremental_dedup" -> ((s, d) =>
+      DedupOps.incrementalClassify(docs(s, d))
+        .groupBy(col("lang"), col("status"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "status")),
+
     // L22 — bigram language-model counts: top-10 word bigrams per language
     // by frequency (ties broken lexicographically so the rank-10 boundary
     // is deterministic cross-engine). Bigram extraction is ARRAY-LOCAL —
@@ -794,6 +816,53 @@ object LlmQueries {
          |SELECT lang, split, COUNT(*) AS n_docs,
          |  ${Q.duckRound4Ratio("SUM(n_chars)", "COUNT(n_chars)")} AS avg_chars
          |FROM assigned GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Replays the incremental classification with the l14 fingerprint
+    // machinery (text-grouped exact dedup ≡ sha2 grouping — injective on
+    // any real corpus), quadratic cross-side pair scan, left-join status
+    // derivation.
+    "l23_incremental_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split(text, ' '), t -> t != '')) AS tok
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(range(1, length(tok) + 1),
+        |                       i -> CAST(ascii(substring(tok, i, 1)) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 1000003) AS h
+        |  FROM toks),
+        |votes AS (
+        |  SELECT doc_id, b.range AS b,
+        |    SUM(CASE WHEN (h // (1 << b.range)) % 2 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM h, range(16) b GROUP BY 1, 2),
+        |fp AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN s > 0 THEN CAST(1 << b AS BIGINT) ELSE 0 END) AS BIGINT) AS f
+        |  FROM votes GROUP BY 1),
+        |near_set AS (
+        |  SELECT DISTINCT
+        |    CASE WHEN a.doc_id % 2 = 1 THEN a.doc_id ELSE b.doc_id END AS odd_id
+        |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.f, b.f)) <= 1 AND (a.doc_id % 2) != (b.doc_id % 2)),
+        |base_texts AS (
+        |  SELECT DISTINCT text FROM documents WHERE doc_id % 2 = 0),
+        |incr AS (
+        |  SELECT d.doc_id, d.lang, d.text,
+        |    ROW_NUMBER() OVER (PARTITION BY d.text ORDER BY d.doc_id) AS rn
+        |  FROM documents d WHERE d.doc_id % 2 = 1),
+        |cls AS (
+        |  SELECT i.lang,
+        |    CASE WHEN i.rn > 1 OR bt.text IS NOT NULL THEN 'exact_dup'
+        |         WHEN ns.odd_id IS NOT NULL THEN 'near_dup'
+        |         ELSE 'ingested' END AS status
+        |  FROM incr i
+        |  LEFT JOIN base_texts bt ON i.text = bt.text
+        |  LEFT JOIN near_set ns ON i.doc_id = ns.odd_id)
+        |SELECT lang, status, COUNT(*) AS n FROM cls
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "l22_bigram_freq" ->
       """WITH toks AS (

@@ -226,6 +226,34 @@ class LlmSpec extends SparkSpec {
     assert(ivf == brute)
   }
 
+  test("incrementalClassify covers all three statuses (fixture has no exact dups)") {
+    // Planted corpus: even ids = base, odd ids = increment.
+    //  1 — text equals base doc 0           -> exact_dup (in base)
+    //  3 — text equals odd doc 1... no: smaller-id twin INSIDE increment -> exact_dup
+    //  5 — near-identical to base doc 4 (one token appended; measured
+    //      SimHash Hamming = 1 on this vocabulary) -> near_dup
+    //  7 — novel                            -> ingested
+    val c = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog", "en"),
+      (1L, "the quick brown fox jumps over the lazy dog", "en"),
+      (3L, "spark engines shuffle partitions across executors", "en"),
+      (9L, "spark engines shuffle partitions across executors", "en"),
+      (4L, "a window function ranks rows inside each partition group", "en"),
+      (5L, "a window function ranks rows inside each partition group extra", "en"),
+      (7L, "completely novel content with unique words here", "en")
+    ).toDF("doc_id", "text", "lang")
+    val got = DedupOps.incrementalClassify(c)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got(1L) == "exact_dup")   // twin in base
+    assert(got(9L) == "exact_dup")   // smaller-id twin (3) inside increment
+    assert(got(7L) == "ingested")
+    // 5's status depends on the 16-bit fingerprint distance to 4 — assert
+    // it is near_dup (one-token edit on shared vocabulary) and that 3, the
+    // increment's first copy, is NOT exact-dropped.
+    assert(got(5L) == "near_dup")
+    assert(got(3L) != "exact_dup")
+  }
+
   test("pqTopK with every vector a donor reconstructs exactly and equals bruteTopK") {
     // centroidStride = 1 makes each vector its own nearest sub-centroid in
     // every subspace (d2 = 0), so reconstruction is the identity and the
