@@ -173,6 +173,26 @@ object IoQueries {
         .orderBy("o_orderstatus")
     },
 
+    // IO9 — small-file compaction: the documents table fragmented into 48
+    // splinter files (the streaming-sink / incremental-load pathology),
+    // then compacted to measured-size-targeted files via shuffle-free
+    // coalesce ([[LayoutOps.compact]]). The gate aggregates the COMPACTED
+    // table — proving the rewrite lost nothing — against the original-
+    // table oracle; LayoutSpec asserts the file-count collapse and the
+    // exchange-free rewrite plan.
+    "io9_compaction" -> { (s, d) =>
+      val path = scratch("compact", d)
+      Tables.load(s, d, "documents")
+        .repartition(48).write.mode("overwrite").parquet(s"$path/frag")
+      LayoutOps.compact(s, s"$path/frag", s"$path/compacted",
+                        targetBytes = 1L << 20)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_chars")).as("sum_chars"),
+             countDistinct(col("source")).as("n_sources"))
+        .orderBy("lang")
+    },
+
     // IO4 — bucketed co-located join: orders ⋈ customer on custkey with
     // both sides pre-bucketed on the key — zero shuffle exchange in the
     // join AND the downstream per-customer aggregate (asserted by
@@ -229,6 +249,13 @@ object IoQueries {
         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     // Replays the generation split: even keys predate the priority column
     // (NULL there), odd keys carry it.
+    // The compacted table must aggregate identically to the source table.
+    "io9_compaction" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  COUNT(DISTINCT source) AS n_sources
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "io8_schema_evolution" ->
       """WITH unioned AS (
         |  SELECT o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2)) AS price,

@@ -36,6 +36,29 @@ object LayoutOps {
     s"${System.getProperty("java.io.tmpdir")}/graft-layout/$kind-$tag"
   }
 
+  /** Small-file COMPACTION — the standing maintenance task of any large
+    * lake (streaming sinks, per-partition writers, and incremental loads
+    * all fragment; a 100 TB table read through millions of KB-sized files
+    * pays file-open latency and footer parsing per file and starves the
+    * scan of sequential IO). Sizes the output by MEASURED input bytes
+    * (`ceil(total / targetBytes)` files) and rewrites through `coalesce`,
+    * NOT `repartition`: compaction is IO-bound concatenation, and
+    * coalesce stitches input splits without a shuffle exchange (asserted
+    * by LayoutSpec). Returns the compacted table re-read from disk, so
+    * callers aggregate what was actually written.
+    */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+              targetBytes: Long): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(inPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val total = fs.listStatus(p)
+      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+    val n = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(inPath).coalesce(n)
+      .write.mode("overwrite").parquet(outPath)
+    spark.read.parquet(outPath)
+  }
+
   /** Bucketed `orders` + `customer`, both hash-clustered into `buckets`
     * buckets on custkey (`bucketBy` + `sortBy` so each bucket is also
     * sorted for merge joins). Registered in the session catalog — bucketing

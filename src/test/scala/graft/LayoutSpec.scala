@@ -77,6 +77,26 @@ class LayoutSpec extends SparkSpec {
            s"DPP join kept all $allYears years — the dim filter selected everything")
   }
 
+  test("io9: compaction collapses file count, preserves rows, and never shuffles") {
+    val base = System.getProperty("java.io.tmpdir") + "/graft-layout-spec/compact"
+    val src = spark.read.parquet(s"$dir/documents.parquet")
+    src.repartition(10).write.mode("overwrite").parquet(s"$base/frag")
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def nFiles(p: String) = fs.listStatus(new org.apache.hadoop.fs.Path(p))
+      .count(_.getPath.getName.endsWith(".parquet"))
+    assert(nFiles(s"$base/frag") == 10)
+    // Huge target -> everything fits one file.
+    val compacted = LayoutOps.compact(spark, s"$base/frag", s"$base/out",
+                                      targetBytes = 1L << 30)
+    assert(nFiles(s"$base/out") == 1)
+    assert(compacted.count() == src.count())
+    // The rewrite itself is exchange-free: scan -> coalesce -> write.
+    val rewritePlan = spark.read.parquet(s"$base/frag").coalesce(1)
+      .queryExecution.executedPlan.toString
+    assert(!rewritePlan.contains("Exchange"), rewritePlan)
+  }
+
   test("io1/io2: text roundtrips are lossless against the direct aggregate") {
     val viaCsv = IoQueries.queries("io1_csv_roundtrip")(spark, dir).collect()
     val direct = Tables.load(spark, dir, "lineitem")
