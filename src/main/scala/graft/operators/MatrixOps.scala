@@ -116,6 +116,22 @@ object MatrixOps {
     org.apache.spark.sql.GraftSqlShim.ofRows(a.sparkSession,
       graft.plans.MatMul.node(
         a.queryExecution.analyzed, b.queryExecution.analyzed, bs))
+      .withColumnRenamed("j", "k")
+
+  /** (A·B)·C through NESTED planner-selected [[graft.plans.MatMul]] nodes.
+    * The caller writes the left-deep chain; [[graft.plans
+    * .MatMulReassociate]] rotates it right-deep at optimization time when
+    * the cost statistics say the right operand is the small one — the
+    * matrix-chain-ordering decision as a Catalyst rule, not caller code.
+    */
+  def multiplyPlannedChain(a: DataFrame, b: DataFrame, c: DataFrame,
+                           bs: Int = 128): DataFrame = {
+    val inner = graft.plans.MatMul.node(
+      a.queryExecution.analyzed, b.queryExecution.analyzed, bs)
+    org.apache.spark.sql.GraftSqlShim.ofRows(a.sparkSession,
+      graft.plans.MatMul.node(inner, c.queryExecution.analyzed, bs))
+      .withColumnRenamed("j", "k")
+  }
 
   /** y = A·x for a COO vector x = (j, v): one equi-join on the contraction
     * index + hash aggregate on i — the building block of iterative methods

@@ -81,6 +81,16 @@ object MatrixQueries {
     "m12_matmul_planned" -> ((s, _) =>
       MatrixOps.multiplyPlanned(A50(s), B50(s)).orderBy("i", "k")),
 
+    // M13 — matrix-chain ordering as a Catalyst OPTIMIZER RULE: the caller
+    // writes the left-deep chain (A·B)·C; MatMulReassociate rotates it
+    // right-deep A·(B·C) at optimization time because C (50×10) is the
+    // small operand — the same statistics-driven decision join reorder
+    // makes, applied to the engine's own logical operator. MatMulPlanSpec
+    // asserts the rotation (and its absence when the stats say no).
+    "m13_matmul_chain" -> ((s, _) =>
+      MatrixOps.multiplyPlannedChain(A50(s), B50(s), MatrixGen.matB(s, 50, 10))
+        .orderBy("i", "k")),
+
     // M9 — ingest the reference's ACTUAL storage format (dense JSON
     // array-of-arrays, orchestrator/main.py:58-64) and multiply; the
     // fixtures hold exactly the formula matrices, so the result shares
@@ -103,6 +113,13 @@ object MatrixQueries {
     "m1_matmul" -> mm50,
     "m2_matmul_block" -> mm50,
     "m12_matmul_planned" -> mm50,
+    // The chain product as ONE triple join — associativity means DuckDB
+    // needn't mirror either association choice.
+    "m13_matmul_chain" ->
+      s"""WITH ${duckA("a", 50, 50)}, ${duckB("b", 50, 50)}, ${duckB("c", 50, 10)}
+         |SELECT a.i AS i, c.j AS k, CAST(SUM(a.v * b.v * c.v) AS BIGINT) AS v
+         |FROM a JOIN b ON a.j = b.i JOIN c ON b.j = c.i
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "m4_matmul_sparse" -> mm50,
     "m9_dense_json_io" -> mm50,
     "m3_matmul_rect" ->

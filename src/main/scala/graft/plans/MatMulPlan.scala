@@ -40,11 +40,40 @@ case class MatMul(left: LogicalPlan, right: LogicalPlan, blockSize: Int,
 }
 
 object MatMul {
+  /** Output schema is `(i, j, v)` — IDENTICAL to the COO child schema, so
+    * MatMul nodes COMPOSE: a chain `(A·B)·C` is just nested nodes, which
+    * is what lets [[MatMulReassociate]] rotate associations at the
+    * logical level. Public entry points rename the column-index to `k`
+    * for the user-facing result ([[graft.operators.MatrixOps
+    * .multiplyPlanned]]).
+    */
   def node(left: LogicalPlan, right: LogicalPlan, blockSize: Int): MatMul =
     MatMul(left, right, blockSize, Seq(
       AttributeReference("i", LongType)(),
-      AttributeReference("k", LongType)(),
+      AttributeReference("j", LongType)(),
       AttributeReference("v", LongType)()))
+}
+
+/** Optimizer rule: reassociate LEFT-DEEP MatMul chains toward the cheaper
+  * association — the matrix-chain-ordering decision, made from Catalyst
+  * cost statistics the way join reorder is. Model: a MatMul's default
+  * size estimate is the product of its children's (`BinaryNode` fallback),
+  * under which the two associations of `(A·B)·C` share the `sA·sB·sC`
+  * term and differ by `sA·sB` (left-deep) vs `sB·sC` (right-deep) — so
+  * rotate right exactly when C is smaller than A (the small operand
+  * belongs innermost, where it contracts the big ones early). Each
+  * rotation strictly shortens the left spine, so the fixed-point batch
+  * terminates; a rotated plan no longer matches the pattern. The top
+  * node keeps its attribute ids (parents resolve against them); the new
+  * inner node mints fresh ones.
+  */
+object MatMulReassociate
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case MatMul(MatMul(a, b, bsInner, _), c, bs, out)
+        if c.stats.sizeInBytes < a.stats.sizeInBytes =>
+      MatMul(a, MatMul.node(b, c, bsInner), bs, out)
+  }
 }
 
 /** Plans [[MatMul]]: if either operand's estimated size fits the broadcast

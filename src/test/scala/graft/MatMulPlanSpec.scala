@@ -44,6 +44,31 @@ class MatMulPlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("MatMulReassociate rotates (A·B)·C right-deep iff C is the small operand") {
+    import graft.plans.MatMul
+    val a = MatrixGen.matA(spark, 40, 30)
+    val b = MatrixGen.matB(spark, 30, 30)
+    def topNode(df: DataFrame): MatMul =
+      df.queryExecution.optimizedPlan.collectFirst { case m: MatMul => m }.get
+
+    // C tiny (30×2): the rule must rotate — right child becomes the inner
+    // MatMul, left child is a base operand.
+    val cSmall = MatrixGen.matB(spark, 30, 2)
+    val rotated = topNode(MatrixOps.multiplyPlannedChain(a, b, cSmall, 16))
+    assert(rotated.right.isInstanceOf[MatMul] && !rotated.left.isInstanceOf[MatMul],
+           s"expected right-deep rotation:\n$rotated")
+    // C big (30×200): left-deep is already the cheap association — no
+    // rotation.
+    val cBig = MatrixGen.matB(spark, 30, 200)
+    val kept = topNode(MatrixOps.multiplyPlannedChain(a, b, cBig, 16))
+    assert(kept.left.isInstanceOf[MatMul] && !kept.right.isInstanceOf[MatMul],
+           s"expected left-deep chain kept:\n$kept")
+    // Both associations are result-identical to the handwritten chain.
+    val want = canon(MatrixOps.matmul(
+      MatrixOps.matmul(a, b).withColumnRenamed("k", "j"), cSmall))
+    assert(canon(MatrixOps.multiplyPlannedChain(a, b, cSmall, 16)) == want)
+  }
+
   test("downstream operators compose over the MatMul node's output") {
     import org.apache.spark.sql.functions._
     // Filter + aggregate ABOVE the custom node: parent expressions resolve
