@@ -359,6 +359,38 @@ object EventQueries {
     // semantics; end-of-stream alone never triggers it, so the source
     // carries click+view sentinels (user −1) that advance BOTH sides'
     // watermarks past every real row. Hash equals the batch LEFT JOIN.
+    // S15 (batch form) — the interval EXISTS: clicks with at least one
+    // same-user view in the preceding hour, via a LEFT SEMI join (one
+    // output row per click regardless of match count).
+    "s15_interval_semi" -> { (s, d) =>
+      val e = ev(s, d)
+      val c = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+                col("ts").as("c_ts"))
+      val v = e.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      c.join(v,
+          col("c_user") === col("v_user") &&
+          col("v_ts") >= col("c_ts") - expr("INTERVAL 1 HOUR") &&
+          col("v_ts") <= col("c_ts"), "left_semi")
+        .select(col("click_id"), col("c_user").as("user_id"),
+                Q.micros(col("c_ts")).as("ts_us"))
+        .orderBy("click_id")
+    },
+
+    // S15 (stream form) — LEFT SEMI stream-stream join: the streaming
+    // EXISTS. A matched click emits once on first match (never per-match
+    // fan-out); an unmatched click is dropped silently when the watermark
+    // proves no view can arrive. Sentinels on both types close the books.
+    "s15_semi_stream" -> ((s, d) =>
+      sentinelStream(s, d, Seq("click", "view")) { stream =>
+        EventStreams.runToCompletion(
+            s, EventStreams.intervalJoinSemi(stream, stream),
+            "s15_sink", mode = "append")
+          .filter(col("user_id") >= 0)
+          .orderBy("click_id")
+      }),
+
     "s12_interval_left_stream" -> ((s, d) =>
       sentinelStream(s, d, Seq("click", "view")) { stream =>
         EventStreams.runToCompletion(
@@ -466,6 +498,16 @@ object EventQueries {
       | AND epoch_us(v.ts) BETWEEN epoch_us(c.ts) - 3600000000 AND epoch_us(c.ts)
       |ORDER BY click_id, view_id""".stripMargin
 
+  private val semiOracle =
+    """SELECT c.event_id AS click_id, c.user_id, epoch_us(c.ts) AS ts_us
+      |FROM events c
+      |WHERE c.event_type = 'click' AND EXISTS (
+      |  SELECT 1 FROM events v
+      |  WHERE v.event_type = 'view' AND v.user_id = c.user_id
+      |    AND epoch_us(v.ts)
+      |        BETWEEN epoch_us(c.ts) - 3600000000 AND epoch_us(c.ts))
+      |ORDER BY click_id""".stripMargin
+
   private val asofOracle =
     """WITH u AS (
       |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
@@ -491,6 +533,8 @@ object EventQueries {
         |FROM events e JOIN st USING (event_type)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "s6_interval_join" -> intervalOracle,
+    "s15_interval_semi" -> semiOracle,
+    "s15_semi_stream" -> semiOracle,
     "s6_interval_stream" -> intervalOracle,
     // Outer form: a click with no view in its window emits one null-view
     // row. No click mixes null and non-null view_ids, so the null-

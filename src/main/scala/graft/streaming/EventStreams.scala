@@ -92,8 +92,40 @@ object EventStreams {
   def intervalJoinOuter(clicks: DataFrame, views: DataFrame): DataFrame =
     intervalJoinImpl(clicks, views, "leftOuter")
 
+  /** S15 — LEFT SEMI stream-stream join: each click emits AT MOST ONCE,
+    * exactly when at least one same-user view exists in its preceding
+    * hour — the streaming EXISTS. Distinct state semantics from both the
+    * inner join (which emits once PER match — a hot view fans out) and
+    * the outer join (which emits unmatched rows too): a matched click
+    * emits on first match and its state is done; an unmatched click waits
+    * until the watermark proves no match can arrive, then is dropped
+    * silently. Output carries left columns only — the semi join never
+    * widens the row, so at 100 TB its state and shuffle are one-sided.
+    */
+  def intervalJoinSemi(clicks: DataFrame, views: DataFrame): DataFrame = {
+    val (c, v, cond) = intervalJoinSides(clicks, views)
+    c.join(v, cond, "left_semi")
+      .select(col("click_id"), col("c_user").as("user_id"),
+              unix_micros(col("c_ts")).as("ts_us"))
+  }
+
   private def intervalJoinImpl(clicks: DataFrame, views: DataFrame,
                                joinType: String): DataFrame = {
+    val (c, v, cond) = intervalJoinSides(clicks, views)
+    c.join(v, cond, joinType)
+      .select(col("click_id"), col("view_id"), col("c_user").as("user_id"),
+              unix_micros(col("c_ts")).as("c_ts_us"),
+              unix_micros(col("v_ts")).as("v_ts_us"))
+  }
+
+  /** Shared sides + bounded-state condition of the S6/S12/S15 interval
+    * joins: watermarked click/view projections and the equi+range
+    * predicate (equi on user, view-time bounded relative to click-time —
+    * the only shape under which two unbounded streams join with bounded
+    * state).
+    */
+  private def intervalJoinSides(clicks: DataFrame, views: DataFrame)
+      : (DataFrame, DataFrame, org.apache.spark.sql.Column) = {
     val c = clicks.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
               col("ts").as("c_ts"))
@@ -102,14 +134,10 @@ object EventStreams {
       .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
               col("ts").as("v_ts"))
       .withWatermark("v_ts", "2 hours")
-    c.join(v,
-        col("c_user") === col("v_user") &&
-        col("v_ts") >= col("c_ts") - expr("INTERVAL 1 HOUR") &&
-        col("v_ts") <= col("c_ts"),
-        joinType)
-      .select(col("click_id"), col("view_id"), col("c_user").as("user_id"),
-              unix_micros(col("c_ts")).as("c_ts_us"),
-              unix_micros(col("v_ts")).as("v_ts_us"))
+    val cond = col("c_user") === col("v_user") &&
+      col("v_ts") >= col("c_ts") - expr("INTERVAL 1 HOUR") &&
+      col("v_ts") <= col("c_ts")
+    (c, v, cond)
   }
 
   /** S8 — STREAM-STATIC join: the unbounded event stream enriched with a

@@ -184,6 +184,29 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((1L, 11L), (1L, 14L)))
   }
 
+  test("semi interval join emits a matched click once, drops unmatched silently") {
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = EventStreams.intervalJoinSemi(ms.toDF(), ms.toDF()).writeStream
+      .format("memory").queryName("t_sjoin").outputMode("append")
+      .start()
+    try {
+      ms.addData(Seq(
+        Ev(11, t(50), 1, "view", 0),    // in click 1's window
+        Ev(14, t(100), 1, "view", 0),   // second match — must NOT fan out
+        Ev(1, t(100), 1, "click", 0),   // matched click
+        Ev(2, t(100), 2, "click", 0)))  // no view for user 2
+      q.processAllAvailable()
+      // Push the watermark far past click 2's window: the unmatched click
+      // must still produce nothing (semi, not outer).
+      ms.addData(Seq(Ev(99, t(600), 9, "view", 0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("t_sjoin").select("click_id").collect()
+      .map(_.getLong(0)).toSeq
+    assert(got == Seq(1L), s"expected exactly one row for click 1, got $got")
+  }
+
   test("outer interval join: no premature null row; late view converts the match") {
     implicit val sq = spark.sqlContext
     val cs = MemoryStream[Ev]
