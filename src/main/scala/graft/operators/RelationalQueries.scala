@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
-/** Declared relational queries R1–R23 (SURVEY.md §2.2 R-table): every operator
+/** Declared relational queries R1–R24 (SURVEY.md §2.2 R-table): every operator
   * family the judge checks — scan/filter/project, hash aggregate, all join
   * shapes, windows (ranking, analytic, RANGE frames, distribution), sort/
   * limit, set ops (distinct + multiset ALL), rollup/cube/pivot, distinct
@@ -198,6 +198,31 @@ object RelationalQueries {
         .agg(Q.sumMoney(col("l_quantity")).as("sum_qty"),
              count(lit(1)).as("n"))
         .orderBy("l_returnflag")
+    },
+
+    // R24 — one-pass column profiling (the ANALYZE TABLE / data-quality
+    // audit shape): per-column null count, exact distinct count, min, max
+    // over the key columns, computed in ONE scan + ONE aggregate, then
+    // unpivoted with `stack` into (column, metrics) rows. Multiple exact
+    // COUNT(DISTINCT)s plan as an Expand (input ×(k+1)) — the documented
+    // cost of exactness; a 100 TB profiler swaps in approx_count_distinct
+    // (HLL partials merge map-side) and the Expand disappears. The hashed
+    // contract here is the exact numbers.
+    "r24_column_profile" -> { (s, d) =>
+      val all = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                    "l_quantity")
+      val tt = t(s, d, "lineitem")
+        .select(all.map(c => col(c).cast("long").as(c)): _*)
+      val aggs = all.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+        countDistinct(col(c)).as(s"${c}_distinct"),
+        min(col(c)).as(s"${c}_min"),
+        max(col(c)).as(s"${c}_max")))
+      val one = tt.agg(aggs.head, aggs.tail: _*)
+      val stackExpr = s"stack(${all.size}, " + all.map(c =>
+        s"'$c', ${c}_nulls, ${c}_distinct, ${c}_min, ${c}_max")
+        .mkString(", ") + ") AS (column_name, n_nulls, n_distinct, min_v, max_v)"
+      one.selectExpr(stackExpr).orderBy("column_name")
     },
 
     // R13 — ROLLUP with grouping flags (NULL group keys coalesced to 'ALL'
@@ -431,6 +456,23 @@ object RelationalQueries {
         |  COUNT(*) AS n
         |FROM lineitem l JOIN dim d USING (l_returnflag)
         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    "r24_column_profile" -> {
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                     "l_quantity")
+      cols.map { c =>
+        s"""SELECT '$c' AS column_name,
+           |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |  COUNT(DISTINCT $c) AS n_distinct,
+           |  MIN($c) AS min_v, MAX($c) AS max_v FROM t""".stripMargin
+      }.mkString(
+        "WITH t AS (SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,\n" +
+        "  CAST(l_partkey AS BIGINT) AS l_partkey,\n" +
+        "  CAST(l_suppkey AS BIGINT) AS l_suppkey,\n" +
+        "  CAST(l_linenumber AS BIGINT) AS l_linenumber,\n" +
+        "  CAST(l_quantity AS BIGINT) AS l_quantity FROM lineitem)\n",
+        "\nUNION ALL\n", "\nORDER BY column_name")
+    },
+
     "r12b_except_all" ->
       """SELECT l_partkey FROM lineitem WHERE YEAR(l_shipdate) = 1995
         |EXCEPT ALL
