@@ -193,6 +193,36 @@ object IoQueries {
         .orderBy("lang")
     },
 
+    // IO10 — DYNAMIC partition overwrite: the partitioned table gets ONE
+    // partition replaced in place (status 'F', prices restated ×2) while
+    // every other partition's files are untouched — the incremental-load
+    // primitive of a partitioned lake (static overwrite mode would wipe
+    // the whole table; dynamic replaces exactly the partitions present in
+    // the incoming frame). The conf is query-scoped (set/restore); the
+    // gate aggregates the post-overwrite table against an oracle that
+    // restates F from the source — proving both the replacement and the
+    // non-replacement.
+    "io10_partition_overwrite" -> { (s, d) =>
+      val path = scratch("dynover", d)
+      val orders = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+                Q.dec2(col("o_totalprice")).as("price"))
+      orders.write.mode("overwrite")
+        .partitionBy("o_orderstatus").parquet(path)
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "dynamic")
+      try orders.filter(col("o_orderstatus") === "F")
+        .withColumn("price", Q.dec2(col("price") * 2))
+        .write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+      finally prev.fold(s.conf.unset(key))(v => s.conf.set(key, v))
+      s.read.parquet(path)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("price")).cast("double").as("sum_price"))
+        .orderBy("o_orderstatus")
+    },
+
     // IO4 — bucketed co-located join: orders ⋈ customer on custkey with
     // both sides pre-bucketed on the key — zero shuffle exchange in the
     // join AND the downstream per-customer aggregate (asserted by
@@ -249,6 +279,16 @@ object IoQueries {
         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     // Replays the generation split: even keys predate the priority column
     // (NULL there), odd keys carry it.
+    // Post-overwrite state restated from the source: F doubled, others as
+    // written.
+    "io10_partition_overwrite" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F'
+        |                THEN CAST(o_totalprice AS DECIMAL(18,2)) * 2
+        |                ELSE CAST(o_totalprice AS DECIMAL(18,2)) END)
+        |       AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // The compacted table must aggregate identically to the source table.
     "io9_compaction" ->
       """SELECT lang, COUNT(*) AS n_docs,

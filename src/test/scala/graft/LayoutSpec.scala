@@ -97,6 +97,28 @@ class LayoutSpec extends SparkSpec {
     assert(!rewritePlan.contains("Exchange"), rewritePlan)
   }
 
+  test("io10: dynamic overwrite replaces only the written partition's files") {
+    val base = System.getProperty("java.io.tmpdir") + "/graft-layout-spec/dynover"
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(base)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def files(status: String) =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/o_orderstatus=$status"))
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map(f => f.getPath.getName -> f.getModificationTime).toMap
+    val oBefore = files("O")
+    val fBefore = files("F")
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    spark.conf.set(key, "dynamic")
+    try orders.filter(col("o_orderstatus") === "F")
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(base)
+    finally spark.conf.unset(key)
+    assert(files("O") == oBefore, "untouched partition's files must not change")
+    assert(files("F") != fBefore, "overwritten partition must have new files")
+  }
+
   test("io1/io2: text roundtrips are lossless against the direct aggregate") {
     val viaCsv = IoQueries.queries("io1_csv_roundtrip")(spark, dir).collect()
     val direct = Tables.load(spark, dir, "lineitem")
