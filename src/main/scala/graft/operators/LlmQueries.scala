@@ -302,6 +302,23 @@ object LlmQueries {
         .orderBy("lang", "rnk")
     },
 
+    // L24 — the L22 bigram counts through the engine's custom Catalyst
+    // GENERATOR (`word_ngrams`, a native UDTF registered via
+    // SparkSessionExtensions) on the SQL route: the generator resolves in
+    // the parser, plans as a `Generate` node (the operator `explode`
+    // rides), and streams n-gram rows without materializing the per-doc
+    // array the transform+explode formulation allocates. Same oracle as
+    // L22 — two formulations, one declared semantics.
+    "l24_generator_ngrams" -> ((s, d) => graft.Engine.sql(s, d,
+      """WITH bi AS (SELECT lang, word_ngrams(text, 2) AS bigram FROM documents),
+        |c AS (SELECT lang, bigram, COUNT(*) AS cnt FROM bi GROUP BY 1, 2),
+        |r AS (SELECT lang, bigram, cnt,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY lang
+        |                                ORDER BY cnt DESC, bigram ASC) AS BIGINT) AS rnk
+        |      FROM c)
+        |SELECT lang, rnk, bigram, cnt FROM r WHERE rnk <= 10
+        |ORDER BY lang, rnk""".stripMargin)),
+
     // L21 — stratified corpus rebalancing: per-language keep rates (the
     // over-represented language downsampled hard, long-tail kept whole)
     // applied via a DETERMINISTIC multiplicative hash — the curation twin
@@ -424,6 +441,26 @@ object LlmQueries {
     * mirrors [[graft.functions.VectorFunctions.dot]]'s zip_with+aggregate
     * fold bit-for-bit (same products, same addition order, 0.0 init).
     */
+  /** Shared L22/L24 bigram-count replay (top-10 per lang, lexicographic
+    * tie-break).
+    */
+  private val duckBigrams =
+    """WITH toks AS (
+      |  SELECT lang, list_filter(string_split(text, ' '), t -> t != '') AS tk
+      |  FROM documents),
+      |bi AS (
+      |  SELECT lang,
+      |    unnest(list_transform(range(1, len(tk)),
+      |                          i -> tk[i] || ' ' || tk[i+1])) AS bigram
+      |  FROM toks),
+      |c AS (SELECT lang, bigram, COUNT(*) AS cnt FROM bi GROUP BY 1, 2),
+      |r AS (SELECT lang, bigram, cnt,
+      |        ROW_NUMBER() OVER (PARTITION BY lang
+      |                           ORDER BY cnt DESC, bigram ASC) AS rnk
+      |      FROM c)
+      |SELECT lang, rnk, bigram, cnt FROM r WHERE rnk <= 10
+      |ORDER BY lang, rnk""".stripMargin
+
   private def duckDot(a: String, b: String): String =
     s"list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> $a[i] * $b[i])), (acc, v) -> acc + v)"
 
@@ -864,22 +901,9 @@ object LlmQueries {
         |SELECT lang, status, COUNT(*) AS n FROM cls
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
-    "l22_bigram_freq" ->
-      """WITH toks AS (
-        |  SELECT lang, list_filter(string_split(text, ' '), t -> t != '') AS tk
-        |  FROM documents),
-        |bi AS (
-        |  SELECT lang,
-        |    unnest(list_transform(range(1, len(tk)),
-        |                          i -> tk[i] || ' ' || tk[i+1])) AS bigram
-        |  FROM toks),
-        |c AS (SELECT lang, bigram, COUNT(*) AS cnt FROM bi GROUP BY 1, 2),
-        |r AS (SELECT lang, bigram, cnt,
-        |        ROW_NUMBER() OVER (PARTITION BY lang
-        |                           ORDER BY cnt DESC, bigram ASC) AS rnk
-        |      FROM c)
-        |SELECT lang, rnk, bigram, cnt FROM r WHERE rnk <= 10
-        |ORDER BY lang, rnk""".stripMargin,
+    "l22_bigram_freq" -> duckBigrams,
+    // The generator formulation shares L22's oracle — identical contract.
+    "l24_generator_ngrams" -> duckBigrams,
 
     "l21_stratified_sample" ->
       """WITH rates(lang, rate) AS (VALUES ('en', 250), ('de', 600), ('es', 800), ('fr', 800)),

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{RollingMinHash, SortedIntersectCount, SrpBands, VecDot}
+import graft.functions.{RollingMinHash, SortedIntersectCount, SrpBands, VecDot, WordNgramsGen}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -44,6 +44,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"rolling_min_hash window must be an INT literal, got $other")
         }
         RollingMinHash(children(0), w)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("word_ngrams"),
+      new ExpressionInfo(classOf[WordNgramsGen].getName, "word_ngrams"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "word_ngrams expects exactly 2 arguments")
+        val n = children(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"word_ngrams width must be an INT literal, got $other")
+        }
+        WordNgramsGen(children(0), n)
       }))
     ext.injectFunction((
       new FunctionIdentifier("srp_bands"),

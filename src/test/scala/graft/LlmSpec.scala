@@ -165,6 +165,25 @@ class LlmSpec extends SparkSpec {
     assert(got(3L) == Seq("x y"))
   }
 
+  test("word_ngrams generator matches the transform+explode formulation") {
+    // Same corner cases as the wordNgrams test: multiplicity, short docs,
+    // empty text, multi-space, plus NULL (generator emits no rows).
+    val df = Seq(
+      (0L, "a b a b a"), (1L, "one"), (2L, ""), (3L, "x  y"), (4L, null)
+    ).toDF("doc_id", "text")
+    val viaGen = df.selectExpr("doc_id", "word_ngrams(text, 2) AS bi")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    val viaHof = df
+      .select(col("doc_id"), explode(TextFunctions.wordNgrams("text", 2)).as("bi"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    assert(viaGen == viaHof)
+    assert(viaGen.count(_._1 == 0L) == 4)   // multiplicity preserved
+    // The generator plans as a Generate node, not a UDF-wrapped array.
+    val plan = df.selectExpr("word_ngrams(text, 2)")
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("Generate"), plan)
+  }
+
   test("cosine of identical vectors is 1; orthogonal is 0") {
     val df = Seq(
       (Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f)),
