@@ -245,6 +245,58 @@ object DedupOps {
     out
   }
 
+  /** CONTAINMENT near-dup pairs — ASYMMETRIC Jaccard: C(x→y) = |x∩y|/|x|,
+    * the quote/excerpt/boilerplate detector symmetric Jaccard misses (a
+    * paragraph lifted into a 100× longer doc has Jaccard ≈ 0.01 but
+    * containment ≈ 1). Output is oriented smaller-set-into-larger (id
+    * tie-break at equal sizes, where containment is symmetric).
+    *
+    * Prefix filtering adapts to the asymmetry: only the CONTAINED side
+    * needs a prefix — if C(x→y) ≥ t then |x∩y| ≥ ⌈t·|x|⌉, so x must share
+    * an element within its |x| − ⌈t·|x|⌉ + 1 rarest codes (were every
+    * shared code outside that prefix, the intersection would be too
+    * small); the container side joins with its FULL code set. Same
+    * integer-exact threshold arithmetic as [[prefixJaccardPairs]]
+    * (T = ⌊t·10^6⌋ scaled longs, never a float compare), same linear
+    * [[graft.functions.SortedIntersectCount]] verification.
+    */
+  def containmentPairs(docs: DataFrame, threshold: Double,
+                       n: Int = 3): DataFrame = {
+    val T = math.floor(threshold * 1e6).toLong
+    val sh = shingles(docs, n).persist()
+    try {
+      val freq = sh.groupBy(col("code")).agg(count(lit(1)).as("cf"))
+      val byRarity = Window.partitionBy(col("doc_id"))
+        .orderBy(col("cf").asc, col("code").asc)
+      val ranked = sh.join(freq, "code")
+        .withColumn("r", row_number().over(byRarity))
+        .withColumn("nsh", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      val prefix = ranked
+        .filter(col("r") <=
+          col("nsh") - expr(s"(nsh * ${T}L + 999999L) div 1000000L") + 1)
+        .select(col("doc_id").as("xa"), col("code"))
+      val candidates = prefix
+        .join(sh.select(col("doc_id").as("xb"), col("code")), "code")
+        .filter(col("xa") =!= col("xb"))
+        .select("xa", "xb").distinct()
+      val sets = sh.groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("code"))).as("codes"))
+      val result = candidates
+        .join(sets.select(col("doc_id").as("xa"), col("codes").as("ca")), "xa")
+        .join(sets.select(col("doc_id").as("xb"), col("codes").as("cb")), "xb")
+        .select(col("xa"), col("xb"),
+          graft.functions.SortedIntersectCount(col("ca"), col("cb")).as("c"),
+          size(col("ca")).cast("long").as("na"),
+          size(col("cb")).cast("long").as("nb"))
+        .filter(col("na") < col("nb") ||
+                (col("na") === col("nb") && col("xa") < col("xb")))
+        .filter(col("c") * 1000000L >= col("na") * T)
+        .select(col("xa").as("contained_id"), col("xb").as("container_id"),
+                graft.Q.round4Ratio(col("c"), col("na")).as("containment"))
+      materialize(result)
+    } finally sh.unpersist(blocking = false)
+  }
+
   /** MinHash+LSH near-dup pairs, exact-verified — same output contract as
     * [[jaccardPairs]]. The right scale path when background similarity is
     * low (real web corpora): bucket joins touch only docs agreeing on a

@@ -302,6 +302,15 @@ object LlmQueries {
         .orderBy("lang", "rnk")
     },
 
+    // L25 — CONTAINMENT dedup (asymmetric Jaccard ≥ 0.9): the
+    // quote/excerpt/boilerplate pass — a short doc living almost entirely
+    // inside a longer one scores ~1 here while symmetric Jaccard (L2)
+    // sees nothing. Contained-side-only prefix filter, full-set container
+    // join, linear native-expression verify.
+    "l25_containment" -> ((s, d) =>
+      DedupOps.containmentPairs(docs(s, d), 0.9)
+        .orderBy("contained_id", "container_id")),
+
     // L24 — the L22 bigram counts through the engine's custom Catalyst
     // GENERATOR (`word_ngrams`, a native UDTF registered via
     // SparkSessionExtensions) on the SQL route: the generator resolves in
@@ -485,6 +494,22 @@ object LlmQueries {
       """SELECT sha256(text) AS content_hash, MIN(doc_id) AS keep_doc_id,
         |       COUNT(*) AS n_dups
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Quadratic containment replay: shared-shingle pair counts, contained
+    // side's size in the denominator, smaller-into-larger orientation.
+    "l25_containment" ->
+      s"""WITH $duckShingles,
+         |sizes AS (SELECT doc_id, COUNT(*) AS ns FROM sh GROUP BY 1),
+         |c AS (SELECT a.doc_id AS xa, b.doc_id AS xb, COUNT(*) AS c
+         |      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id != b.doc_id
+         |      GROUP BY 1, 2)
+         |SELECT xa AS contained_id, xb AS container_id,
+         |  ${Q.duckRound4Ratio("c.c", "sa.ns")} AS containment
+         |FROM c JOIN sizes sa ON c.xa = sa.doc_id
+         |       JOIN sizes sb ON c.xb = sb.doc_id
+         |WHERE c.c * 1000000 >= 900000 * sa.ns
+         |  AND (sa.ns < sb.ns OR (sa.ns = sb.ns AND c.xa < c.xb))
+         |ORDER BY contained_id, container_id""".stripMargin,
 
     "l2_near_dup" ->
       s"""WITH $duckShingles,

@@ -245,6 +245,36 @@ class LlmSpec extends SparkSpec {
     assert(ivf == brute)
   }
 
+  test("containmentPairs equals the quadratic baseline and catches excerpts") {
+    // Doc 8 is a verbatim EXCERPT of doc 0: containment = 1.0 while
+    // symmetric Jaccard is far below threshold — the case L2 cannot see.
+    val c = corpus.unionByName(Seq(
+      (8L, "the quick brown fox")).toDF("doc_id", "text"))
+    val got = DedupOps.containmentPairs(c, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // Quadratic baseline over the same shingle sets.
+    val sh = DedupOps.shingles(c)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
+    val inter = sh.select(col("doc_id").as("xa"), col("code"))
+      .join(sh.select(col("doc_id").as("xb"), col("code")), "code")
+      .filter(col("xa") =!= col("xb"))
+      .groupBy("xa", "xb").agg(count(lit(1)).as("c"))
+    val want = inter
+      .join(sizes.select(col("doc_id").as("xa"), col("ns").as("na")), "xa")
+      .join(sizes.select(col("doc_id").as("xb"), col("ns").as("nb")), "xb")
+      .filter(col("c") * 1000000L >= col("na") * 900000L)
+      .filter(col("na") < col("nb") ||
+              (col("na") === col("nb") && col("xa") < col("xb")))
+      .select(col("xa"), col("xb"), Q.round4Ratio(col("c"), col("na")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want)
+    assert(got.contains((8L, 0L, 1.0)) && got.contains((8L, 1L, 1.0)))
+    // The symmetric path must NOT report the excerpt pair.
+    val jac = DedupOps.prefixJaccardPairs(c, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jac.contains((0L, 8L)) && !jac.contains((8L, 0L)))
+  }
+
   test("incrementalClassify covers all three statuses (fixture has no exact dups)") {
     // Planted corpus: even ids = base, odd ids = increment.
     //  1 — text equals base doc 0           -> exact_dup (in base)
