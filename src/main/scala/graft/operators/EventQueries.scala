@@ -151,6 +151,39 @@ object EventQueries {
           .orderBy("ws", "event_type")
       }),
 
+    // S16 (batch form) — dedup→aggregate: the events table doubled by
+    // self-union, deduplicated on event_id, then hourly counts. The
+    // batch twin of the chained-stateful stream below; duplicates are
+    // full-row identical so batch dropDuplicates' arbitrary pick is
+    // value-deterministic.
+    "s16_dedup_window" -> { (s, d) =>
+      val e = ev(s, d)
+      e.unionAll(e)
+        .dropDuplicates("event_id")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(Q.micros(col("window.start")).as("ws"), col("event_type"),
+                col("n"))
+        .orderBy("ws", "event_type")
+    },
+
+    // S16 (stream form) — heterogeneous multi-stateful pipeline: the
+    // stream unioned with itself (every event arrives twice),
+    // dropDuplicatesWithinWatermark, then a tumbling hourly count — dedup
+    // state and window state chained in ONE streaming query, append mode.
+    // The hour counts equal the clean batch counts exactly iff the dedup
+    // layer suppressed every duplicate before it reached the aggregate —
+    // that equality is the hashed contract. Sentinel advances the
+    // watermark so every real hour finalizes; its own never does.
+    "s16_dedup_stream" -> ((s, d) =>
+      sentinelStream(s, d, Seq("sentinel")) { stream =>
+        EventStreams.runToCompletion(
+            s, EventStreams.dedupThenWindow(stream.unionAll(stream)),
+            "s16_sink", mode = "append")
+          .filter(col("event_type") =!= "sentinel")
+          .orderBy("ws", "event_type")
+      }),
+
     // S4 — the real streaming path: readStream over the same parquet,
     // watermark + tumbling agg, complete mode run to completion. Must equal
     // the batch S1 computation (same oracle).
@@ -448,6 +481,11 @@ object EventQueries {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  private val s16Oracle =
+    """SELECT epoch_us(date_trunc('hour', ts)) AS ws, event_type,
+      |  COUNT(*) AS n
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   private val chainedOracle =
     """WITH w10 AS (
       |  SELECT (epoch_us(ts) // 600000000) * 600000000 AS w10s, event_type,
@@ -655,6 +693,10 @@ object EventQueries {
     "s14_chained_stream" -> chainedOracle,
     "s2_sliding_window" -> slidingOracle,
     "s3_session_window" -> sessionOracle,
-    "s5_dedup_events" -> dedupOracle
+    "s5_dedup_events" -> dedupOracle,
+    // The doubled-then-dedup'd stream must reproduce the CLEAN hourly
+    // counts — same shape as s1 minus the value sum.
+    "s16_dedup_window" -> s16Oracle,
+    "s16_dedup_stream" -> s16Oracle
   )
 }

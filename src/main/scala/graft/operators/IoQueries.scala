@@ -223,6 +223,23 @@ object IoQueries {
         .orderBy("o_orderstatus")
     },
 
+    // IO11 — the `_metadata` hidden file-source column: per-source-file
+    // row counts across three fixture tables through one projected scan
+    // each. At 100 TB this is the lineage/audit primitive — which file
+    // produced which rows, without a filename UDF or an input_file_name()
+    // string in every row group (the projection reads ONLY the constant
+    // metadata struct, no data columns). The fixture names are stable, so
+    // the oracle states them as literals.
+    "io11_file_metadata" -> { (s, d) =>
+      Seq("orders", "events", "documents")
+        .map(tn => s.read.parquet(s"$d/$tn.parquet")
+          .select(col("_metadata.file_name").as("file_name")))
+        .reduce(_ unionAll _)
+        .groupBy(col("file_name"))
+        .agg(count(lit(1)).as("n_rows"))
+        .orderBy("file_name")
+    },
+
     // IO4 — bucketed co-located join: orders ⋈ customer on custkey with
     // both sides pre-bucketed on the key — zero shuffle exchange in the
     // join AND the downstream per-customer aggregate (asserted by
@@ -234,6 +251,13 @@ object IoQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "io11_file_metadata" ->
+      """SELECT 'orders.parquet' AS file_name, COUNT(*) AS n_rows FROM orders
+        |UNION ALL
+        |SELECT 'events.parquet' AS file_name, COUNT(*) AS n_rows FROM events
+        |UNION ALL
+        |SELECT 'documents.parquet' AS file_name, COUNT(*) AS n_rows FROM documents
+        |ORDER BY file_name""".stripMargin,
     "io1_csv_roundtrip" ->
       """SELECT l_returnflag,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -311,6 +311,15 @@ object LlmQueries {
       DedupOps.containmentPairs(docs(s, d), 0.9)
         .orderBy("contained_id", "container_id")),
 
+    // L26 — kNN label classification: the supervised use of the L5
+    // similarity ladder. Each query vector (vec_id ≤ 9) takes the
+    // majority label of its 10 nearest neighbors; the vote tie-break
+    // (votes desc, label asc) is a total order, so the DuckDB oracle
+    // replays the exact prediction.
+    "l26_knn_classify" -> ((s, d) =>
+      SimilarityOps.knnClassify(emb(s, d), emb(s, d).filter(col("vec_id") <= 9), 10)
+        .orderBy("query_id")),
+
     // L24 — the L22 bigram counts through the engine's custom Catalyst
     // GENERATOR (`word_ngrams`, a native UDTF registered via
     // SparkSessionExtensions) on the SQL route: the generator resolves in
@@ -497,6 +506,31 @@ object LlmQueries {
 
     // Quadratic containment replay: shared-shingle pair counts, contained
     // side's size in the denominator, smaller-into-larger orientation.
+    // Replays knnClassify: the l5 top-k CTE at k=10, neighbor labels
+    // joined in, majority vote with the (votes DESC, label ASC) tie-break.
+    "l26_knn_classify" ->
+      s"""WITH e AS (SELECT vec_id, label,
+         |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS a
+         |           FROM embeddings),
+         |sims AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label,
+         |         ${duckCosine("q.a", "c.a")} AS sim
+         |  FROM e q JOIN e c ON q.vec_id <= 9 AND c.vec_id != q.vec_id),
+         |ranked AS (
+         |  SELECT query_id, label,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |                       ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |  FROM sims),
+         |votes AS (
+         |  SELECT query_id, label, COUNT(*) AS votes
+         |  FROM ranked WHERE rank <= 10 GROUP BY 1, 2)
+         |SELECT query_id, label AS pred_label, votes FROM (
+         |  SELECT query_id, label, votes,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |                       ORDER BY votes DESC, label ASC) AS vrn
+         |  FROM votes) WHERE vrn = 1
+         |ORDER BY query_id""".stripMargin,
+
     "l25_containment" ->
       s"""WITH $duckShingles,
          |sizes AS (SELECT doc_id, COUNT(*) AS ns FROM sh GROUP BY 1),

@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
-/** Declared relational queries R1–R24 (SURVEY.md §2.2 R-table): every operator
+/** Declared relational queries R1–R26 (SURVEY.md §2.2 R-table): every operator
   * family the judge checks — scan/filter/project, hash aggregate, all join
   * shapes, windows (ranking, analytic, RANGE frames, distribution), sort/
   * limit, set ops (distinct + multiset ALL), rollup/cube/pivot, distinct
@@ -198,6 +198,48 @@ object RelationalQueries {
         .agg(Q.sumMoney(col("l_quantity")).as("sum_qty"),
              count(lit(1)).as("n"))
         .orderBy("l_returnflag")
+    },
+
+    // R25 — hand-picked GROUPING SETS through the DataFrame API
+    // (Dataset.groupingSets, new in Spark 4.0 — sql3 gates the same shape
+    // through the parser) with grouping_id() disambiguating which set a
+    // row belongs to: detail (gid 0), per-status margin (gid 1), grand
+    // total (gid 3). Plans as ONE Expand + hash aggregate — a single scan
+    // for all three aggregation levels, which is exactly why grouping
+    // sets beat three unioned GROUP BYs at 100 TB. NULL group keys are
+    // coalesced to 'ALL' per the r13 convention.
+    "r25_grouping_sets" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+              Seq(col("o_orderstatus")), Seq.empty),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping_id().cast("long").as("gid"),
+             Q.sumMoney(col("o_totalprice")).as("total"),
+             count(lit(1)).as("n"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+                coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+                col("gid"), col("total"), col("n"))
+        .orderBy("gid", "status", "priority")),
+
+    // R26 — IGNORE NULLS analytic windows: per customer, the previous and
+    // the running-latest finalized ('F') order price, carried across
+    // non-F rows by LAG(.., ignoreNulls) / LAST(.., ignoreNulls). The
+    // gap-carry shape (last observation carried forward) that a plain
+    // LAG/LAST cannot express without a second self-join. Prices pass
+    // through unchanged (no arithmetic), so doubles are bit-identical to
+    // the oracle's.
+    "r26_ignore_nulls" -> { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      t(s, d, "orders")
+        .withColumn("p", when(col("o_orderstatus") === "F", col("o_totalprice")))
+        .select(col("o_custkey"), col("o_orderkey"),
+                lag(col("p"), 1, null, ignoreNulls = true).over(w).as("prev_f"),
+                last(col("p"), ignoreNulls = true)
+                  .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+                  .as("last_f"))
+        .orderBy("o_custkey", "o_orderkey")
     },
 
     // R24 — one-pass column profiling (the ANALYZE TABLE / data-quality
@@ -472,6 +514,30 @@ object RelationalQueries {
         "  CAST(l_quantity AS BIGINT) AS l_quantity FROM lineitem)\n",
         "\nUNION ALL\n", "\nORDER BY column_name")
     },
+
+    "r25_grouping_sets" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |  COALESCE(o_orderpriority, 'ALL') AS priority,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  COUNT(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |                        (o_orderstatus), ())
+        |ORDER BY gid, status, priority""".stripMargin,
+    // DuckDB spells IGNORE NULLS inside the argument list; the values
+    // themselves pass through LAG/LAST_VALUE untouched, so DOUBLE parity
+    // is exact.
+    "r26_ignore_nulls" ->
+      """SELECT o_custkey, o_orderkey,
+        |  LAG(p, 1 IGNORE NULLS) OVER w AS prev_f,
+        |  LAST_VALUE(p IGNORE NULLS) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_f
+        |FROM (SELECT *, CASE WHEN o_orderstatus = 'F' THEN o_totalprice END AS p
+        |      FROM orders)
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "r12b_except_all" ->
       """SELECT l_partkey FROM lineitem WHERE YEAR(l_shipdate) = 1995

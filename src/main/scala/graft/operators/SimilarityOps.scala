@@ -271,4 +271,26 @@ object SimilarityOps {
         sum(col("wa").cast("decimal(38,0)") *
             col("wb").cast("decimal(38,0)")), fp90).as("g"))
   }
+
+  /** kNN classification: each query takes the majority label of its k
+    * nearest corpus neighbors by cosine (ties: more votes win, then the
+    * smaller label — both total orders, so the prediction is
+    * deterministic). The neighbor list reuses [[bruteTopK]] (swap in
+    * [[ivfTopK]]/[[pqTopK]] at scale — the vote is search-agnostic); it
+    * is queries·k rows, so it broadcasts to the corpus-label join and the
+    * vote aggregate shuffles only queries·(≤k) label groups — driver-side
+    * cost is independent of corpus size.
+    */
+  def knnClassify(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val nn = bruteTopK(corpus, queries, k)
+    val labels = corpus.select(col("vec_id").as("neighbor_id"), col("label"))
+    val wVote = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("label").asc)
+    broadcast(nn).join(labels, "neighbor_id")
+      .groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vrn", row_number().over(wVote))
+      .filter(col("vrn") === 1)
+      .select(col("query_id"), col("label").as("pred_label"), col("votes"))
+  }
 }

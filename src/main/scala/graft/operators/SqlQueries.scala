@@ -152,6 +152,20 @@ object SqlQueries {
           |FROM walk GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)
     },
 
+    // SQL UNPIVOT (the parser-level wide→long reshape, inverse of r20's
+    // PIVOT): two measure columns melted into (metric, val) rows with
+    // explicit labels. Plans as a single Expand — one scan, rows ×2, no
+    // shuffle — which is the shape that survives 100 TB (the UNION ALL
+    // equivalent scans the table once per measure). Measures are
+    // pre-cast to a shared DOUBLE so UNPIVOT's least-common-type
+    // coercion never invents a cross-engine type skew.
+    "sql9_unpivot" -> ((s, d) => Engine.sql(s, d,
+      """SELECT p_partkey, metric, val
+        |FROM (SELECT p_partkey, CAST(p_size AS DOUBLE) AS size_v,
+        |             p_retailprice AS retail_v FROM part)
+        |UNPIVOT (val FOR metric IN (size_v AS size, retail_v AS retail))
+        |ORDER BY p_partkey, metric""".stripMargin)),
+
     // Hourly event counts through the SQL-registered events view — pins
     // the view's microsecond TimestampType (a regression here surfaces as
     // a ws hash mismatch, the exact failure mode the r3 ADVICE flagged).
@@ -232,6 +246,14 @@ object SqlQueries {
         |)
         |SELECT o_custkey, MAX(hop) AS chain_len, MAX(cents) AS chain_cents
         |FROM walk GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    // DuckDB's UNPIVOT quotes labels differently, so the oracle uses the
+    // portable UNION ALL spelling — same rows, same types.
+    "sql9_unpivot" ->
+      """SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS val
+        |FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'retail' AS metric, p_retailprice AS val FROM part
+        |ORDER BY p_partkey, metric""".stripMargin,
     // Same index-order fold as VecDot's generated loop: ((0+v1)+v2)+... —
     // identical IEEE sequence, so the doubles match bit-for-bit.
     "sql4_vec_norms" ->

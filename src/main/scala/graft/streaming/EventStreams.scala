@@ -65,6 +65,26 @@ object EventStreams {
       .select(unix_micros(col("window.start")).as("ws"), col("event_type"),
               col("n"), col("n_sub"))
 
+  /** S16 — HETEROGENEOUS multi-stateful chain: watermark-scoped streaming
+    * dedup feeding a tumbling windowed count in the SAME query — two
+    * different stateful operators (dedup state + window state), vs S14's
+    * agg→agg chain. Append mode only, like every chained-stateful
+    * pipeline: the window layer emits when the watermark passes the hour
+    * end, and by then the dedup layer has already suppressed every
+    * duplicate of that hour. At 100 TB this is the canonical ingest shape
+    * — at-least-once delivery dedup'd exactly once BEFORE the aggregate,
+    * one query, no intermediate sink. The watermark is declared once,
+    * upstream of the dedup, and flows through both state stores.
+    */
+  def dedupThenWindow(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("window.start")).as("ws"), col("event_type"),
+              col("n"))
+
   /** S5 — stateful streaming dedup on event_id within the watermark. */
   def dedup(events: DataFrame): DataFrame =
     events

@@ -232,6 +232,31 @@ class LlmSpec extends SparkSpec {
     assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L))  // neighbor order
   }
 
+  test("knnClassify takes the majority label; vote ties fall to the smaller label") {
+    val corpus = Seq(
+      (0L,  Array(1.0f, 0.0f),   9),  // the query — own label must not vote
+      (10L, Array(0.9f, 0.1f),   1),
+      (11L, Array(0.95f, 0.05f), 1),
+      (12L, Array(0.0f, 1.0f),   2),
+      (13L, Array(0.1f, 0.9f),   2)
+    ).toDF("vec_id", "embedding", "label")
+    val q = corpus.filter($"vec_id" === 0)
+    // k=3 → neighbors 11, 10 (label 1) and 13 (label 2): majority 1.
+    val maj = SimilarityOps.knnClassify(corpus, q, 3).collect()
+    assert(maj.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq ==
+      Seq((0L, 1, 2L)))
+    // k=2 on a tie corpus → one vote per label, prediction = smaller label.
+    val tied = Seq(
+      (0L,  Array(1.0f, 0.0f),  9),
+      (20L, Array(0.99f, 0.14f), 5),
+      (21L, Array(0.98f, 0.2f),  3)
+    ).toDF("vec_id", "embedding", "label")
+    val tie = SimilarityOps.knnClassify(tied, tied.filter($"vec_id" === 0), 2)
+      .collect()
+    assert(tie.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq ==
+      Seq((0L, 3, 1L)))
+  }
+
   test("ivfTopK equals bruteTopK when every centroid is probed") {
     val vecs = (0L until 30L).map { id =>
       (id, Array.tabulate(4)(d => ((id * 7 + d * 3) % 11).toFloat - 5f), 0)

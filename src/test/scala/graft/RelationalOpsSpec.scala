@@ -1,0 +1,85 @@
+package graft
+
+import graft.operators.{IoQueries, RelationalQueries, SqlQueries}
+import org.apache.spark.sql.functions._
+
+/** Semantics of the r25/r26/io11/sql9 additions, checked against
+  * driver-side re-derivations on sf0.001 — oracle-independent (the DuckDB
+  * gate is separate; these pin the SEMANTICS, not the hash).
+  */
+class RelationalOpsSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("r25 grouping sets: three levels, margins fold to the grand total") {
+    val rows = RelationalQueries.queries("r25_grouping_sets")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+                 r.getDouble(3), r.getLong(4)))
+    val gids = rows.map(_._3).toSet
+    assert(gids == Set(0L, 1L, 3L), "detail, status margin, grand total")
+    // Grand total row is fully coalesced and counts every order.
+    val Array(total) = rows.filter(_._3 == 3L)
+    assert(total._1 == "ALL" && total._2 == "ALL")
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    assert(total._5 == orders.count())
+    // Detail rows fold exactly onto their status margin (exact decimal
+    // sums exported as doubles — equality is legitimate).
+    val detailByStatus = rows.filter(_._3 == 0L).groupBy(_._1)
+      .view.mapValues(rs => (rs.map(_._4).sum, rs.map(_._5).sum)).toMap
+    rows.filter(_._3 == 1L).foreach { case (st, _, _, tot, n) =>
+      assert(detailByStatus(st)._2 == n, s"count fold for $st")
+      assert(math.abs(detailByStatus(st)._1 - tot) < 1e-6, s"sum fold for $st")
+    }
+  }
+
+  test("r26 ignore-nulls windows carry the last F price across non-F rows") {
+    val got = RelationalQueries.queries("r26_ignore_nulls")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+                 if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+                 if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    // Re-derive LOCF driver-side from the raw table in window order.
+    val raw = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_custkey"), col("o_orderkey"),
+              unix_micros(col("o_orderdate").cast("timestamp")).as("od_us"),
+              when(col("o_orderstatus") === "F", col("o_totalprice")).as("p"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+                 if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .sortBy(t => (t._1, t._3, t._2))
+    val expected = raw.groupBy(_._1).iterator.flatMap { case (_, rs) =>
+      val fSoFar = rs.scanLeft(Option.empty[Double]) {
+        case (acc, (_, _, _, p)) => p.orElse(acc)
+      }
+      // prev_f at row i = carry BEFORE the row; last_f = carry AFTER.
+      rs.zipWithIndex.map { case ((ck, ok, _, _), i) =>
+        (ck, ok) -> (fSoFar(i), fSoFar(i + 1))
+      }
+    }.toMap
+    assert(got.nonEmpty && got.exists(_._3.isEmpty) && got.exists(_._3.nonEmpty),
+      "fixture exercises both the null-gap and the carried case")
+    got.foreach { case (ck, ok, prev, lastv) =>
+      assert(expected((ck, ok)) == ((prev, lastv)), s"customer $ck order $ok")
+    }
+  }
+
+  test("sql9 UNPIVOT melts two measures into labeled rows, one Expand pass") {
+    val df = SqlQueries.queries("sql9_unpivot")(spark, dir)
+    val parts = spark.read.parquet(s"$dir/part.parquet")
+    val got = df.collect()
+    assert(got.length == 2 * parts.count())
+    assert(got.map(_.getString(1)).toSet == Set("size", "retail"))
+    // wide→long through ONE Expand, not a self-union double scan.
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), s"expected Expand in:\n$plan")
+    assert(!plan.contains("Union"), "UNPIVOT must not plan as UNION ALL")
+  }
+
+  test("io11 _metadata file names and per-file counts match the fixtures") {
+    val got = IoQueries.queries("io11_file_metadata")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val expected = Seq("orders", "events", "documents").map(t =>
+      s"$t.parquet" -> spark.read.parquet(s"$dir/$t.parquet").count()).toMap
+    assert(got == expected)
+  }
+}

@@ -90,6 +90,23 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == Seq((ws(0), "a", 4L, 3L)))
   }
 
+  test("dedup→window chain suppresses duplicates before the hour finalizes") {
+    // Hour 0 carries events 1, 2 (type a) and 3 (type b); 1 duplicates
+    // within its batch, 2 duplicates ACROSS batches — both must be
+    // absorbed by the dedup state before the window layer counts. The
+    // minute-400 event only advances the watermark past hour 0.
+    val batches = Seq(
+      Seq(Ev(1, t(5), 1, "a", 1.0), Ev(2, t(12), 1, "a", 2.0),
+          Ev(1, t(5), 1, "a", 1.0)),
+      Seq(Ev(2, t(12), 1, "a", 2.0), Ev(3, t(30), 2, "b", 3.0)),
+      Seq(Ev(9, t(400), 1, "z", 9.0)))
+    val got = runStream(batches, EventStreams.dedupThenWindow, "append", "t_s16")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(x => (x._1, x._2))
+    // Clean counts, not doubled; the minute-400 hour is still open.
+    assert(got.toSeq == Seq((ws(0), "a", 2L), (ws(0), "b", 1L)))
+  }
+
   test("streaming dedup keeps one row per event_id within the watermark") {
     val batches = Seq(
       Seq(Ev(1, t(10), 1, "a", 1.0), Ev(2, t(11), 1, "a", 2.0)),
