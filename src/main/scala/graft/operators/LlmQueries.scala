@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
-import graft.functions.{TextFunctions, VectorMean}
+import graft.functions.{NfcNormalize, TextFunctions, VectorMean}
 import graft.multimodal.Multimodal
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -320,6 +320,30 @@ object LlmQueries {
       SimilarityOps.knnClassify(emb(s, d), emb(s, d).filter(col("vec_id") <= 9), 10)
         .orderBy("query_id")),
 
+    // L27 — Unicode NFC canonicalization via the engine's native
+    // `nfc_normalize` expression ([[graft.functions.NfcNormalize]]): the
+    // text-cleaning step that must precede content hashing (composed vs
+    // decomposed accents are different bytes, same text). The fixture is
+    // ASCII, so decomposed sequences are planted per doc_id — the gate
+    // proves composition actually happens (length shrinks by exactly the
+    // combining marks) and that the normalized bytes hash identically in
+    // both engines.
+    "l27_normalize" -> { (s, d) =>
+      // DECOMPOSED escapes (base letter + combining mark) so NFC has real
+      // work: "Cafe"+U+0301 composes to 5 chars, "Zu"+U+0308+"rich" to 7.
+      val planted = when(col("doc_id") % 3 === 0, lit("Cafe\u0301 "))
+        .when(col("doc_id") % 3 === 1, lit("Zu\u0308rich "))
+        .otherwise(lit(""))
+      docs(s, d)
+        .withColumn("raw", concat(planted, col("text")))
+        .withColumn("norm", NfcNormalize(col("raw")))
+        .select(col("doc_id"),
+                length(col("raw")).cast("long").as("raw_len"),
+                length(col("norm")).cast("long").as("norm_len"),
+                sha2(col("norm"), 256).as("norm_sha"))
+        .orderBy("doc_id")
+    },
+
     // L24 — the L22 bigram counts through the engine's custom Catalyst
     // GENERATOR (`word_ngrams`, a native UDTF registered via
     // SparkSessionExtensions) on the SQL route: the generator resolves in
@@ -506,6 +530,20 @@ object LlmQueries {
 
     // Quadratic containment replay: shared-shingle pair counts, contained
     // side's size in the denominator, smaller-into-larger orientation.
+    // Replays the planted decomposition with chr() code points; DuckDB's
+    // nfc_normalize produces the same composed bytes, so sha256 matches.
+    "l27_normalize" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 3 = 0 THEN 'Cafe' || chr(769) || ' '
+        |          WHEN doc_id % 3 = 1 THEN 'Zu' || chr(776) || 'rich '
+        |          ELSE '' END) || text AS raw
+        |  FROM documents)
+        |SELECT doc_id, CAST(length(raw) AS BIGINT) AS raw_len,
+        |  CAST(length(nfc_normalize(raw)) AS BIGINT) AS norm_len,
+        |  sha256(nfc_normalize(raw)) AS norm_sha
+        |FROM r ORDER BY doc_id""".stripMargin,
+
     // Replays knnClassify: the l5 top-k CTE at k=10, neighbor labels
     // joined in, majority vote with the (votes DESC, label ASC) tie-break.
     "l26_knn_classify" ->

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{RollingMinHash, SortedIntersectCount, SrpBands, VecDot, WordNgramsGen}
+import graft.functions.{NfcNormalize, RollingMinHash, SortedIntersectCount, SrpBands, VecDot, WordNgramsGen}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -24,6 +24,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2,
           "sorted_intersect_count expects exactly 2 arguments")
         SortedIntersectCount(children(0), children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "nfc_normalize expects exactly 1 argument")
+        NfcNormalize(children.head)
       }))
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"),

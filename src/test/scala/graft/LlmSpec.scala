@@ -232,6 +232,26 @@ class LlmSpec extends SparkSpec {
     assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L))  // neighbor order
   }
 
+  test("nfc_normalize composes decomposed marks, keeps ASCII and NULL intact") {
+    val df = Seq(
+      (1L, "Café"),    // e + combining acute -> e-acute
+      (2L, "Zürich"),  // u + combining diaeresis -> u-umlaut
+      (3L, "plain ascii"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("id", "s")
+    val got = df.select($"id", functions.NfcNormalize($"s").as("n"),
+                        length(functions.NfcNormalize($"s")).as("len"))
+      .orderBy("id").collect()
+    assert(got(0).getString(1) == "Café" && got(0).getInt(2) == 4)
+    assert(got(1).getString(1) == "Zürich" && got(1).getInt(2) == 6)
+    assert(got(2).getString(1) == "plain ascii")
+    assert(got(3).isNullAt(1))
+    // The SQL route resolves through the injected function registry too.
+    df.createOrReplaceTempView("t_nfc")
+    assert(spark.sql("SELECT nfc_normalize(s) FROM t_nfc WHERE id = 1")
+      .head.getString(0) == "Café")
+  }
+
   test("knnClassify takes the majority label; vote ties fall to the smaller label") {
     val corpus = Seq(
       (0L,  Array(1.0f, 0.0f),   9),  // the query — own label must not vote
