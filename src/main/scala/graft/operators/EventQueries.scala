@@ -297,6 +297,30 @@ object EventQueries {
         .orderBy("event_type", "key")
     },
 
+    // J4 — MAP higher-order functions chained over the parsed props map:
+    // map_filter (drop small values) → map_zip_with (self-zip, v+v) →
+    // transform_values (+1), then exploded and aggregated. The lambda
+    // surface J2's plain explode never touches; v' = 2v+1 keeps the
+    // arithmetic exact in LONG so the oracle replays it literally.
+    "j4_map_hof" -> { (s, d) =>
+      val m = from_json(col("props"),
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.LongType))
+      ev(s, d)
+        .withColumn("m", m)
+        .withColumn("m2", expr(
+          """transform_values(
+            |  map_zip_with(map_filter(m, (k, v) -> v >= 50),
+            |               map_filter(m, (k, v) -> v >= 50),
+            |               (k, a, b) -> a + b),
+            |  (k, v) -> v + 1)""".stripMargin))
+        .select(col("event_type"), explode(col("m2")).as(Seq("key", "v2")))
+        .groupBy(col("event_type"), col("key"))
+        .agg(count(lit(1)).as("n"), sum(col("v2")).as("sum_v2"))
+        .orderBy("event_type", "key")
+    },
+
     // J3 — VARIANT semi-structured path: props ingested ONCE as the
     // binary VARIANT type (parse_json), then typed extraction
     // (variant_get) — Spark 4's answer to repeated get_json_object
@@ -620,6 +644,18 @@ object EventQueries {
         |SELECT event_type, key, COUNT(*) AS n,
         |  CAST(SUM(v) AS BIGINT) AS sum_v
         |FROM kv GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // The HOF chain collapses to v' = 2v+1 on entries with v >= 50 —
+    // replayed as plain arithmetic on the extracted kv pairs.
+    "j4_map_hof" ->
+      """WITH kv AS (
+        |  SELECT event_type, key,
+        |    CAST(json_extract_string(props, key) AS BIGINT) AS v
+        |  FROM (SELECT event_type, props, unnest(json_keys(props)) AS key
+        |        FROM events))
+        |SELECT event_type, key, COUNT(*) AS n,
+        |  CAST(SUM(v * 2 + 1) AS BIGINT) AS sum_v2
+        |FROM kv WHERE v >= 50 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "s9_gapfill" ->
       """WITH e AS (

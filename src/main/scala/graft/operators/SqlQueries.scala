@@ -152,6 +152,31 @@ object SqlQueries {
           |FROM walk GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)
     },
 
+    // ANSI FILTER-clause aggregates: per-group conditional aggregation
+    // without CASE-WHEN scaffolding — one scan, every FILTER evaluated
+    // inside the same hash aggregate (no per-condition passes). The
+    // statement is dialect-shared, so the oracle runs it verbatim.
+    "sql10_filtered_agg" -> ((s, d) => Engine.sql(s, d,
+      """SELECT l_returnflag,
+        |  COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |       FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS disc_price,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Correlated LATERAL subquery: top-2 orders per customer written as a
+    // dependent join, the shape SQL users reach for before window
+    // functions. Catalyst decorrelates the LIMIT-per-group into a
+    // partitioned window under the hood — the gate proves the rewrite
+    // produces exactly the window-formulation's rows.
+    "sql11_lateral" -> ((s, d) => Engine.sql(s, d,
+      """SELECT c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+        |         WHERE o_custkey = c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |ORDER BY c_custkey, t.o_orderkey""".stripMargin)),
+
     // SQL UNPIVOT (the parser-level wide→long reshape, inverse of r20's
     // PIVOT): two measure columns melted into (metric, val) rows with
     // explicit labels. Plans as a single Expand — one scan, rows ×2, no
@@ -246,6 +271,22 @@ object SqlQueries {
         |)
         |SELECT o_custkey, MAX(hop) AS chain_len, MAX(cents) AS chain_cents
         |FROM walk GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    // Dialect-shared FILTER clause — identical statement.
+    "sql10_filtered_agg" ->
+      """SELECT l_returnflag,
+        |  COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |       FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS disc_price,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Dialect-shared LATERAL — identical statement.
+    "sql11_lateral" ->
+      """SELECT c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+        |         WHERE o_custkey = c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |ORDER BY c_custkey, t.o_orderkey""".stripMargin,
     // DuckDB's UNPIVOT quotes labels differently, so the oracle uses the
     // portable UNION ALL spelling — same rows, same types.
     "sql9_unpivot" ->

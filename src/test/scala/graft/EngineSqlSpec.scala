@@ -34,6 +34,41 @@ class EngineSqlSpec extends SparkSpec {
     assert(df.collect().map(_.getString(0)).nonEmpty)
   }
 
+  test("sql10 FILTER aggregates equal the CASE-WHEN formulation") {
+    val filtered = operators.SqlQueries.queries("sql10_filtered_agg")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val caseWhen = Engine.sql(spark, sfDir,
+      """SELECT l_returnflag,
+        |  COUNT(CASE WHEN l_quantity > 25 THEN 1 END) AS n_big,
+        |  CAST(SUM(CASE WHEN l_discount > 0.05
+        |                THEN CAST(l_extendedprice AS DECIMAL(18,2)) END)
+        |       AS DOUBLE) AS disc_price,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(filtered.toSeq == caseWhen.toSeq)
+  }
+
+  test("sql11 LATERAL top-2 equals the window formulation; no cartesian plan") {
+    val lateral = operators.SqlQueries.queries("sql11_lateral")(spark, sfDir)
+    val viaWindow = Engine.sql(spark, sfDir,
+      """SELECT c_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT c_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY c_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM customer JOIN orders ON o_custkey = c_custkey)
+        |WHERE rn <= 2 ORDER BY c_custkey, o_orderkey""".stripMargin)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(canon(lateral) == canon(viaWindow))
+    // Catalyst must decorrelate the per-row LIMIT — a cartesian/nested-loop
+    // plan here would be quadratic at scale.
+    val plan = lateral.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      "expected the rank-limit pushdown (WindowGroupLimit) in the lateral plan")
+  }
+
   test("sql8 recursive chain walk equals the direct per-customer aggregate") {
     // Independent formulation: the full-depth walk visits every order of
     // each customer exactly once, so chain_len must equal the customer's

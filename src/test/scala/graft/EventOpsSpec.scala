@@ -54,4 +54,16 @@ class EventOpsSpec extends SparkSpec {
       ("a", "x", 1L, 10L),
       ("b", "x", 1L, -2L)))
   }
+
+  test("j4_map_hof filters small values, doubles+1 the rest; empty maps vanish") {
+    val d = eventsDir(Seq(
+      (1L, "a", 0, 0.0, """{"k": 60, "x": 10}"""),  // x dropped by the filter
+      (2L, "a", 0, 0.0, """{"k": 50}"""),           // boundary: kept
+      (3L, "b", 0, 0.0, """{"x": 9}""")             // fully filtered → no row
+    ))
+    val out = EventQueries.queries("j4_map_hof")(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // v' = 2v+1: 60→121, 50→101; type b contributes nothing.
+    assert(out.toSeq == Seq(("a", "k", 2L, 222L)))
+  }
 }
