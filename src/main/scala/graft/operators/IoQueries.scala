@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import graft.functions.ZOrder2
 import graft.sources.LayoutOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -223,6 +224,34 @@ object IoQueries {
         .orderBy("o_orderstatus")
     },
 
+    // IO12 — Z-ORDER clustered layout: lineitem rewritten range-
+    // partitioned + sorted on the Morton interleave of (l_partkey,
+    // l_suppkey) ([[graft.functions.ZOrder2]]), then scanned back with a
+    // single-dimension predicate. The z-sort bounds BOTH keys per file /
+    // row group, so min-max stats prune scans on either key — the one
+    // physical layout that serves two independent predicate columns at
+    // 100 TB without duplicating the table (a plain sort clusters only
+    // its leading column). The hashed contract: the rewrite is lossless
+    // and the z-values match the oracle's bit-for-bit; the locality
+    // property itself is asserted in LayoutSpec.
+    "io12_zorder_layout" -> { (s, d) =>
+      val path = scratch("zorder", d)
+      Tables.load(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+                col("l_suppkey"), Q.dec2(col("l_quantity")).as("qty"))
+        .withColumn("zv", ZOrder2(col("l_partkey"), col("l_suppkey")))
+        .repartitionByRange(8, col("zv"))
+        .sortWithinPartitions("zv")
+        .write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
+        .filter(col("l_partkey") < 100)
+        .groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("qty")).cast("double").as("sum_qty"),
+             max(col("zv")).as("max_zv"))
+        .orderBy("l_partkey")
+    },
+
     // IO11 — the `_metadata` hidden file-source column: per-source-file
     // row counts across three fixture tables through one projected scan
     // each. At 100 TB this is the lineage/audit primitive — which file
@@ -251,6 +280,19 @@ object IoQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // Replays the Morton interleave as a 21-term bit-spread sum.
+    "io12_zorder_layout" ->
+      """WITH z AS (
+        |  SELECT l_partkey, CAST(l_quantity AS DECIMAL(18,2)) AS qty,
+        |    CAST(list_aggregate(list_transform(range(0, 21),
+        |      i -> (((l_partkey >> i) & 1) << (2*i)) +
+        |           (((l_suppkey >> i) & 1) << (2*i+1))), 'sum') AS BIGINT) AS zv
+        |  FROM lineitem)
+        |SELECT l_partkey, COUNT(*) AS n,
+        |  CAST(SUM(qty) AS DOUBLE) AS sum_qty,
+        |  MAX(zv) AS max_zv
+        |FROM z WHERE l_partkey < 100
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "io11_file_metadata" ->
       """SELECT 'orders.parquet' AS file_name, COUNT(*) AS n_rows FROM orders
         |UNION ALL

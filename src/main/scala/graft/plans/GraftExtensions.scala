@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{NfcNormalize, RollingMinHash, SortedIntersectCount, SrpBands, VecDot, WordNgramsGen}
+import graft.functions.{NfcNormalize, RollingMinHash, SortedIntersectCount, SrpBands, VecDot, WordNgramsGen, ZOrder2}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -24,6 +24,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2,
           "sorted_intersect_count expects exactly 2 arguments")
         SortedIntersectCount(children(0), children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("z_order2"),
+      new ExpressionInfo(classOf[ZOrder2].getName, "z_order2"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "z_order2 expects exactly 2 arguments")
+        ZOrder2(children(0), children(1))
       }))
     ext.injectFunction((
       new FunctionIdentifier("nfc_normalize"),

@@ -138,4 +138,39 @@ class LayoutSpec extends SparkSpec {
       .orderBy("o_orderstatus").collect()
     assert(viaJson.toSeq == directJ.toSeq)
   }
+
+  test("io12: z_order2 interleaves bits; the z-layout bounds BOTH dims per file") {
+    import graft.functions.{ZOrder2, ZOrder2Util}
+    // Known Morton values (x in even bit positions, y in odd).
+    val cases = Seq((0L, 0L, 0L), (1L, 0L, 1L), (0L, 1L, 2L), (1L, 1L, 3L),
+                    (2L, 0L, 4L), (2L, 3L, 14L), (5L, 3L, 27L),
+                    ((1L << 21) - 1, (1L << 21) - 1, (1L << 42) - 1))
+    cases.foreach { case (a, b, z) =>
+      assert(ZOrder2Util.interleave(a, b) == z, s"z($a,$b)")
+    }
+    // A 64x64 grid written as 8 z-range files: every file's min-max box is
+    // bounded in BOTH dimensions, so a y < 8 predicate can prune most
+    // files — an x-sorted layout prunes none (every file spans all of y).
+    import spark.implicits._
+    val grid = spark.range(64 * 64)
+      .select(($"id" % 64).as("x"), ($"id" / 64).cast("long").as("y"))
+    val out = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    grid.withColumn("zv", ZOrder2($"x", $"y"))
+      .repartitionByRange(8, $"zv").sortWithinPartitions("zv")
+      .write.mode("overwrite").parquet(out)
+    val boxes = spark.read.parquet(out)
+      .groupBy(col("_metadata.file_name").as("f"))
+      .agg(min("x").as("x0"), max("x").as("x1"),
+           min("y").as("y0"), max("y").as("y1"))
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(boxes.length == 8)
+    val hitY = boxes.count(_._3 < 8)   // files whose y-range reaches below 8
+    assert(hitY <= 3, s"z-layout should bound y per file: ${boxes.mkString(", ")}")
+    // Both dimensions bounded: no file spans a full axis.
+    boxes.foreach { case (x0, x1, y0, y1) =>
+      assert(x1 - x0 < 63 || y1 - y0 < 63,
+        s"file box ($x0..$x1, $y0..$y1) spans both axes fully")
+    }
+  }
 }
