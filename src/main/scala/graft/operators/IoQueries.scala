@@ -224,6 +224,34 @@ object IoQueries {
         .orderBy("o_orderstatus")
     },
 
+    // IO13 — the `binaryFile` source: opaque per-document payload files
+    // ingested as (path, length, content) rows — the entry point of every
+    // multimodal pipeline (images/audio arrive as files, not rows). The
+    // fixture files are materialized from the documents table (one .bin
+    // per doc, UTF-8 text bytes — a 20-row driver-side write building
+    // TEST INPUT, not a data-path collect), then read back through the
+    // format; doc_id is recovered from the file name, and length + sha256
+    // of the bytes must match the oracle's view of the same text.
+    "io13_binary_file" -> { (s, d) =>
+      val path = scratch("binfiles", d)
+      val dir = java.nio.file.Paths.get(path)
+      java.nio.file.Files.createDirectories(dir)
+      Tables.load(s, d, "documents").filter(col("doc_id") < 20)
+        .select(col("doc_id"), col("text")).collect()
+        .foreach { r =>
+          java.nio.file.Files.write(
+            dir.resolve(s"doc_${r.getLong(0)}.bin"),
+            r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+      s.read.format("binaryFile").option("pathGlobFilter", "*.bin").load(path)
+        .select(
+          regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1)
+            .cast("long").as("doc_id"),
+          col("length"),
+          sha2(col("content"), 256).as("sha"))
+        .orderBy("doc_id")
+    },
+
     // IO12 — Z-ORDER clustered layout: lineitem rewritten range-
     // partitioned + sorted on the Morton interleave of (l_partkey,
     // l_suppkey) ([[graft.functions.ZOrder2]]), then scanned back with a
@@ -280,6 +308,11 @@ object IoQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // strlen = byte length of the UTF-8 text; sha256 hashes the same bytes.
+    "io13_binary_file" ->
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS length,
+        |  sha256(text) AS sha
+        |FROM documents WHERE doc_id < 20 ORDER BY doc_id""".stripMargin,
     // Replays the Morton interleave as a 21-term bit-spread sum.
     "io12_zorder_layout" ->
       """WITH z AS (

@@ -344,6 +344,32 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // L28 — PII redaction: email and phone patterns scrubbed from the
+    // text before it can enter a training corpus — the compliance step
+    // every curation pipeline runs between dedup and tokenization. The
+    // fixture is synthetic-clean, so PII is PLANTED deterministically per
+    // doc_id (same convention as l27); the gate hashes the redacted bytes
+    // and counts the redactions, so both the match set and the
+    // replacement must agree with the oracle's regex engine exactly
+    // (patterns are kept in the RE2 ∩ java.util.regex common dialect).
+    "l28_redact" -> { (s, d) =>
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "555-[0-9]{4}"
+      val planted = when(col("doc_id") % 5 === 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"),
+               lit("@example.com or 555-01"),
+               lpad((col("doc_id") % 100).cast("string"), 2, "0")))
+        .otherwise(lit(""))
+      docs(s, d)
+        .withColumn("raw", concat(col("text"), planted))
+        .select(col("doc_id"),
+                regexp_count(col("raw"), lit(email)).cast("long").as("n_emails"),
+                regexp_count(col("raw"), lit(phone)).cast("long").as("n_phones"),
+                sha2(regexp_replace(regexp_replace(col("raw"), email, "<EMAIL>"),
+                                    phone, "<PHONE>"), 256).as("redacted_sha"))
+        .orderBy("doc_id")
+    },
+
     // L24 — the L22 bigram counts through the engine's custom Catalyst
     // GENERATOR (`word_ngrams`, a native UDTF registered via
     // SparkSessionExtensions) on the SQL route: the generator resolves in
@@ -530,6 +556,26 @@ object LlmQueries {
 
     // Quadratic containment replay: shared-shingle pair counts, contained
     // side's size in the denominator, smaller-into-larger orientation.
+    // Same planting, same patterns (RE2-compatible), same replacement
+    // tokens — counts via regexp_extract_all, bytes via sha256.
+    "l28_redact" ->
+      """WITH r AS (
+        |  SELECT doc_id, text ||
+        |    (CASE WHEN doc_id % 5 = 0
+        |          THEN ' contact user' || CAST(doc_id AS VARCHAR)
+        |               || '@example.com or 555-01'
+        |               || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+        |          ELSE '' END) AS raw
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(raw,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(raw, '555-[0-9]{4}')) AS BIGINT) AS n_phones,
+        |  sha256(regexp_replace(regexp_replace(raw,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '555-[0-9]{4}', '<PHONE>', 'g')) AS redacted_sha
+        |FROM r ORDER BY doc_id""".stripMargin,
+
     // Replays the planted decomposition with chr() code points; DuckDB's
     // nfc_normalize produces the same composed bytes, so sha256 matches.
     "l27_normalize" ->

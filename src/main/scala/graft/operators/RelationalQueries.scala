@@ -242,6 +242,20 @@ object RelationalQueries {
         .orderBy("o_custkey", "o_orderkey")
     },
 
+    // R27 — collect aggregates: the per-group value SET materialized as a
+    // column (the array-building half of the aggregate family — r2..r18
+    // only ever reduce to scalars). collect_set is order-nondeterministic
+    // by contract, so the gate pins a TOTAL order: sort_array before
+    // array_join, making the result engine- and partitioning-independent.
+    "r27_collect" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(array_join(sort_array(collect_set(col("o_orderpriority"))), ",")
+               .as("priorities"),
+             countDistinct(col("o_orderpriority")).as("n_distinct"),
+             count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")),
+
     // R24 — one-pass column profiling (the ANALYZE TABLE / data-quality
     // audit shape): per-column null count, exact distinct count, min, max
     // over the key columns, computed in ONE scan + ONE aggregate, then
@@ -515,6 +529,13 @@ object RelationalQueries {
         "\nUNION ALL\n", "\nORDER BY column_name")
     },
 
+    "r27_collect" ->
+      """SELECT o_orderstatus,
+        |  array_to_string(list_sort(list_distinct(list(o_orderpriority))), ',')
+        |    AS priorities,
+        |  COUNT(DISTINCT o_orderpriority) AS n_distinct,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "r25_grouping_sets" ->
       """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
         |  COALESCE(o_orderpriority, 'ALL') AS priority,

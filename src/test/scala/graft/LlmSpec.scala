@@ -232,6 +232,26 @@ class LlmSpec extends SparkSpec {
     assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L))  // neighbor order
   }
 
+  test("l28 redaction scrubs every occurrence and counts multi-matches") {
+    // A documents fixture with MULTIPLE PII hits per row (the sf fixture
+    // plants exactly one of each) — doc_id 5 also triggers the planted
+    // suffix (5 % 5 == 0), so its counts include the plant.
+    val dir = java.nio.file.Files.createTempDirectory("graft-docs").toString
+    Seq(
+      (1L, "mail a@b.com then c.d@e.org done", "en", "web"),
+      (2L, "call 555-1234 or 555-9999 now", "en", "web"),
+      (3L, "clean text", "en", "web"),
+      (5L, "x@y.io and 555-0000", "en", "web")
+    ).toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.operators.LlmQueries.queries("l28_redact")(spark, dir)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(rows(1L) == ((2L, 0L)))
+    assert(rows(2L) == ((0L, 2L)))
+    assert(rows(3L) == ((0L, 0L)))
+    assert(rows(5L) == ((2L, 2L)))  // own PII + the doc_id%5 plant
+  }
+
   test("nfc_normalize composes decomposed marks, keeps ASCII and NULL intact") {
     val df = Seq(
       (1L, "Café"),    // e + combining acute -> e-acute

@@ -71,7 +71,22 @@ class PlanAuditSpec extends SparkSpec {
     "s14_chained_window" -> Set("WholeStageCodegen"),
     // Codebooks must BROADCAST into the encode join (they are KBs at any
     // corpus size); the ADC + re-rank chain stays codegen'd.
-    "l5c_pq_topk" -> Set("BroadcastHashJoin", "WholeStageCodegen"))
+    "l5c_pq_topk" -> Set("BroadcastHashJoin", "WholeStageCodegen"),
+    // One Expand + hash aggregate, fully codegen'd — three grouping levels
+    // from a single scan.
+    "r25_grouping_sets" -> Set("WholeStageCodegen"),
+    // The per-row LIMIT must decorrelate to WindowGroupLimit + broadcast
+    // join (asserted structurally in EngineSqlSpec); cartesian = quadratic.
+    "sql11_lateral" -> Set("BroadcastHashJoin", "WholeStageCodegen"),
+    // The single-key predicate must reach the z-ordered parquet scan.
+    "io12_zorder_layout" -> Set("PushedFilters", "WholeStageCodegen"),
+    // The queries·k neighbor list must BROADCAST to the corpus-label join.
+    "l26_knn_classify" -> Set("BroadcastHashJoin", "PushedFilters",
+                              "WholeStageCodegen"),
+    // Native expressions inside the generated stage — no UDF fallback.
+    "l27_normalize" -> Set("WholeStageCodegen"),
+    "l28_redact" -> Set("WholeStageCodegen"),
+    "j4_map_hof" -> Set("WholeStageCodegen"))
 
   test("every audited gated query is cartesian-free with its required plan features") {
     // Keep the spec's coverage locked to the audit's default set — adding a

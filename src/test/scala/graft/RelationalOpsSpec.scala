@@ -75,6 +75,20 @@ class RelationalOpsSpec extends SparkSpec {
     assert(!plan.contains("Union"), "UNPIVOT must not plan as UNION ALL")
   }
 
+  test("r27 collect_set output is a total-ordered join of the distinct values") {
+    val got = RelationalQueries.queries("r27_collect")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    val expected = spark.read.parquet(s"$dir/orders.parquet")
+      .select("o_orderstatus", "o_orderpriority").distinct().collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).view
+      .mapValues(vs => (vs.map(_._2).sorted.mkString(","), vs.length.toLong))
+      .toMap
+    assert(got == expected)
+  }
+
   test("io11 _metadata file names and per-file counts match the fixtures") {
     val got = IoQueries.queries("io11_file_metadata")(spark, dir)
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
