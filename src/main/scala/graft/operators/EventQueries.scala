@@ -252,6 +252,38 @@ object EventQueries {
           "s6_stream_sink", mode = "append")
         .orderBy("click_id", "view_id")),
 
+    // S17 (batch form) — join→aggregate: the S6 interval join rolled up
+    // into hourly matched-pair counts, the batch twin of the chained
+    // stream below.
+    "s17_join_window" -> { (s, d) =>
+      val e = ev(s, d)
+      val c = e.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      val v = e.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      c.join(v, col("c_user") === col("v_user") &&
+               col("v_ts") >= col("c_ts") - expr("INTERVAL 1 HOUR") &&
+               col("v_ts") <= col("c_ts"))
+        .groupBy(window(col("c_ts"), "1 hour"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .select(Q.micros(col("window.start")).as("ws"), col("n_pairs"))
+        .orderBy("ws")
+    },
+
+    // S17 (stream form) — the third heterogeneous multi-stateful chain:
+    // stream-stream interval join state feeding windowed-agg state in ONE
+    // append-mode query (s14 = agg→agg, s16 = dedup→agg). Sentinels on
+    // both input types advance both watermarks past every real click hour
+    // so the rollup emits; the sentinel pair's own far-future window
+    // never finalizes (watermark stops 2 h short of it).
+    "s17_join_stream" -> ((s, d) =>
+      sentinelStream(s, d, Seq("click", "view")) { stream =>
+        EventStreams.runToCompletion(
+            s, EventStreams.joinThenWindow(stream, stream),
+            "s17_sink", mode = "append")
+          .orderBy("ws")
+      }),
+
     // S7 — AS-OF join: every click picks the latest view (≤ its ts) by
     // the same user, via the union+window merge formulation
     // ([[AsOfJoin.asOf]]) — one shuffle on user_id, no range explosion.
@@ -505,6 +537,14 @@ object EventQueries {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  private val s17Oracle =
+    """SELECT epoch_us(date_trunc('hour', c.ts)) AS ws, COUNT(*) AS n_pairs
+      |FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      |  ON c.user_id = v.user_id
+      | AND epoch_us(v.ts) BETWEEN epoch_us(c.ts) - 3600000000 AND epoch_us(c.ts)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   private val s16Oracle =
     """SELECT epoch_us(date_trunc('hour', ts)) AS ws, event_type,
       |  COUNT(*) AS n
@@ -610,6 +650,8 @@ object EventQueries {
         | AND epoch_us(v.ts) BETWEEN epoch_us(c.ts) - 3600000000 AND epoch_us(c.ts)
         |ORDER BY click_id, view_id""".stripMargin,
     "s7_asof_join" -> asofOracle,
+    "s17_join_window" -> s17Oracle,
+    "s17_join_stream" -> s17Oracle,
     // Sign-aware JSON extraction (json_extract_string keeps '-'), non-null
     // count as the AVG divisor (matching Spark's count(k)), and the
     // tie-free integer ROUND formula every other ratio oracle uses.

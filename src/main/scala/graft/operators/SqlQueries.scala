@@ -152,6 +152,16 @@ object SqlQueries {
           |FROM walk GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)
     },
 
+    // GROUP BY ALL: every non-aggregate select item becomes a group key —
+    // the modern-warehouse convenience both dialects share verbatim. The
+    // resolution happens in the analyzer; the plan is the same hash
+    // aggregate an explicit GROUP BY 1, 2 produces.
+    "sql12_group_by_all" -> ((s, d) => Engine.sql(s, d,
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ALL
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
     // ANSI FILTER-clause aggregates: per-group conditional aggregation
     // without CASE-WHEN scaffolding — one scan, every FILTER evaluated
     // inside the same hash aggregate (no per-condition passes). The
@@ -271,6 +281,12 @@ object SqlQueries {
         |)
         |SELECT o_custkey, MAX(hop) AS chain_len, MAX(cents) AS chain_cents
         |FROM walk GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    // Dialect-shared GROUP BY ALL — identical statement.
+    "sql12_group_by_all" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ALL
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     // Dialect-shared FILTER clause — identical statement.
     "sql10_filtered_agg" ->
       """SELECT l_returnflag,

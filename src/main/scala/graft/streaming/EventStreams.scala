@@ -129,6 +129,25 @@ object EventStreams {
               unix_micros(col("c_ts")).as("ts_us"))
   }
 
+  /** S17 — JOIN→AGGREGATE multi-stateful chain: the S6 stream-stream
+    * interval join feeding a tumbling hourly count of matched pairs in
+    * the SAME query — the third heterogeneous stateful pairing (S14 =
+    * agg→agg, S16 = dedup→agg, this = join→agg), append mode. The join
+    * emits a pair as soon as both sides arrive; the downstream window
+    * finalizes when the watermark (the MIN across both input watermarks)
+    * passes the click-hour end — by which time the join can no longer
+    * produce pairs for that hour, which is exactly why the chain is
+    * sound. At 100 TB this is the attribution-rollup shape: match raw
+    * click/view volume once, shuffle one row per (hour) downstream.
+    */
+  def joinThenWindow(clicks: DataFrame, views: DataFrame): DataFrame = {
+    val (c, v, cond) = intervalJoinSides(clicks, views)
+    c.join(v, cond, "inner")
+      .groupBy(window(col("c_ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .select(unix_micros(col("window.start")).as("ws"), col("n_pairs"))
+  }
+
   private def intervalJoinImpl(clicks: DataFrame, views: DataFrame,
                                joinType: String): DataFrame = {
     val (c, v, cond) = intervalJoinSides(clicks, views)

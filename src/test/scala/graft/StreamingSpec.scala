@@ -107,6 +107,24 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == Seq((ws(0), "a", 2L), (ws(0), "b", 1L)))
   }
 
+  test("join→window chain rolls matched pairs into click-hours exactly once") {
+    // click@10 matches view@5 (within its preceding hour); click@70
+    // matches view@65 but NOT view@5 (65 min gap). The watermarks sit
+    // ABOVE the event_type filters, so the advancing sentinels must be a
+    // click AND a view (a third type would be filtered out before ever
+    // reaching either watermark node); their own hour-8 pair never
+    // finalizes because the watermark stops 2 h short of it.
+    val batches = Seq(
+      Seq(Ev(1, t(10), 1, "click", 0.0), Ev(2, t(5), 1, "view", 0.0),
+          Ev(3, t(65), 1, "view", 0.0)),
+      Seq(Ev(4, t(70), 1, "click", 0.0)),
+      Seq(Ev(8, t(500), 9, "click", 9.0), Ev(9, t(500), 9, "view", 9.0)))
+    val got = runStream(batches, df => EventStreams.joinThenWindow(df, df),
+                        "append", "t_s17")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(got.toSeq == Seq((ws(0), 1L), (ws(1), 1L)))
+  }
+
   test("streaming dedup keeps one row per event_id within the watermark") {
     val batches = Seq(
       Seq(Ev(1, t(10), 1, "a", 1.0), Ev(2, t(11), 1, "a", 2.0)),
