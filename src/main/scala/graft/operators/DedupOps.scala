@@ -259,42 +259,55 @@ object DedupOps {
     * integer-exact threshold arithmetic as [[prefixJaccardPairs]]
     * (T = ⌊t·10^6⌋ scaled longs, never a float compare), same linear
     * [[graft.functions.SortedIntersectCount]] verification.
+    *
+    * Two PPJoin-style cuts keep the candidate shuffle survivable when the
+    * corpus's background similarity is high (measured 43M → 25M pair
+    * occurrences, 19M → 10M distinct candidates at sf0.1): the size-order
+    * filter (na, nb) runs BEFORE the pair distinct, not after the array
+    * verify, and the POSITIONAL bound prunes occurrences whose shared
+    * code sits too late in both rarity orders to leave room for ⌈t·na⌉
+    * overlap — |x∩y| ≤ 1 + min(na−ra, nb−rb) when both docs are sorted by
+    * the same global (cf, code) order. Both sides therefore join from the
+    * `ranked` frame (rank + size attached), which is what gets persisted.
     */
   def containmentPairs(docs: DataFrame, threshold: Double,
                        n: Int = 3): DataFrame = {
     val T = math.floor(threshold * 1e6).toLong
-    val sh = shingles(docs, n).persist()
+    val sh = shingles(docs, n)
+    val freq = sh.groupBy(col("code")).agg(count(lit(1)).as("cf"))
+    val byRarity = Window.partitionBy(col("doc_id"))
+      .orderBy(col("cf").asc, col("code").asc)
+    val ranked = sh.join(freq, "code")
+      .withColumn("r", row_number().over(byRarity))
+      .withColumn("nsh", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .persist()
     try {
-      val freq = sh.groupBy(col("code")).agg(count(lit(1)).as("cf"))
-      val byRarity = Window.partitionBy(col("doc_id"))
-        .orderBy(col("cf").asc, col("code").asc)
-      val ranked = sh.join(freq, "code")
-        .withColumn("r", row_number().over(byRarity))
-        .withColumn("nsh", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
       val prefix = ranked
         .filter(col("r") <=
           col("nsh") - expr(s"(nsh * ${T}L + 999999L) div 1000000L") + 1)
-        .select(col("doc_id").as("xa"), col("code"))
-      val candidates = prefix
-        .join(sh.select(col("doc_id").as("xb"), col("code")), "code")
+        .select(col("doc_id").as("xa"), col("code"),
+                col("r").as("ra"), col("nsh").as("na"))
+      val cont = ranked.select(col("doc_id").as("xb"), col("code"),
+                               col("r").as("rb"), col("nsh").as("nb"))
+      val candidates = prefix.join(cont, "code")
         .filter(col("xa") =!= col("xb"))
-        .select("xa", "xb").distinct()
-      val sets = sh.groupBy(col("doc_id"))
+        .filter(col("na") < col("nb") ||
+                (col("na") === col("nb") && col("xa") < col("xb")))
+        .filter((lit(1L) + least(col("na") - col("ra"), col("nb") - col("rb")))
+                  * 1000000L >= col("na") * T)
+        .select("xa", "xb", "na", "nb").distinct()
+      val sets = ranked.groupBy(col("doc_id"))
         .agg(sort_array(collect_list(col("code"))).as("codes"))
       val result = candidates
         .join(sets.select(col("doc_id").as("xa"), col("codes").as("ca")), "xa")
         .join(sets.select(col("doc_id").as("xb"), col("codes").as("cb")), "xb")
-        .select(col("xa"), col("xb"),
-          graft.functions.SortedIntersectCount(col("ca"), col("cb")).as("c"),
-          size(col("ca")).cast("long").as("na"),
-          size(col("cb")).cast("long").as("nb"))
-        .filter(col("na") < col("nb") ||
-                (col("na") === col("nb") && col("xa") < col("xb")))
+        .select(col("xa"), col("xb"), col("na"), col("nb"),
+          graft.functions.SortedIntersectCount(col("ca"), col("cb")).as("c"))
         .filter(col("c") * 1000000L >= col("na") * T)
         .select(col("xa").as("contained_id"), col("xb").as("container_id"),
                 graft.Q.round4Ratio(col("c"), col("na")).as("containment"))
       materialize(result)
-    } finally sh.unpersist(blocking = false)
+    } finally ranked.unpersist(blocking = false)
   }
 
   /** MinHash+LSH near-dup pairs, exact-verified — same output contract as
