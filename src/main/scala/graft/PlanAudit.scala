@@ -32,7 +32,8 @@ object PlanAudit {
     "l21_stratified_sample", "l22_bigram_freq", "s14_chained_window",
     "l5c_pq_topk",
     "r25_grouping_sets", "sql11_lateral", "io12_zorder_layout",
-    "l26_knn_classify", "l27_normalize", "l28_redact", "j4_map_hof")
+    "l26_knn_classify", "l27_normalize", "l28_redact", "j4_map_hof",
+    "r28_full_outer", "l29_dup_shingle_frac")
 
   /** Execute `df` (noop traversal — AQE's final plan only exists after
     * execution) and compute the anti-pattern flags from the executed plan.

@@ -284,6 +284,28 @@ object EventQueries {
           .orderBy("ws")
       }),
 
+    // S18 — state-store introspection: run the per-type complete-mode
+    // aggregate as a true streaming query, then read the FINAL STATE out
+    // of the checkpoint via Spark's `statestore` source — not the memory
+    // sink. For a complete-mode aggregate the store IS the aggregate, so
+    // hashing the store's (key, buffer) rows against the batch oracle
+    // proves the persisted state itself is correct — the audit/debug path
+    // a production stateful pipeline reaches for when sink output and
+    // expectation disagree. Cents are summed as per-row LONGs so the
+    // state buffer is integer-exact, engine- and arrival-order-free.
+    "s18_state_reader" -> ((s, d) =>
+      EventStreams.runThenReadState(
+          s, evStream(s, d)
+            .groupBy(col("event_type"))
+            .agg(count(lit(1)).as("n"),
+                 sum((Q.dec2(col("value")) * 100).cast("long")).as("cents")),
+          "s18_state") { ckpt =>
+        s.read.format("statestore").load(ckpt)
+          .select(col("key.event_type").as("event_type"),
+                  col("value.count").as("n"),
+                  col("value.sum").as("cents"))
+      }.orderBy("event_type")),
+
     // S7 — AS-OF join: every click picks the latest view (≤ its ts) by
     // the same user, via the union+window merge formulation
     // ([[AsOfJoin.asOf]]) — one shuffle on user_id, no range explosion.
@@ -652,6 +674,12 @@ object EventQueries {
     "s7_asof_join" -> asofOracle,
     "s17_join_window" -> s17Oracle,
     "s17_join_stream" -> s17Oracle,
+    // The state store holds exactly the complete-mode aggregate.
+    "s18_state_reader" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |       AS BIGINT) AS cents
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // Sign-aware JSON extraction (json_extract_string keeps '-'), non-null
     // count as the AVG divisor (matching Spark's count(k)), and the
     // tie-free integer ROUND formula every other ratio oracle uses.

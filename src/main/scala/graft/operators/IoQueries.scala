@@ -297,6 +297,50 @@ object IoQueries {
         .orderBy("file_name")
     },
 
+    // IO14 — XML sink → source (Spark 4 native XML, rowTag element per
+    // row): the enterprise data-exchange boundary format. The read uses
+    // an EXPLICIT schema like every text roundtrip here (inference is an
+    // extra full pass); money travels as DECIMAL(18,2) text — exact on
+    // both sides of the boundary.
+    "io14_xml_roundtrip" -> { (s, d) =>
+      val path = scratch("xml", d)
+      Tables.load(s, d, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"),
+                Q.dec2(col("s_acctbal")).as("bal"))
+        .write.mode("overwrite").option("rowTag", "supplier").format("xml")
+        .save(path)
+      s.read
+        .schema("s_suppkey BIGINT, s_nationkey BIGINT, bal DECIMAL(18,2)")
+        .option("rowTag", "supplier").format("xml").load(path)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("bal")).cast("double").as("sum_bal"),
+             max(col("s_suppkey")).as("max_suppkey"))
+        .orderBy("s_nationkey")
+    },
+
+    // IO15 — Avro sink → source: the row-oriented binary format of every
+    // Kafka/ingest boundary — schema'd, splittable, compact — vs the
+    // columnar formats (parquet/ORC) the at-rest layout uses. The jars
+    // ship the format but not its DataSourceRegister alias, so the
+    // roundtrip addresses the FileFormat class directly. Self-describing:
+    // the read needs no explicit schema, and DECIMAL survives as the
+    // Avro decimal logical type.
+    "io15_avro_roundtrip" -> { (s, d) =>
+      val avro = "org.apache.spark.sql.avro.AvroFileFormat"
+      val path = scratch("avro", d)
+      Tables.load(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"),
+                Q.dec2(col("c_acctbal")).as("bal"))
+        .write.mode("overwrite").format(avro).save(path)
+      s.read.format(avro).load(path)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("bal")).cast("double").as("sum_bal"),
+             max(col("c_custkey")).as("max_custkey"))
+        .orderBy("c_mktsegment")
+    },
+
     // IO4 — bucketed co-located join: orders ⋈ customer on custkey with
     // both sides pre-bucketed on the key — zero shuffle exchange in the
     // join AND the downstream per-customer aggregate (asserted by
@@ -308,6 +352,16 @@ object IoQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "io14_xml_roundtrip" ->
+      """SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey, COUNT(*) AS n,
+        |  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
+        |  MAX(s_suppkey) AS max_suppkey
+        |FROM supplier GROUP BY 1 ORDER BY 1""".stripMargin,
+    "io15_avro_roundtrip" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
+        |  MAX(c_custkey) AS max_custkey
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
     // strlen = byte length of the UTF-8 text; sha256 hashes the same bytes.
     "io13_binary_file" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS length,

@@ -370,6 +370,27 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // L29 — per-document duplicate-shingle fraction: what share of a
+    // doc's distinct 3-shingles also appear in at least one OTHER doc —
+    // the Gopher-style boilerplate/repetition quality signal (a doc made
+    // of corpus-common fragments scores near 1, novel text near 0), and
+    // the per-doc scalar companion to the pairwise dedup family (L2/L25
+    // find WHICH docs overlap; this scores HOW MUCH of each doc is
+    // shared). One shuffle for the document-frequency table, one for the
+    // per-doc rollup; the shingle frame never self-joins, so unlike the
+    // pair queries this stays linear in corpus size at 100 TB.
+    "l29_dup_shingle_frac" -> { (s, d) =>
+      val sh = DedupOps.shingles(docs(s, d), 3)
+      val dfc = sh.groupBy(col("code")).agg(count(lit(1)).as("dfc"))
+      sh.join(dfc, "code")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_sh"),
+             sum(when(col("dfc") >= 2, 1L).otherwise(0L)).as("n_dup"))
+        .select(col("doc_id"), col("n_sh"), col("n_dup"),
+                Q.round4Ratio(col("n_dup"), col("n_sh")).as("dup_frac"))
+        .orderBy("doc_id")
+    },
+
     // L24 — the L22 bigram counts through the engine's custom Catalyst
     // GENERATOR (`word_ngrams`, a native UDTF registered via
     // SparkSessionExtensions) on the SQL route: the generator resolves in
@@ -575,6 +596,22 @@ object LlmQueries {
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '555-[0-9]{4}', '<PHONE>', 'g')) AS redacted_sha
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // Same distinct-shingle CTE as the pair queries; df counted over the
+    // already-distinct (doc, shingle) rows, ratio via the shared integer
+    // half-up ROUND formula.
+    "l29_dup_shingle_frac" ->
+      s"""WITH $duckShingles,
+         |dfq AS (SELECT sh AS code, COUNT(*) AS dfc FROM sh GROUP BY 1),
+         |per AS (
+         |  SELECT s.doc_id, COUNT(*) AS n_sh,
+         |    CAST(SUM(CASE WHEN d.dfc >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_dup
+         |  FROM sh s JOIN dfq d ON s.sh = d.code
+         |  GROUP BY 1)
+         |SELECT doc_id, n_sh, n_dup,
+         |  ${Q.duckRound4Ratio("n_dup", "n_sh")} AS dup_frac
+         |FROM per ORDER BY doc_id""".stripMargin,
 
     // Replays the planted decomposition with chr() code points; DuckDB's
     // nfc_normalize produces the same composed bytes, so sha256 matches.

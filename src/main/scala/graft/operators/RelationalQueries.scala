@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
-/** Declared relational queries R1–R26 (SURVEY.md §2.2 R-table): every operator
+/** Declared relational queries R1–R28 (SURVEY.md §2.2 R-table): every operator
   * family the judge checks — scan/filter/project, hash aggregate, all join
   * shapes, windows (ranking, analytic, RANGE frames, distribution), sort/
   * limit, set ops (distinct + multiset ALL), rollup/cube/pivot, distinct
@@ -240,6 +240,35 @@ object RelationalQueries {
                   .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
                   .as("last_f"))
         .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // R28 — FULL OUTER join: per-customer finished-order vs open-order
+    // spend, keys surviving from EITHER side (the churn/reconciliation
+    // shape left/semi/anti can't express — a customer with only 'F'
+    // orders and one with only 'O' orders both appear, zero-filled on
+    // the missing side). Exercises the outer-both path of the shuffle
+    // join; the mix tag pins all three match cases in the hash.
+    "r28_full_outer" -> { (s, d) =>
+      val o = t(s, d, "orders")
+      val f = o.filter(col("o_orderstatus") === "F")
+        .groupBy(col("o_custkey").as("ck_f"))
+        .agg(count(lit(1)).as("n_f"),
+             sum(Q.dec2(col("o_totalprice"))).as("sp_f"))
+      val op = o.filter(col("o_orderstatus") === "O")
+        .groupBy(col("o_custkey").as("ck_o"))
+        .agg(count(lit(1)).as("n_o"),
+             sum(Q.dec2(col("o_totalprice"))).as("sp_o"))
+      f.join(op, col("ck_f") === col("ck_o"), "full_outer")
+        .select(
+          coalesce(col("ck_f"), col("ck_o")).as("custkey"),
+          coalesce(col("n_f"), lit(0L)).as("n_f"),
+          coalesce(col("n_o"), lit(0L)).as("n_o"),
+          coalesce(col("sp_f").cast("double"), lit(0.0)).as("sp_f"),
+          coalesce(col("sp_o").cast("double"), lit(0.0)).as("sp_o"),
+          when(col("ck_f").isNotNull && col("ck_o").isNotNull, "both")
+            .when(col("ck_f").isNotNull, "f_only")
+            .otherwise("o_only").as("mix"))
+        .orderBy("custkey")
     },
 
     // R27 — collect aggregates: the per-group value SET materialized as a
@@ -528,6 +557,27 @@ object RelationalQueries {
         "  CAST(l_quantity AS BIGINT) AS l_quantity FROM lineitem)\n",
         "\nUNION ALL\n", "\nORDER BY column_name")
     },
+
+    "r28_full_outer" ->
+      """WITH f AS (
+        |  SELECT o_custkey, COUNT(*) AS n_f,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sp_f
+        |  FROM orders WHERE o_orderstatus = 'F' GROUP BY 1),
+        |o2 AS (
+        |  SELECT o_custkey, COUNT(*) AS n_o,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sp_o
+        |  FROM orders WHERE o_orderstatus = 'O' GROUP BY 1)
+        |SELECT COALESCE(f.o_custkey, o2.o_custkey) AS custkey,
+        |  CAST(COALESCE(n_f, 0) AS BIGINT) AS n_f,
+        |  CAST(COALESCE(n_o, 0) AS BIGINT) AS n_o,
+        |  CAST(COALESCE(CAST(sp_f AS DOUBLE), 0.0) AS DOUBLE) AS sp_f,
+        |  CAST(COALESCE(CAST(sp_o AS DOUBLE), 0.0) AS DOUBLE) AS sp_o,
+        |  CASE WHEN f.o_custkey IS NOT NULL AND o2.o_custkey IS NOT NULL
+        |         THEN 'both'
+        |       WHEN f.o_custkey IS NOT NULL THEN 'f_only'
+        |       ELSE 'o_only' END AS mix
+        |FROM f FULL OUTER JOIN o2 ON f.o_custkey = o2.o_custkey
+        |ORDER BY custkey""".stripMargin,
 
     "r27_collect" ->
       """SELECT o_orderstatus,

@@ -391,6 +391,40 @@ object EventStreams {
     spark.table(name)
   }
 
+  /** S18 — run a streaming frame to completion, then read the FINAL
+    * AGGREGATION STATE back out of the checkpoint through Spark's
+    * `statestore` source (`read(ckptDir)`), instead of the sink's output.
+    * This is the state-introspection primitive — the debugging/audit path
+    * for a production stateful pipeline ("what does the store ACTUALLY
+    * hold?"): for a complete-mode aggregate the store is the aggregate,
+    * so the gate proves the persisted state — key schema, buffer values,
+    * every partition's RocksDB/HDFS-backed rows — matches the batch
+    * oracle bit-for-bit, not just the emitted rows. The result is
+    * materialized (eager localCheckpoint) BEFORE the scratch checkpoint
+    * is deleted; state-reader output is per-key, so it is small by
+    * construction at any input scale.
+    */
+  def runThenReadState(spark: SparkSession, streaming: DataFrame,
+                       name: String, mode: String = "complete")(
+      read: String => DataFrame): DataFrame = {
+    val base = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else
+      System.getProperty("java.io.tmpdir")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get(base), s"graft-ckpt-$name-")
+    try {
+      val partKey = "spark.sql.shuffle.partitions"
+      val prevParts = spark.conf.get(partKey)
+      spark.conf.set(partKey, "8")
+      val q = try streaming.writeStream
+        .format("memory").queryName(name).outputMode(mode)
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      finally spark.conf.set(partKey, prevParts)
+      try q.processAllAvailable() finally q.stop()
+      read(ckpt.toString).localCheckpoint(true)
+    } finally deleteRecursively(ckpt)
+  }
+
   /** Shared bounded-gate checkpoint scaffolding: tmpfs-backed scratch
     * checkpoint dir, start the query via `start(ckptPath)`, run to
     * completion, stop, and best-effort delete the checkpoint (bounded-

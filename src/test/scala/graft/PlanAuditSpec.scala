@@ -86,7 +86,12 @@ class PlanAuditSpec extends SparkSpec {
     // Native expressions inside the generated stage — no UDF fallback.
     "l27_normalize" -> Set("WholeStageCodegen"),
     "l28_redact" -> Set("WholeStageCodegen"),
-    "j4_map_hof" -> Set("WholeStageCodegen"))
+    "j4_map_hof" -> Set("WholeStageCodegen"),
+    // Both grouped sides shuffle on the key; the outer-both merge itself
+    // is the feature — only the universal no-cartesian + codegen apply.
+    "r28_full_outer" -> Set("WholeStageCodegen"),
+    // Linear df-join rollup — no self-join anywhere in the plan.
+    "l29_dup_shingle_frac" -> Set("WholeStageCodegen"))
 
   test("every audited gated query is cartesian-free with its required plan features") {
     // Keep the spec's coverage locked to the audit's default set — adding a

@@ -125,6 +125,23 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == Seq((ws(0), 1L), (ws(1), 1L)))
   }
 
+  test("statestore read of a complete-mode aggregate equals the batch rollup") {
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    ms.addData(Seq(Ev(1, t(10), 1, "a", 1.5), Ev(2, t(20), 2, "b", 2.0),
+                   Ev(3, t(30), 1, "a", 0.25)))
+    val agg = ms.toDF().groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+           sum(($"value".cast("decimal(18,2)") * 100).cast("long")).as("cents"))
+    val got = EventStreams.runThenReadState(spark, agg, "t_s18") { ckpt =>
+      spark.read.format("statestore").load(ckpt)
+        .select($"key.event_type", $"value.count".as("n"),
+                $"value.sum".as("cents"))
+    }.orderBy("event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("a", 2L, 175L), ("b", 1L, 200L)))
+  }
+
   test("streaming dedup keeps one row per event_id within the watermark") {
     val batches = Seq(
       Seq(Ev(1, t(10), 1, "a", 1.0), Ev(2, t(11), 1, "a", 2.0)),
