@@ -376,20 +376,12 @@ object LlmQueries {
     // of corpus-common fragments scores near 1, novel text near 0), and
     // the per-doc scalar companion to the pairwise dedup family (L2/L25
     // find WHICH docs overlap; this scores HOW MUCH of each doc is
-    // shared). One shuffle for the document-frequency table, one for the
-    // per-doc rollup; the shingle frame never self-joins, so unlike the
-    // pair queries this stays linear in corpus size at 100 TB.
-    "l29_dup_shingle_frac" -> { (s, d) =>
-      val sh = DedupOps.shingles(docs(s, d), 3)
-      val dfc = sh.groupBy(col("code")).agg(count(lit(1)).as("dfc"))
-      sh.join(dfc, "code")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_sh"),
-             sum(when(col("dfc") >= 2, 1L).otherwise(0L)).as("n_dup"))
-        .select(col("doc_id"), col("n_sh"), col("n_dup"),
-                Q.round4Ratio(col("n_dup"), col("n_sh")).as("dup_frac"))
-        .orderBy("doc_id")
-    },
+    // shared). Two map-side-combinable aggregates, no occurrence-level
+    // join anywhere ([[DedupOps.dupShingleFraction]] rationale) — linear
+    // in corpus size at 100 TB where the pair queries are quadratic in
+    // bucket width.
+    "l29_dup_shingle_frac" -> ((s, d) =>
+      DedupOps.dupShingleFraction(docs(s, d), 3).orderBy("doc_id")),
 
     // L24 — the L22 bigram counts through the engine's custom Catalyst
     // GENERATOR (`word_ngrams`, a native UDTF registered via
