@@ -284,6 +284,24 @@ object EventQueries {
           .orderBy("ws")
       }),
 
+    // J5 — JSON GENERATION roundtrip: typed struct → `to_json` string →
+    // `from_json` back to the struct, aggregated. J1/J2/J3 prove the
+    // read side of semi-structured; this proves the WRITE side is its
+    // exact inverse (the shape of every JSON event emitted to a queue or
+    // export boundary). Cents travel as LONGs inside the JSON — no float
+    // text formatting in the roundtrip.
+    "j5_json_roundtrip" -> { (s, d) =>
+      val cents = (Q.dec2(col("value")) * 100).cast("long")
+      ev(s, d)
+        .select(to_json(struct(col("event_id"), col("event_type"),
+                               cents.as("cents"))).as("j"))
+        .select(from_json(col("j"), org.apache.spark.sql.types.StructType
+          .fromDDL("event_id BIGINT, event_type STRING, cents BIGINT")).as("r"))
+        .groupBy(col("r.event_type").as("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("r.cents")).as("cents"))
+        .orderBy("event_type")
+    },
+
     // S18 — state-store introspection: run the per-type complete-mode
     // aggregate as a true streaming query, then read the FINAL STATE out
     // of the checkpoint via Spark's `statestore` source — not the memory
@@ -676,6 +694,12 @@ object EventQueries {
     "s17_join_stream" -> s17Oracle,
     // The state store holds exactly the complete-mode aggregate.
     "s18_state_reader" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |       AS BIGINT) AS cents
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // A lossless to_json∘from_json roundtrip aggregates like the source.
+    "j5_json_roundtrip" ->
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
         |       AS BIGINT) AS cents

@@ -341,6 +341,39 @@ object IoQueries {
         .orderBy("c_mktsegment")
     },
 
+    // IO16 — PERMISSIVE corrupt-record ingest: a JSONL boundary file with
+    // deterministically PLANTED malformed lines (every 97th key gets a
+    // broken prefix), read back with `columnNameOfCorruptRecord` — bad
+    // lines survive as quarantine rows instead of failing the job or
+    // silently vanishing (what DROPMALFORMED would do). At 100 TB this IS
+    // the ingest posture: the corrupt count is a data-quality metric and
+    // the quarantined raw lines are replayable; the gate hashes good-row
+    // aggregates AND the corrupt-row count.
+    "io16_corrupt_records" -> { (s, d) =>
+      val path = scratch("corrupt", d)
+      Tables.load(s, d, "orders")
+        .select(col("o_orderkey"),
+          to_json(struct(col("o_orderkey"), col("o_orderstatus"),
+            (Q.dec2(col("o_totalprice")) * 100).cast("long").as("cents")))
+            .as("j"))
+        .select(when(col("o_orderkey") % 97 === 0,
+                     concat(lit("{broken "), col("j")))
+                  .otherwise(col("j")).as("value"))
+        .write.mode("overwrite").text(path)
+      s.read
+        .schema("o_orderkey BIGINT, o_orderstatus STRING, cents BIGINT, " +
+                "_bad STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .json(path)
+        .select(when(col("_bad").isNotNull, "_corrupt")
+                  .otherwise(col("o_orderstatus")).as("status"),
+                coalesce(col("cents"), lit(0L)).as("cents"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+        .orderBy("status")
+    },
+
     // IO4 — bucketed co-located join: orders ⋈ customer on custkey with
     // both sides pre-bucketed on the key — zero shuffle exchange in the
     // join AND the downstream per-customer aggregate (asserted by
@@ -357,6 +390,17 @@ object IoQueries {
         |  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
         |  MAX(s_suppkey) AS max_suppkey
         |FROM supplier GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Replays the planting: every 97th key is quarantined with zero cents.
+    "io16_corrupt_records" ->
+      """WITH r AS (
+        |  SELECT CASE WHEN o_orderkey % 97 = 0 THEN '_corrupt'
+        |              ELSE o_orderstatus END AS status,
+        |    CASE WHEN o_orderkey % 97 = 0 THEN 0
+        |         ELSE CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |                   AS BIGINT) END AS cents
+        |  FROM orders)
+        |SELECT status, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "io15_avro_roundtrip" ->
       """SELECT c_mktsegment, COUNT(*) AS n,
         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,

@@ -271,6 +271,30 @@ object RelationalQueries {
         .orderBy("custkey")
     },
 
+    // R29 — the Observation API: data-quality metrics (row count, exact
+    // cents total, key bounds) collected AS A SIDE EFFECT of one pass via
+    // `df.observe` — the production-pipeline pattern for audit counters
+    // without a second scan (vs r24's dedicated profiling query). The
+    // observed values are four scalars delivered to the driver by the
+    // listener bus — that is the API's contract, not a collect() of data —
+    // re-shaped into a one-row frame so the oracle can hash them.
+    "r29_observe" -> { (s, d) =>
+      val obs = org.apache.spark.sql.Observation()
+      val observed = t(s, d, "orders").observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum((Q.dec2(col("o_totalprice")) * 100).cast("long")).as("sum_cents"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+      // Any full-pass action triggers metric delivery; count() reuses the
+      // observed plan without materializing rows anywhere.
+      observed.count()
+      val m = obs.get
+      import s.implicits._
+      Seq((m("n_rows").asInstanceOf[Long], m("sum_cents").asInstanceOf[Long],
+           m("min_key").asInstanceOf[Long], m("max_key").asInstanceOf[Long]))
+        .toDF("n_rows", "sum_cents", "min_key", "max_key")
+    },
+
     // R27 — collect aggregates: the per-group value SET materialized as a
     // column (the array-building half of the aggregate family — r2..r18
     // only ever reduce to scalars). collect_set is order-nondeterministic
@@ -557,6 +581,14 @@ object RelationalQueries {
         "  CAST(l_quantity AS BIGINT) AS l_quantity FROM lineitem)\n",
         "\nUNION ALL\n", "\nORDER BY column_name")
     },
+
+    // The observed metrics are exactly the one-pass aggregate.
+    "r29_observe" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |       AS BIGINT) AS sum_cents,
+        |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+        |FROM orders""".stripMargin,
 
     "r28_full_outer" ->
       """WITH f AS (

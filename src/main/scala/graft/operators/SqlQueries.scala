@@ -162,6 +162,22 @@ object SqlQueries {
         |FROM lineitem GROUP BY ALL
         |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
 
+    // SQL13 — the USER-function registration surface: a plain Scala UDF
+    // (acct_tier) and a typed Aggregator UDAF (sumsq_long) registered by
+    // name and called through the parser ([[graft.functions
+    // .UserFunctions]]). Deterministic integer semantics throughout, so
+    // the oracle replays the tier CASE and the exact sum of squares.
+    "sql13_udf" -> { (s, d) =>
+      graft.functions.UserFunctions.register(s)
+      Engine.sql(s, d,
+        """WITH c AS (
+          |  SELECT CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+          |    AS cents FROM customer)
+          |SELECT acct_tier(cents) AS tier, COUNT(*) AS n,
+          |  sumsq_long(cents) AS sumsq
+          |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)
+    },
+
     // ANSI FILTER-clause aggregates: per-group conditional aggregation
     // without CASE-WHEN scaffolding — one scan, every FILTER evaluated
     // inside the same hash aggregate (no per-condition passes). The
@@ -281,6 +297,18 @@ object SqlQueries {
         |)
         |SELECT o_custkey, MAX(hop) AS chain_len, MAX(cents) AS chain_cents
         |FROM walk GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    // Replays the UDF tier CASE and the UDAF's exact sum of squares.
+    "sql13_udf" ->
+      """WITH c AS (
+        |  SELECT CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    AS cents FROM customer)
+        |SELECT CASE WHEN cents < 0 THEN 'debt'
+        |            WHEN cents < 500000 THEN 'mid'
+        |            ELSE 'high' END AS tier,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(cents * cents) AS BIGINT) AS sumsq
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // Dialect-shared GROUP BY ALL — identical statement.
     "sql12_group_by_all" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,

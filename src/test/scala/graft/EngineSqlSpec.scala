@@ -10,6 +10,27 @@ class EngineSqlSpec extends SparkSpec {
 
   private val sfDir = "/root/testdata/sf0.001"
 
+  test("user functions: tier boundaries are exact and the UDAF refuses overflow") {
+    import graft.functions.UserFunctions
+    // Boundary cents values land on the exact thresholds (integer compares,
+    // no float drift): -1 → debt, 0 and 499999 → mid, 500000 → high.
+    assert(Seq(-1L, 0L, 499999L, 500000L).map(UserFunctions.acctTier) ==
+           Seq("debt", "mid", "mid", "high"))
+    // Sum of squares is exact LONG arithmetic; overflow throws (addExact)
+    // instead of wrapping into a silently-wrong hash.
+    assert(UserFunctions.SumSqLong.reduce(0L, 3L) == 9L)
+    intercept[ArithmeticException] {
+      UserFunctions.SumSqLong.reduce(Long.MaxValue, 2L)
+    }
+    UserFunctions.register(spark)
+    Engine.registerViews(spark, sfDir)
+    val r = spark.sql(
+      "SELECT sumsq_long(CAST(o_orderkey AS BIGINT)) AS s, " +
+      "  CAST(SUM(o_orderkey * o_orderkey) AS BIGINT) AS expect FROM orders")
+      .head()
+    assert(r.getLong(0) == r.getLong(1))
+  }
+
   test("registerViews: one statement per view returns rows") {
     Engine.registerViews(spark, sfDir)
     Tables.names.foreach { n =>
