@@ -90,6 +90,8 @@ object ScaleProbe {
       val tL16 = time(sink(DedupOps.simhashComponents(d, 1)))
       val tL14b = time(sink(DedupOps.simhashPairs(d, 3, bits = 64)))
       val tL20 = time(sink(SimilarityOps.gramMatrix(e)))
+      val tL25 = time(sink(DedupOps.containmentPairs(d, 0.9)))
+      val tL29 = time(sink(DedupOps.dupShingleFraction(d)))
       println(f"l2_prefix_jaccard      $x%3d $nD%10d $tL2%8.2f")
       println(f"l2b_minhash_lsh        $x%3d $nD%10d $tL2b%8.2f")
       println(f"l7_simhash             $x%3d $nD%10d $tL7%8.2f")
@@ -98,6 +100,8 @@ object ScaleProbe {
       println(f"l16_simhash_components $x%3d $nD%10d $tL16%8.2f")
       println(f"l14b_simhash64_pairs   $x%3d $nD%10d $tL14b%8.2f")
       println(f"l20_embedding_gram     $x%3d $nE%10d $tL20%8.2f")
+      println(f"l25_containment        $x%3d $nD%10d $tL25%8.2f")
+      println(f"l29_dup_shingle_frac   $x%3d $nD%10d $tL29%8.2f")
     }
     spark.stop()
   }

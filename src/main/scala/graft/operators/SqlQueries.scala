@@ -162,6 +162,44 @@ object SqlQueries {
         |FROM lineitem GROUP BY ALL
         |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
 
+    // SQL14 — named parameter markers: the statement is compiled with
+    // `:status` / `:minprice` placeholders and the values bound at call
+    // time (Spark 4 parameterized SQL) — the injection-safe templating
+    // surface every SQL-embedding application needs. The oracle is the
+    // same statement with the bindings inlined as literals, proving
+    // parameter binding ≡ literal substitution.
+    "sql14_named_params" -> { (s, d) =>
+      Engine.registerViews(s, d)
+      s.sql(
+        """SELECT o_orderpriority, COUNT(*) AS n,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS sum_price
+          |FROM orders
+          |WHERE o_orderstatus = :status AND o_totalprice >= :minprice
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+        Map("status" -> "F", "minprice" -> 1000))
+    },
+
+    // SQL15 — error-safe try_* functions (ANSI mode's graceful half):
+    // try_cast turns planted unparseable strings into NULLs instead of
+    // failing the job, try_divide nulls division-by-zero, try_add nulls
+    // LONG overflow — each surviving NULL is COUNTED, so the gate pins
+    // exactly which rows degraded. The dirty-input posture at 100 TB:
+    // ANSI strictness with per-row degradation, not job-level failure.
+    "sql15_try_funcs" -> ((s, d) => Engine.sql(s, d,
+      """WITH r AS (
+        |  SELECT o_orderkey AS k,
+        |    CASE WHEN o_orderkey % 3 = 0
+        |         THEN 'x' || CAST(o_orderkey AS STRING)
+        |         ELSE CAST(o_orderkey AS STRING) END AS ks
+        |  FROM orders)
+        |SELECT COUNT(*) AS n,
+        |  COUNT(try_cast(ks AS BIGINT)) AS n_parsed,
+        |  CAST(SUM(try_cast(ks AS BIGINT)) AS BIGINT) AS sum_parsed,
+        |  COUNT(try_divide(100, k % 5)) AS n_div,
+        |  COUNT(try_add(9223372036854775800, k % 10)) AS n_add
+        |FROM r""".stripMargin)),
+
     // SQL13 — the USER-function registration surface: a plain Scala UDF
     // (acct_tier) and a typed Aggregator UDAF (sumsq_long) registered by
     // name and called through the parser ([[graft.functions
@@ -297,6 +335,25 @@ object SqlQueries {
         |)
         |SELECT o_custkey, MAX(hop) AS chain_len, MAX(cents) AS chain_cents
         |FROM walk GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    // The bindings inlined as literals — binding ≡ substitution.
+    "sql14_named_params" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders
+        |WHERE o_orderstatus = 'F' AND o_totalprice >= 1000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Replays each try_* degradation as its CASE condition: %3 rows are
+    // unparseable, %5=0 divides by zero, %10>7 overflows the LONG probe.
+    "sql15_try_funcs" ->
+      """WITH r AS (SELECT o_orderkey AS k FROM orders)
+        |SELECT COUNT(*) AS n,
+        |  COUNT(CASE WHEN k % 3 != 0 THEN 1 END) AS n_parsed,
+        |  CAST(SUM(CASE WHEN k % 3 != 0 THEN k END) AS BIGINT) AS sum_parsed,
+        |  COUNT(CASE WHEN k % 5 != 0 THEN 1 END) AS n_div,
+        |  COUNT(CASE WHEN k % 10 <= 7 THEN 1 END) AS n_add
+        |FROM r""".stripMargin,
+
     // Replays the UDF tier CASE and the UDAF's exact sum of squares.
     "sql13_udf" ->
       """WITH c AS (
