@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
   *
   * `queries` / `oracleSql` aggregate the per-family suites:
   *   - M1–M8 matrix core            [[graft.operators.MatrixQueries]]
-  *   - R1–R28 relational            [[graft.operators.RelationalQueries]]
+  *   - R1–R31 relational            [[graft.operators.RelationalQueries]]
   *   - J/S events + streaming-batch [[graft.operators.EventQueries]]
   *   - L* LLM-data-pipeline         [[graft.operators.LlmQueries]]
   *   - sql* SQL entry point         [[graft.operators.SqlQueries]]

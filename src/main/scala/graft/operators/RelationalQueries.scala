@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
-/** Declared relational queries R1–R28 (SURVEY.md §2.2 R-table): every operator
+/** Declared relational queries R1–R31 (SURVEY.md §2.2 R-table): every operator
   * family the judge checks — scan/filter/project, hash aggregate, all join
   * shapes, windows (ranking, analytic, RANGE frames, distribution), sort/
   * limit, set ops (distinct + multiset ALL), rollup/cube/pivot, distinct
@@ -397,6 +397,59 @@ object RelationalQueries {
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
         .orderBy("l_returnflag")),
 
+    // R30 — MERGEABLE HLL sketches (Datasketches): per-status partial
+    // sketches union-merged into one estimate, next to the direct
+    // whole-table sketch and the exact count. This is the 100 TB distinct
+    // path r14's exact Expand can't walk — partials build map-side, merge
+    // associatively across any partitioning, and re-aggregate without
+    // rescanning (the stored-sketch rollup pattern). Estimates are
+    // engine-specific → declared rows-only like R14b; the merged≈direct≈
+    // exact agreement is asserted in RelationalOpsSpec.
+    "r30_hll_merge" -> { (s, d) =>
+      val o = t(s, d, "orders")
+      val merged = o.groupBy(col("o_orderstatus"))
+        .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("merged_est"))
+      val direct = o.agg(
+        hll_sketch_estimate(hll_sketch_agg(col("o_custkey"))).as("direct_est"),
+        countDistinct(col("o_custkey")).as("exact"))
+      merged.crossJoin(direct)
+    },
+
+    // R31 — COUNT-MIN SKETCH with an ORACLE-REPLAYABLE construction: the
+    // heavy-hitter frequency estimator as pure dataflow — d=4 formula-
+    // seeded affine hash rows ((2k+3)·x + k²+7k+1 mod p, the MinHash
+    // family) over W=1024 counters, one shuffle to build all rows, point
+    // lookups estimated as the min over rows. Every step is integer
+    // arithmetic both engines compute identically, so unlike R30's HLL
+    // this sketch is FULLY hash-gated — estimate ≥ truth (one-sided CMS
+    // error) is visible in the output next to the exact counts.
+    "r31_countmin" -> { (s, d) =>
+      val p = 2147483647L // 2^31 − 1, the MinHash family prime
+      val W = 1024L
+      def bucket(x: org.apache.spark.sql.Column,
+                 k: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        (((lit(2L) * k + 3L) * x + (k * k + lit(7L) * k + 1L)) % p) % W
+      val o = t(s, d, "orders")
+      val rows = o.select(col("o_custkey"),
+                          explode(sequence(lit(0L), lit(3L))).as("k"))
+        .groupBy(col("k"), bucket(col("o_custkey"), col("k")).as("b"))
+        .agg(count(lit(1)).as("c"))
+      val keys = o.select(col("o_custkey")).distinct()
+        .orderBy(col("o_custkey")).limit(10)
+        .select(col("o_custkey").as("key"),
+                explode(sequence(lit(0L), lit(3L))).as("k"))
+      val est = keys
+        .join(rows, rows("k") === keys("k") &&
+                    rows("b") === bucket(col("key"), keys("k")))
+        .groupBy(col("key")).agg(min(col("c")).as("cm_est"))
+      val truth = o.groupBy(col("o_custkey").as("key"))
+        .agg(count(lit(1)).as("n_true"))
+      est.join(truth, "key")
+        .select(col("key"), col("cm_est"), col("n_true"))
+        .orderBy("key")
+    },
+
     // R15 — scalar function library: string / date / math / conditional.
     "r15_scalar_funcs" -> ((s, d) =>
       t(s, d, "orders")
@@ -581,6 +634,31 @@ object RelationalQueries {
         "  CAST(l_quantity AS BIGINT) AS l_quantity FROM lineitem)\n",
         "\nUNION ALL\n", "\nORDER BY column_name")
     },
+
+    // Replays the CMS construction end-to-end: same affine hash rows,
+    // same counters, same min-over-rows estimates — integer-exact.
+    "r31_countmin" ->
+      """WITH ks AS (SELECT unnest(range(0, 4)) AS k),
+        |cnt AS (
+        |  SELECT ks.k,
+        |    ((((2*ks.k+3) * o_custkey + (ks.k*ks.k + 7*ks.k + 1))
+        |      % 2147483647) % 1024) AS b,
+        |    COUNT(*) AS c
+        |  FROM orders CROSS JOIN ks GROUP BY 1, 2),
+        |keys AS (SELECT DISTINCT o_custkey AS key FROM orders
+        |         ORDER BY 1 LIMIT 10),
+        |est AS (
+        |  SELECT key, MIN(c) AS cm_est
+        |  FROM keys CROSS JOIN ks
+        |  JOIN cnt ON cnt.k = ks.k
+        |   AND cnt.b = ((((2*ks.k+3) * key + (ks.k*ks.k + 7*ks.k + 1))
+        |                 % 2147483647) % 1024)
+        |  GROUP BY 1),
+        |truth AS (SELECT o_custkey AS key, COUNT(*) AS n_true
+        |          FROM orders GROUP BY 1)
+        |SELECT est.key, CAST(cm_est AS BIGINT) AS cm_est,
+        |  CAST(n_true AS BIGINT) AS n_true
+        |FROM est JOIN truth USING (key) ORDER BY key""".stripMargin,
 
     // The observed metrics are exactly the one-pass aggregate.
     "r29_observe" ->

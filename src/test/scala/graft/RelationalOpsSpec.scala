@@ -10,6 +10,32 @@ import org.apache.spark.sql.functions._
 class RelationalOpsSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
+  test("r30 HLL: merged and direct sketch estimates agree with the exact count") {
+    val r = RelationalQueries.queries("r30_hll_merge")(spark, dir).head()
+    val (merged, direct, exact) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    // Datasketches HLL at default lgK=12 has ~1.6% RSE; the fixture's
+    // cardinality (hundreds) sits far below saturation, so 5% is a loose
+    // but regression-catching band for BOTH estimate paths.
+    assert(exact > 0)
+    assert(math.abs(merged - exact) <= 0.05 * exact,
+           s"merged=$merged exact=$exact")
+    assert(math.abs(direct - exact) <= 0.05 * exact,
+           s"direct=$direct exact=$exact")
+  }
+
+  test("r31 count-min: estimates are one-sided (est >= truth) and tight here") {
+    val rows = RelationalQueries.queries("r31_countmin")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 10)
+    rows.foreach { case (k, est, truth) =>
+      assert(est >= truth, s"CMS under-counted key $k: $est < $truth")
+    }
+    // W=1024 cells vs ~1.5k distinct keys at sf0.001: collisions exist but
+    // min-over-4-rows keeps the overestimate within a small multiple.
+    assert(rows.count { case (_, est, truth) => est == truth } >= 5,
+           "expected at least half the probed keys collision-free")
+  }
+
   test("r25 grouping sets: three levels, margins fold to the grand total") {
     val rows = RelationalQueries.queries("r25_grouping_sets")(spark, dir)
       .collect()
