@@ -284,6 +284,48 @@ object EventQueries {
           .orderBy("ws")
       }),
 
+    // S19 — CHECKPOINT RESTART RECOVERY: the tumbling aggregate run as
+    // TWO streaming query incarnations over one checkpoint — half the
+    // events (even ids, hours interleaved with the odd half) land before
+    // a clean stop, the rest after a restart. The resumed query must NOT
+    // re-read the committed half (offset log) and MUST restore every
+    // open window's state (state store) — an undercount means lost
+    // state, so hashing the final table against the whole-input batch
+    // oracle pins the exactly-once resume path, the streaming guarantee
+    // a production pipeline actually lives on (failover, deploys).
+    "s19_restart_recovery" -> { (s, d) =>
+      val raw = Tables.loadEventsRaw(s, d)
+      val dir = java.nio.file.Files.createTempDirectory("graft-restart-")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-restart-tmp-")
+      try {
+        def addHalf(m: Int): Unit = {
+          val out = tmp.resolve(s"half$m").toString
+          raw.filter(col("event_id") % 2 === m).coalesce(1).write.parquet(out)
+          val part = new java.io.File(out).listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          java.nio.file.Files.copy(part.toPath, dir.resolve(s"half$m.parquet"))
+        }
+        def run(): DataFrame = {
+          val stream = Tables.withEventTime(
+            s.readStream.schema(raw.schema).parquet(dir.toString))
+          val q = EventStreams.tumblingCounts(stream).writeStream
+            .format("memory").queryName("s19_sink").outputMode("complete")
+            .option("checkpointLocation", tmp.resolve("ckpt").toString)
+            .start()
+          try q.processAllAvailable() finally q.stop()
+          s.table("s19_sink")
+        }
+        addHalf(0)
+        run()                              // incarnation 1: evens only
+        addHalf(1)
+        run()                              // incarnation 2: resumes, adds odds
+          .orderBy("ws", "event_type").localCheckpoint(true)
+      } finally {
+        EventStreams.deleteRecursively(dir)
+        EventStreams.deleteRecursively(tmp)
+      }
+    },
+
     // J5 — JSON GENERATION roundtrip: typed struct → `to_json` string →
     // `from_json` back to the struct, aggregated. J1/J2/J3 prove the
     // read side of semi-structured; this proves the WRITE side is its
@@ -816,6 +858,8 @@ object EventQueries {
 
     "s1_tumbling_window" -> s1Oracle,
     "s4_streaming_final_state" -> s1Oracle,
+    // The resumed query's final table equals the whole-input aggregate.
+    "s19_restart_recovery" -> s1Oracle,
     "s2_sliding_stream" -> slidingOracle,
     "s3_session_stream" -> sessionOracle,
     "s5_dedup_stream" -> dedupOracle,

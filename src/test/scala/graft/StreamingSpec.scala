@@ -142,6 +142,15 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == Seq(("a", 2L, 175L), ("b", 1L, 200L)))
   }
 
+  test("restart recovery: resumed incarnation equals the whole-input batch") {
+    val d = "/root/testdata/sf0.001"
+    val got = graft.operators.EventQueries.queries("s19_restart_recovery")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val want = graft.operators.EventQueries.queries("s1_tumbling_window")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty && got.toSeq == want.toSeq)
+  }
+
   test("streaming dedup keeps one row per event_id within the watermark") {
     val batches = Seq(
       Seq(Ev(1, t(10), 1, "a", 1.0), Ev(2, t(11), 1, "a", 2.0)),
