@@ -374,6 +374,42 @@ object IoQueries {
         .orderBy("status")
     },
 
+    // IO17 — MERGE upsert (SCD-1): a base table rewritten with an updates
+    // frame — matched keys take the update's values (every 10th order
+    // re-priced ×2), unmatched updates insert (10 new orders above the
+    // max key) — via the full-outer + coalesce formulation, the engine-
+    // level mechanics under every lakehouse MERGE INTO. The rewrite round-
+    // trips through parquet and the gate hashes the merged state, so
+    // update-wins precedence, insert survival, and untouched-row fidelity
+    // are all pinned. (A metadata-transactional table format adds commit
+    // atomicity on top; the dataflow is exactly this.)
+    "io17_merge_upsert" -> { (s, d) =>
+      val path = scratch("merge", d)
+      val base = Tables.load(s, d, "orders")
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+                (Q.dec2(col("o_totalprice")) * 100).cast("long").as("cents"))
+      val maxK = base.agg(max(col("k")).as("mx"))
+      val updates = base.filter(col("k") % 10 === 0)
+        .select(col("k"), lit("U").as("status"), (col("cents") * 2).as("cents"))
+        .unionByName(base.filter(col("k") % 100 === 7).crossJoin(maxK)
+          .select((col("k") + col("mx")).as("k"), lit("N").as("status"),
+                  col("cents")))
+      base.write.mode("overwrite").parquet(s"$path/base")
+      val b = s.read.parquet(s"$path/base")
+      val u = updates.select(col("k").as("uk"), col("status").as("ustatus"),
+                             col("cents").as("ucents"))
+      b.join(u, col("k") === col("uk"), "full_outer")
+        .select(coalesce(col("k"), col("uk")).as("k"),
+                coalesce(col("ustatus"), col("status")).as("status"),
+                coalesce(col("ucents"), col("cents")).as("cents"))
+        .write.mode("overwrite").parquet(s"$path/merged")
+      s.read.parquet(s"$path/merged")
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+             max(col("k")).as("max_key"))
+        .orderBy("status")
+    },
+
     // IO4 — bucketed co-located join: orders ⋈ customer on custkey with
     // both sides pre-bucketed on the key — zero shuffle exchange in the
     // join AND the downstream per-customer aggregate (asserted by
@@ -390,6 +426,26 @@ object IoQueries {
         |  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
         |  MAX(s_suppkey) AS max_suppkey
         |FROM supplier GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Replays the merge: %10 keys become status 'U' with doubled cents,
+    // %100=7 keys also insert as 'N' above the max key, the rest persist.
+    "io17_merge_upsert" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS status,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders),
+        |mx AS (SELECT MAX(k) AS mx FROM base),
+        |merged AS (
+        |  SELECT k,
+        |    CASE WHEN k % 10 = 0 THEN 'U' ELSE status END AS status,
+        |    CASE WHEN k % 10 = 0 THEN cents * 2 ELSE cents END AS cents
+        |  FROM base
+        |  UNION ALL
+        |  SELECT k + mx AS k, 'N' AS status, cents
+        |  FROM base CROSS JOIN mx WHERE k % 100 = 7)
+        |SELECT status, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents,
+        |  MAX(k) AS max_key
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // Replays the planting: every 97th key is quarantined with zero cents.
     "io16_corrupt_records" ->
       """WITH r AS (

@@ -383,6 +383,49 @@ object LlmQueries {
     "l29_dup_shingle_frac" -> ((s, d) =>
       DedupOps.dupShingleFraction(docs(s, d), 3).orderBy("doc_id")),
 
+    // L30 — document CHUNKING: fixed 100-char windows at stride 80 (20
+    // overlap) — the splitting step every RAG index and long-document
+    // pretraining pipeline runs between cleaning and embedding. Chunk
+    // starts come from an array-local `sequence` + `posexplode` (no
+    // self-join, no driver loop — the same parallel-expansion shape as
+    // s9's gap-fill spine); the gate hashes every chunk's bytes and
+    // offsets, so boundary arithmetic must match the oracle exactly.
+    "l30_chunks" -> { (s, d) =>
+      val n = char_length(col("text"))
+      docs(s, d)
+        .filter(n > 0)
+        .select(col("doc_id"),
+          posexplode(transform(
+            sequence(lit(0L), expr("(char_length(text) - 1) div 80")),
+            i => substring(col("text"), (i * 80 + 1).cast("int"), lit(100)))))
+        .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+                char_length(col("col")).cast("long").as("chunk_len"),
+                sha2(col("col"), 256).as("chunk_sha"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+
+    // L31 — SEQUENCE PACKING: documents concatenated into fixed
+    // 512-token training bins per language (monolingual packing), the
+    // batch-prep step between tokenization and the trainer. The bin id
+    // is the running pre-document token count div the budget — the
+    // deterministic concat-and-split formulation — computed with a
+    // PER-LANGUAGE window (partitioned cumulative sum), so the pack
+    // parallelizes across languages/shards instead of the single-
+    // partition global-order anti-pattern.
+    "l31_pack" -> { (s, d) =>
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      docs(s, d)
+        .select(col("lang"), col("doc_id"),
+                size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .withColumn("cum", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+        .withColumn("bin", expr("cum div 512"))
+        .groupBy(col("lang"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok_sum"),
+             min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy("lang", "bin")
+    },
+
     // L24 — the L22 bigram counts through the engine's custom Catalyst
     // GENERATOR (`word_ngrams`, a native UDTF registered via
     // SparkSessionExtensions) on the SQL route: the generator resolves in
@@ -588,6 +631,37 @@ object LlmQueries {
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '555-[0-9]{4}', '<PHONE>', 'g')) AS redacted_sha
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // Replays the window arithmetic: starts at 1 + 80i, width 100; the
+    // chunk count is ⌊(len−1)/80⌋ + 1.
+    "l30_chunks" ->
+      """SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+        |  CAST(length(substring(text, CAST(1 + 80*i AS INTEGER), 100))
+        |       AS BIGINT) AS chunk_len,
+        |  sha256(substring(text, CAST(1 + 80*i AS INTEGER), 100)) AS chunk_sha
+        |FROM (
+        |  SELECT doc_id, text,
+        |    unnest(range(0, (length(text) - 1) // 80 + 1)) AS i
+        |  FROM documents WHERE length(text) > 0)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // Replays the per-language concat-and-split: running pre-document
+    // token count // 512 is the bin id.
+    "l31_pack" ->
+      """WITH t AS (
+        |  SELECT lang, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |b AS (
+        |  SELECT lang, doc_id, n_tok,
+        |    COALESCE(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512
+        |      AS bin
+        |  FROM t)
+        |SELECT lang, CAST(bin AS BIGINT) AS bin, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS tok_sum,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // Same distinct-shingle CTE as the pair queries; df counted over the
     // already-distinct (doc, shingle) rows, ratio via the shared integer
