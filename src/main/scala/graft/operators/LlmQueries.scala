@@ -426,6 +426,39 @@ object LlmQueries {
         .orderBy("lang", "bin")
     },
 
+    // L32 — benchmark DECONTAMINATION: corpus documents screened against
+    // the word-5-gram set of a held-out benchmark (doc_id < 10 stands in
+    // for the eval suite) — the step that keeps test data out of a
+    // training corpus. The benchmark gram set is tiny at any corpus
+    // scale, so it BROADCASTS onto the exploded corpus grams (no
+    // shuffle of the big side) — the production decontamination shape;
+    // zero-hit docs survive via the left join, and the flag, hit counts,
+    // and per-doc gram totals are all hashed.
+    "l32_decontaminate" -> { (s, d) =>
+      val dd = docs(s, d)
+      val bench = dd.filter(col("doc_id") < 10)
+        .select(explode(TextFunctions.wordNgrams("text", 5)).as("gram"))
+        .distinct()
+      val grams = dd.filter(col("doc_id") >= 10)
+        .select(col("doc_id"),
+                explode(TextFunctions.wordNgrams("text", 5)).as("gram"))
+      val hits = grams.join(broadcast(bench), "gram")
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("gram")).as("n_hit_grams"),
+             count(lit(1)).as("n_hits"))
+      dd.filter(col("doc_id") >= 10)
+        .select(col("doc_id"),
+                size(TextFunctions.wordNgrams("text", 5)).cast("long")
+                  .as("n_grams"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+                coalesce(col("n_hit_grams"), lit(0L)).as("n_hit_grams"),
+                coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+                when(coalesce(col("n_hits"), lit(0L)) > 0L, "flagged")
+                  .otherwise("clean").as("status"))
+        .orderBy("doc_id")
+    },
+
     // L24 — the L22 bigram counts through the engine's custom Catalyst
     // GENERATOR (`word_ngrams`, a native UDTF registered via
     // SparkSessionExtensions) on the SQL route: the generator resolves in
@@ -631,6 +664,34 @@ object LlmQueries {
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '555-[0-9]{4}', '<PHONE>', 'g')) AS redacted_sha
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // Same empty-token filter and 5-gram windows as the Spark side;
+    // benchmark = distinct grams of doc_id < 10.
+    "l32_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), t -> t != '') AS tk
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(tk) - 3),
+        |      i -> array_to_string(list_slice(tk, i, i + 4), ' '))) AS gram
+        |  FROM toks),
+        |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id < 10),
+        |hits AS (
+        |  SELECT doc_id, COUNT(DISTINCT c.gram) AS n_hit_grams,
+        |    COUNT(*) AS n_hits
+        |  FROM g c JOIN bench b ON c.gram = b.gram
+        |  WHERE c.doc_id >= 10 GROUP BY 1)
+        |SELECT t.doc_id,
+        |  CAST(CASE WHEN len(tk) >= 5 THEN len(tk) - 4 ELSE 0 END AS BIGINT)
+        |    AS n_grams,
+        |  CAST(COALESCE(n_hit_grams, 0) AS BIGINT) AS n_hit_grams,
+        |  CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+        |  CASE WHEN COALESCE(n_hits, 0) > 0 THEN 'flagged'
+        |       ELSE 'clean' END AS status
+        |FROM toks t LEFT JOIN hits USING (doc_id)
+        |WHERE t.doc_id >= 10 ORDER BY doc_id""".stripMargin,
 
     // Replays the window arithmetic: starts at 1 + 80i, width 100; the
     // chunk count is ⌊(len−1)/80⌋ + 1.
