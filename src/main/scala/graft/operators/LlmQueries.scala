@@ -447,9 +447,11 @@ object LlmQueries {
         .agg(countDistinct(col("gram")).as("n_hit_grams"),
              count(lit(1)).as("n_hits"))
       dd.filter(col("doc_id") >= 10)
+        // gram COUNT is pure token arithmetic — no need to materialize the
+        // gram strings a second time just to size() them.
         .select(col("doc_id"),
-                size(TextFunctions.wordNgrams("text", 5)).cast("long")
-                  .as("n_grams"))
+                greatest(size(TextFunctions.tokens("text")) - 4, lit(0))
+                  .cast("long").as("n_grams"))
         .join(hits, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_grams"),
                 coalesce(col("n_hit_grams"), lit(0L)).as("n_hit_grams"),
