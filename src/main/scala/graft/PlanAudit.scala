@@ -33,7 +33,9 @@ object PlanAudit {
     "l5c_pq_topk",
     "r25_grouping_sets", "sql11_lateral", "io12_zorder_layout",
     "l26_knn_classify", "l27_normalize", "l28_redact", "j4_map_hof",
-    "r28_full_outer", "l29_dup_shingle_frac")
+    "r28_full_outer", "l29_dup_shingle_frac",
+    "l30_chunks", "l31_pack", "l32_decontaminate", "io17_merge_upsert",
+    "r31_countmin", "j5_json_roundtrip")
 
   /** Execute `df` (noop traversal — AQE's final plan only exists after
     * execution) and compute the anti-pattern flags from the executed plan.

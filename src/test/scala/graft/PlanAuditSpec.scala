@@ -91,7 +91,22 @@ class PlanAuditSpec extends SparkSpec {
     // is the feature — only the universal no-cartesian + codegen apply.
     "r28_full_outer" -> Set("WholeStageCodegen"),
     // Linear df-join rollup — no self-join anywhere in the plan.
-    "l29_dup_shingle_frac" -> Set("WholeStageCodegen"))
+    "l29_dup_shingle_frac" -> Set("WholeStageCodegen"),
+    // Array-local sequence+posexplode chunking — one codegen'd pass.
+    "l30_chunks" -> Set("WholeStageCodegen", "PushedFilters"),
+    // Partitioned cumulative-sum pack: window + hash agg, codegen'd.
+    "l31_pack" -> Set("WholeStageCodegen"),
+    // The benchmark gram set must BROADCAST onto the corpus grams — a
+    // shuffled join here would move the whole exploded corpus.
+    "l32_decontaminate" -> Set("BroadcastHashJoin", "WholeStageCodegen",
+                               "PushedFilters"),
+    // Full-outer merge rewrite + roundtrip aggregate, codegen'd.
+    "io17_merge_upsert" -> Set("WholeStageCodegen"),
+    // Counter build + probe joins stay codegen'd; the tiny key set
+    // broadcasts onto the counter rows.
+    "r31_countmin" -> Set("WholeStageCodegen", "BroadcastHashJoin"),
+    // to_json/from_json both codegen — no UDF fallback in the roundtrip.
+    "j5_json_roundtrip" -> Set("WholeStageCodegen"))
 
   test("every audited gated query is cartesian-free with its required plan features") {
     // Keep the spec's coverage locked to the audit's default set — adding a
