@@ -112,6 +112,45 @@ object Multimodal {
       }
   }
 
+  /** One probed patch of a decoded asset's patch grid: grid coordinates
+    * plus a content probe at the patch's scaled payload offset.
+    */
+  case class PatchMeta(doc_id: Long, patch_idx: Int, px: Int, py: Int,
+                       n_patches: Int, probe_byte: Int)
+
+  /** Patch-grid extraction (the ViT tokenizer shape): decode (stub) →
+    * ⌈w/P⌉×⌈h/P⌉ patch grid → `probes` evenly-spaced patches probed, one
+    * typed row each (linear index → (px, py), byte probe at the index
+    * scaled into the payload). A real build replaces the byte probe with
+    * the patch tensor crop; the grid arithmetic, the 1→k distributed
+    * expansion, and the typed output schema are the contract.
+    */
+  def patchGrid(docsWithPayload: DataFrame, patch: Int = 16,
+                probes: Int = 4): Dataset[PatchMeta] = {
+    val spark = docsWithPayload.sparkSession
+    import spark.implicits._
+    docsWithPayload.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val (w, h, ok) = StubCodec.decode(bytes)
+          if (!ok) Iterator.empty
+          else {
+            val gw = (w + patch - 1) / patch
+            val gh = (h + patch - 1) / patch
+            val np = gw * gh
+            val k = math.min(probes, np)
+            (0 until k).iterator.map { i =>
+              val lin = if (k == 1) 0 else i * (np - 1) / (k - 1)
+              val off = (lin.toLong * (bytes.length - 1) /
+                         math.max(1, np - 1)).toInt
+              PatchMeta(id, i, lin % gw, lin / gw, np, bytes(off) & 0xff)
+            }
+          }
+        }
+      }
+  }
+
   /** Partition-wise batched decode: binary payloads → typed metadata.
     * Runs distributed, iterator-to-iterator (no per-row JVM churn, no
     * driver collect) — the shape a real GPU/codec batch step needs.

@@ -212,6 +212,15 @@ object LlmQueries {
       Multimodal.resize(Multimodal.withPayload(docs(s, d)))
         .toDF.orderBy("doc_id")),
 
+    // MM4 — patch-grid extraction (the ViT tokenizer shape): stub decode
+    // → ⌈w/16⌉×⌈h/16⌉ grid → 4 evenly-spaced patches probed per asset
+    // through the same distributed 1→k expansion as MM2. Grid and probe
+    // arithmetic are integer, so the oracle replays coordinates and
+    // probe bytes exactly.
+    "mm4_patch_grid" -> ((s, d) =>
+      Multimodal.patchGrid(Multimodal.withPayload(docs(s, d)))
+        .toDF.orderBy("doc_id", "patch_idx")),
+
     // L14 — SimHash near-dup pairs at Hamming ≤ 1: pigeonhole-banded
     // candidates (two 8-bit blocks; a ≤1-distance pair must agree exactly
     // on one block) + exact bit_count verification — the scale companion
@@ -1342,6 +1351,40 @@ object LlmQueries {
         |  CAST((strpos('0123456789ABCDEF', substring(h, CAST(2 * off + 1 AS INT), 1)) - 1) * 16
         |     + (strpos('0123456789ABCDEF', substring(h, CAST(2 * off + 2 AS INT), 1)) - 1) AS INT) AS frame_byte
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // Replays Multimodal.patchGrid: StubCodec dims, ceil-div 16 grid,
+    // evenly-spaced linear patch indices, and the scaled byte probe —
+    // all integer arithmetic.
+    "mm4_patch_grid" ->
+      """WITH b AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |         octet_length(encode(text)) AS n
+        |  FROM documents WHERE octet_length(encode(text)) > 0),
+        |dims AS (
+        |  SELECT doc_id, hx, n,
+        |    ((n % 640) + 1 + 15) // 16 AS gw,
+        |    (((strpos('0123456789ABCDEF', substring(hx, 1, 1)) - 1) * 16
+        |      + (strpos('0123456789ABCDEF', substring(hx, 2, 1)) - 1)) % 128
+        |     + 1 + 15) // 16 AS gh
+        |  FROM b),
+        |g AS (SELECT *, gw * gh AS np FROM dims),
+        |p AS (
+        |  SELECT doc_id, hx, n, gw, np, i.range AS patch_idx,
+        |    CASE WHEN least(4, np) = 1 THEN 0
+        |         ELSE (i.range * (np - 1)) // (least(4, np) - 1) END AS lin
+        |  FROM g, range(4) i
+        |  WHERE i.range < least(4, np)),
+        |o AS (
+        |  SELECT doc_id, patch_idx, lin % gw AS px, lin // gw AS py, np,
+        |    (lin * (n - 1)) // greatest(1, np - 1) AS off, hx
+        |  FROM p)
+        |SELECT doc_id, CAST(patch_idx AS INT) AS patch_idx,
+        |  CAST(px AS INT) AS px, CAST(py AS INT) AS py,
+        |  CAST(np AS INT) AS n_patches,
+        |  CAST((strpos('0123456789ABCDEF', substring(hx, CAST(2*off + 1 AS INT), 1)) - 1) * 16
+        |     + (strpos('0123456789ABCDEF', substring(hx, CAST(2*off + 2 AS INT), 1)) - 1)
+        |    AS INT) AS probe_byte
+        |FROM o ORDER BY doc_id, patch_idx""".stripMargin,
 
     // Replays Multimodal.resize: StubCodec dims (w = n%640+1,
     // h = (first_byte&127)+1), 1e6 fixed-point downscale fit, and the
