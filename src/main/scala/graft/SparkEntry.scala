@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * `queries` / `oracleSql` aggregate the per-family suites:
-  *   - M1–M8 matrix core            [[graft.operators.MatrixQueries]]
+  *   - M1–M13 matrix core           [[graft.operators.MatrixQueries]]
   *   - R1–R31 relational            [[graft.operators.RelationalQueries]]
   *   - J/S events + streaming-batch [[graft.operators.EventQueries]]
   *   - L* LLM-data-pipeline         [[graft.operators.LlmQueries]]

@@ -344,6 +344,23 @@ object EventQueries {
         .orderBy("event_type")
     },
 
+    // J6 — XML GENERATION roundtrip: the j5 contract through the XML
+    // functions — typed struct → `to_xml` element string → `from_xml`
+    // back, aggregated. Together with io14 (file-level XML) this covers
+    // both XML surfaces: whole-file exchange and per-record columns (the
+    // message-queue / legacy-feed shape). Cents travel as LONGs.
+    "j6_xml_roundtrip" -> { (s, d) =>
+      val cents = (Q.dec2(col("value")) * 100).cast("long")
+      ev(s, d)
+        .select(to_xml(struct(col("event_id"), col("event_type"),
+                              cents.as("cents"))).as("x"))
+        .select(from_xml(col("x"), org.apache.spark.sql.types.StructType
+          .fromDDL("event_id BIGINT, event_type STRING, cents BIGINT")).as("r"))
+        .groupBy(col("r.event_type").as("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("r.cents")).as("cents"))
+        .orderBy("event_type")
+    },
+
     // S18 — state-store introspection: run the per-type complete-mode
     // aggregate as a true streaming query, then read the FINAL STATE out
     // of the checkpoint via Spark's `statestore` source — not the memory
@@ -742,6 +759,12 @@ object EventQueries {
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // A lossless to_json∘from_json roundtrip aggregates like the source.
     "j5_json_roundtrip" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |       AS BIGINT) AS cents
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Same inverse contract through to_xml ∘ from_xml.
+    "j6_xml_roundtrip" ->
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
         |       AS BIGINT) AS cents

@@ -7,7 +7,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Declared LLM-data-pipeline queries L1–L23 + the multimodal gates
+/** Declared LLM-data-pipeline queries L1–L32 + the multimodal gates
   * (SURVEY.md §2.2 L-table; north-star training-data-pipeline mandate) over
   * the `documents` / `embeddings` tables, with DuckDB oracles.
   *

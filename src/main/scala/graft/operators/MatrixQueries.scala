@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Declared matrix queries M1–M8 (SURVEY.md §2.2 M-table) with their DuckDB
+/** Declared matrix queries M1–M13 (SURVEY.md §2.2 M-table) with their DuckDB
   * oracles. Inputs are deterministic formula matrices ([[MatrixGen]]) so both
   * engines construct identical operands; all arithmetic is exact LONG.
   */
