@@ -344,6 +344,20 @@ object EventQueries {
         .orderBy("event_type")
     },
 
+    // S20 — stream-static ANTI join: the stream deduplicated against a
+    // STATIC base index (every third event_id stands in for yesterday's
+    // committed corpus) before the per-type rollup — the streaming form
+    // of l23's incremental ingest dedup. Complete mode; the base
+    // broadcasts and the anti join re-plans per micro-batch.
+    "s20_static_anti_stream" -> ((s, d) =>
+      EventStreams.runToCompletion(
+          s, EventStreams.staticAntiCounts(
+               evStream(s, d),
+               ev(s, d).filter(col("event_id") % 3 === 0)
+                 .select(col("event_id"))),
+          "s20_sink")
+        .orderBy("event_type")),
+
     // J6 — XML GENERATION roundtrip: the j5 contract through the XML
     // functions — typed struct → `to_xml` element string → `from_xml`
     // back, aggregated. Together with io14 (file-level XML) this covers
@@ -763,6 +777,13 @@ object EventQueries {
         |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
         |       AS BIGINT) AS cents
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Only events outside the static base index reach the rollup.
+    "s20_static_anti_stream" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |       AS BIGINT) AS cents
+        |FROM events WHERE event_id % 3 != 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // Same inverse contract through to_xml ∘ from_xml.
     "j6_xml_roundtrip" ->
       """SELECT event_type, COUNT(*) AS n,

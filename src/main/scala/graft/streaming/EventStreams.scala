@@ -197,6 +197,23 @@ object EventStreams {
            sum(when((col("value").cast("decimal(18,2)") * 100).cast("long")
                       * col("vn") > col("vc"), 1L).otherwise(0L)).as("n_above"))
 
+  /** S20 — stream-static ANTI join: events whose ids are already in a
+    * static base index are dropped BEFORE the aggregate — the streaming
+    * form of incremental ingest dedup (l23's batch shape): the base is
+    * yesterday's committed corpus, the stream is today's arrivals, and
+    * only genuinely new events reach the rollup. Stateless per
+    * micro-batch (the anti join re-plans against the static side each
+    * trigger, broadcast at dim scale); at 100 TB the base side is a
+    * bloom-or-bucketed key index, the operator shape is exactly this.
+    */
+  def staticAntiCounts(events: DataFrame, baseIndex: DataFrame): DataFrame =
+    events
+      .join(broadcast(baseIndex), Seq("event_id"), "left_anti")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum((col("value").cast("decimal(18,2)") * 100).cast("long"))
+             .as("cents"))
+
   /** Exact cents of a money double, under the SAME convention as every
     * batch path (`Q.dec2`: Spark's double→DECIMAL(18,2) cast rounds the
     * shortest decimal representation HALF_UP, which `BigDecimal.valueOf`

@@ -151,6 +151,23 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty && got.toSeq == want.toSeq)
   }
 
+  test("stream-static anti join drops base-index ids before the rollup") {
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val base = Seq(2L, 4L).toDF("event_id")
+    val agg = EventStreams.staticAntiCounts(ms.toDF(), base)
+    val q = agg.writeStream.format("memory").queryName("t_s20")
+      .outputMode("complete").start()
+    try {
+      ms.addData(Seq(Ev(1, t(10), 1, "a", 1.0), Ev(2, t(11), 1, "a", 2.0),
+                     Ev(3, t(12), 1, "b", 0.5), Ev(4, t(13), 1, "b", 9.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("t_s20").orderBy("event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("a", 1L, 100L), ("b", 1L, 50L)))
+  }
+
   test("streaming dedup keeps one row per event_id within the watermark") {
     val batches = Seq(
       Seq(Ev(1, t(10), 1, "a", 1.0), Ev(2, t(11), 1, "a", 2.0)),
