@@ -82,24 +82,39 @@ object Tables {
     if (name == "events") loadEvents(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The events fixture stores `ts` as Parquet TIMESTAMP(NANOS), which
-    * Spark's vectorized reader rejects outright. `Engine.configure` sets
-    * `spark.sql.legacy.parquet.nanosAsLong` session-wide so nanos read as
-    * LONG; [[withEventTime]] truncates to microsecond timestamps — the
-    * same floor DuckDB's `epoch_us` applies, so oracle parity holds.
+  /** The events fixture has shipped `ts` in two physical shapes across
+    * testdata generations: Parquet TIMESTAMP(NANOS) — which Spark's
+    * vectorized reader rejects outright, hence the session-wide
+    * `spark.sql.legacy.parquet.nanosAsLong` in `Engine.configure` reading
+    * nanos as LONG — and plain TIMESTAMP(MICROS) without timezone, which
+    * Spark reads as TIMESTAMP_NTZ. [[withEventTime]] normalizes either to
+    * the same microsecond TimestampType under the UTC session, matching
+    * the floor DuckDB's `epoch_us` applies, so oracle parity holds for
+    * both generations.
     */
   def loadEventsRaw(spark: SparkSession, dir: String): DataFrame = {
     // Defensive: Engine.configure sets this session-wide, but the loader
     // must also work under a bare SparkSession (r3 ADVICE) — without it the
-    // vectorized reader rejects the fixture's TIMESTAMP(NANOS) outright.
+    // vectorized reader rejects a TIMESTAMP(NANOS) fixture outright.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/events.parquet")
   }
 
-  /** nanos-LONG `ts` → microsecond TimestampType (floor division). */
+  /** Fixture `ts` (nanos LONG or NTZ micros) → microsecond TimestampType.
+    * The NTZ→TZ cast re-reads the wall-clock fields in the session
+    * timezone — pinned UTC (build.sbt / Engine.configure), so the stored
+    * micros value is preserved bit-for-bit.
+    */
   def withEventTime(raw: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   def loadEvents(spark: SparkSession, dir: String): DataFrame =

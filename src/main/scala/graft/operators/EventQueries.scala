@@ -58,17 +58,32 @@ object EventQueries {
       require(java.nio.file.Files.isRegularFile(src),
         s"sentinelStream needs a single-file events fixture; $src is not a regular file")
       java.nio.file.Files.copy(src, dir.resolve("events.parquet"))
-      val maxRow = raw.agg(max(col("ts"))).head()
+      // Sentinel placement works off the NORMALIZED event time, then the
+      // sentinel value is materialized back in whatever physical type this
+      // fixture generation stores (nanos LONG / NTZ micros — see
+      // [[Tables.withEventTime]]), so the stream dir stays schema-uniform.
+      val maxRow = Tables.withEventTime(raw)
+        .agg(max(unix_micros(col("ts")))).head()
       require(!maxRow.isNullAt(0), s"events fixture at $src is empty")
-      val maxNanos = maxRow.getLong(0)
-      val sentinelNanos =
-        maxNanos + (2L * 3600 + 30L * 60 + 24L * 3600) * 1000000000L
+      val sentinelMicros =
+        maxRow.getLong(0) + (2L * 3600 + 30L * 60 + 24L * 3600) * 1000000L
+      val sentinelTs: Any = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => sentinelMicros * 1000L
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          java.time.LocalDateTime.ofEpochSecond(
+            sentinelMicros / 1000000L,
+            ((sentinelMicros % 1000000L) * 1000L).toInt,
+            java.time.ZoneOffset.UTC)
+        case _ =>
+          java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+            sentinelMicros / 1000000L, (sentinelMicros % 1000000L) * 1000L))
+      }
       // Written OUTSIDE the stream dir (the file source lists it).
       val tmpOut = tmp.resolve("out").toString
       val rows: java.util.List[org.apache.spark.sql.Row] =
         scala.jdk.CollectionConverters.SeqHasAsJava(
           types.zipWithIndex.map { case (t, i) =>
-            org.apache.spark.sql.Row(-1L - i, sentinelNanos, -1L, t, 0.0, "{}")
+            org.apache.spark.sql.Row(-1L - i, sentinelTs, -1L, t, 0.0, "{}")
           }).asJava
       s.createDataFrame(rows, raw.schema).coalesce(1).write.parquet(tmpOut)
       val part = new java.io.File(tmpOut).listFiles()

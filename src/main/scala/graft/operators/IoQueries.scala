@@ -417,10 +417,76 @@ object IoQueries {
     // subsequent key-aligned query rides it.
     "io4_bucketed_join" -> ((s, d) =>
       LayoutOps.bucketedSpendPerCustomer(s, d)
-        .orderBy("c_custkey"))
+        .orderBy("c_custkey")),
+
+    // IO18 — RUNTIME BLOOM-FILTER join pruning: the row-level companion of
+    // io7's partition-level DPP. Catalyst's InjectRuntimeFilter turns the
+    // selective dim-side predicate into a bloom-filter aggregate at
+    // runtime and injects it as a `might_contain` predicate on the fact
+    // scan (asserted by LayoutSpec), so fact rows that cannot join die at
+    // the scan instead of riding the shuffle — at 100 TB the shuffle IS
+    // the cost, and a 1%-selective dim cuts the fact exchange ~100×.
+    // Broadcast is disabled in-scope (the rule targets shuffle joins —
+    // a broadcastable dim wouldn't need the lever) and the application-
+    // side size threshold is fixture-scaled (the 10 GB default assumes a
+    // real cluster — at scale the default heuristics decide). Bloom false
+    // positives only admit rows the join itself discards, so the result
+    // is exactly the plain join's — which is the oracle. The frame is
+    // materialized inside the conf scope (localCheckpoint) so the session
+    // settings are restored no matter when the caller executes it.
+    "io18_bloom_join" -> { (s, d) =>
+      withBloomFilterConf(s)(bloomPrunedRevenue(s, d).localCheckpoint(true))
+    }
   )
 
+  /** The io18 join+aggregate, built WITHOUT conf scoping (LayoutSpec
+    * asserts `might_contain` on this plan under [[withBloomFilterConf]]).
+    */
+  private[graft] def bloomPrunedRevenue(s: SparkSession, d: String): DataFrame = {
+    val dim = Tables.load(s, d, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+              col("o_totalprice") > 150000.0)
+      .select(col("o_orderkey"))
+    Tables.load(s, d, "lineitem")
+      .join(dim, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(Q.sumDiscounted(col("l_extendedprice"), col("l_discount"))
+             .as("revenue"),
+           count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Runs `body` with the runtime-bloom-filter levers on and broadcast off
+    * (set/restore — the io10 conf-scoping pattern): the rule targets
+    * shuffle joins, and the application-side size floor is fixture-scaled
+    * (the 10 GB default assumes a real cluster).
+    */
+  private[graft] def withBloomFilterConf[T](s: SparkSession)(body: => T): T = {
+    val scoped = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = scoped.map { case (k, _) => k -> s.conf.getOption(k) }
+    scoped.foreach { case (k, v) => s.conf.set(k, v) }
+    try body
+    finally prev.foreach { case (k, v) =>
+      v.fold(s.conf.unset(k))(s.conf.set(k, _))
+    }
+  }
+
   val oracles: Map[String, String] = Map(
+    // The bloom filter is transparent to semantics: the oracle is the
+    // plain selective-dim join.
+    "io18_bloom_join" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |JOIN (SELECT o_orderkey FROM orders
+        |      WHERE o_orderpriority = '1-URGENT'
+        |        AND o_totalprice > 150000.0) o
+        |  ON l_orderkey = o.o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "io14_xml_roundtrip" ->
       """SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey, COUNT(*) AS n,
         |  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,

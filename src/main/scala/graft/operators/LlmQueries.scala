@@ -25,6 +25,40 @@ import org.apache.spark.sql.functions._
 object LlmQueries {
 
   private def docs(s: SparkSession, d: String) = Tables.load(s, d, "documents")
+
+  /** L34 core over any (doc_id, text) frame: bigram-LM document scoring —
+    * each doc scored by the average corpus-LM transition probability of
+    * its own bigrams, P(b|a) integer-exact as ⌊10^6·c(a,b)/c(a)⌋ with
+    * prefix counts c(a) derived FROM the bigram table (self-consistent
+    * model). Two hash aggregates + one equi-join on bigram; the model
+    * table is vocabulary-sized (never broadcast-assumed); zero-bigram
+    * docs survive the left join with score 0. Spec-pinned on planted
+    * docs; the l34 gate hashes it against the DuckDB replay.
+    */
+  def lmScore(dd: DataFrame): DataFrame = {
+    val docBi = dd
+      .select(col("doc_id"),
+              explode(TextFunctions.wordNgrams("text", 2)).as("bigram"))
+      .groupBy("doc_id", "bigram").agg(count(lit(1)).as("m"))
+    val corpus = docBi.groupBy("bigram").agg(sum(col("m")).as("cb"))
+    val prefix = corpus
+      .groupBy(split(col("bigram"), " ").getItem(0).as("pre"))
+      .agg(sum(col("cb")).as("ca"))
+    val scores = corpus
+      .join(prefix, split(col("bigram"), " ").getItem(0) === col("pre"))
+      .select(col("bigram"), Q.intDiv(col("cb") * 1000000L, col("ca")).as("sc"))
+    val perDoc = docBi.join(scores, "bigram")
+      .groupBy("doc_id")
+      .agg(sum(col("m")).as("n_bigrams"), sum(col("m") * col("sc")).as("st"))
+    dd.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+              coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+              when(col("st").isNull, 0.0)
+                .otherwise(Q.round4Ratio(col("st"),
+                                         col("n_bigrams") * 1000000L))
+                .as("lm_score"))
+  }
   private def emb(s: SparkSession, d: String)  = Tables.load(s, d, "embeddings")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -469,6 +503,41 @@ object LlmQueries {
                   .otherwise("clean").as("status"))
         .orderBy("doc_id")
     },
+
+    // L33 — triangle counts over the SimHash ≤1 near-dup graph: the
+    // community-density primitive on top of the pair family (L14 finds
+    // edges, L16 finds components, this measures how CLIQUE-LIKE each
+    // neighborhood is — a doc in many triangles sits in a dense duplicate
+    // cluster, not a chain of borderline matches). Degree-ordered
+    // orientation bounds the wedge join at O(m^1.5) regardless of hub
+    // skew ([[GraphOps.triangleCounts]]); the top-10 funnel is
+    // TakeOrderedAndProject (distributed top-k), never a whole-corpus
+    // single-partition window.
+    "l33_triangle_count" -> { (s, d) =>
+      val edges = DedupOps.simhashPairs(docs(s, d), maxHamming = 1)
+        .select("da", "db")
+      val counts = GraphOps.triangleCounts(edges)
+      val top = counts
+        .orderBy(col("n_triangles").desc, col("doc_id").asc).limit(10)
+      top.withColumn("rnk",
+          row_number().over(Window.orderBy(col("n_triangles").desc,
+                                           col("doc_id").asc)).cast("long"))
+        .select("rnk", "doc_id", "n_triangles")
+        .orderBy("rnk")
+    },
+
+    // L34 — bigram-LM document scoring: the KenLM-shaped quality filter —
+    // score each doc by the average corpus-LM transition probability of
+    // its own bigrams (a doc of improbable transitions is line noise /
+    // boilerplate soup; a doc of probable ones reads like the corpus).
+    // P(b|a) is integer-exact: ⌊10^6·c(a,b)/c(a)⌋ with c(a) = Σ_b c(a,b)
+    // (prefix counts derived FROM the bigram table, so the model is
+    // self-consistent), doc score = Σ m·s over its bigram multiplicities,
+    // reported as round4 of score/(n·10^6). Two hash aggregates + one
+    // equi-join on bigram — the model table is vocabulary-sized (never
+    // broadcast-assumed), everything combines map-side; zero-bigram docs
+    // survive via the left join with score 0.
+    "l34_lm_score" -> ((s, d) => lmScore(docs(s, d)).orderBy("doc_id")),
 
     // L24 — the L22 bigram counts through the engine's custom Catalyst
     // GENERATOR (`word_ngrams`, a native UDTF registered via
@@ -1083,6 +1152,81 @@ object LlmQueries {
         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.f, b.f)) <= 1
         |ORDER BY da, db""".stripMargin,
+
+    // l14's fingerprint CTEs, then the naive id-ordered 3-way triangle
+    // join and per-node role counts — orientation-free, so it checks the
+    // degree-ordered Spark plan produces the same triangle set.
+    "l33_triangle_count" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split(text, ' '), t -> t != '')) AS tok
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(range(1, length(tok) + 1),
+        |                       i -> CAST(ascii(substring(tok, i, 1)) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 1000003) AS h
+        |  FROM toks),
+        |votes AS (
+        |  SELECT doc_id, b.range AS b,
+        |    SUM(CASE WHEN (h // (1 << b.range)) % 2 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM h, range(16) b GROUP BY 1, 2),
+        |fp AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN s > 0 THEN CAST(1 << b AS BIGINT) ELSE 0 END) AS BIGINT) AS f
+        |  FROM votes GROUP BY 1),
+        |e AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.f, b.f)) <= 1),
+        |tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |roles AS (
+        |  SELECT x AS doc_id FROM tri
+        |  UNION ALL SELECT y FROM tri
+        |  UNION ALL SELECT z FROM tri),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n_triangles FROM roles GROUP BY 1)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_triangles DESC, doc_id ASC) AS BIGINT) AS rnk,
+        |  doc_id, CAST(n_triangles AS BIGINT) AS n_triangles
+        |FROM cnt ORDER BY n_triangles DESC, doc_id ASC LIMIT 10""".stripMargin,
+
+    // Replays the self-consistent bigram LM: prefix counts derived from
+    // the bigram table, integer transition scores, per-doc multiplicity-
+    // weighted average. `//` truncates and intDiv floors — equal on the
+    // non-negative operands here.
+    "l34_lm_score" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split(text, ' '), t -> t != '') AS tk
+         |  FROM documents),
+         |bi AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, len(tk)),
+         |                          i -> tk[i] || ' ' || tk[i+1])) AS bigram
+         |  FROM toks),
+         |db AS (SELECT doc_id, bigram, COUNT(*) AS m FROM bi GROUP BY 1, 2),
+         |cb AS (SELECT bigram, CAST(SUM(m) AS BIGINT) AS cb FROM db GROUP BY 1),
+         |ca AS (
+         |  SELECT string_split(bigram, ' ')[1] AS pre, CAST(SUM(cb) AS BIGINT) AS ca
+         |  FROM cb GROUP BY 1),
+         |sc AS (
+         |  SELECT bigram, CAST((cb * 1000000) // ca AS BIGINT) AS sc
+         |  FROM cb JOIN ca ON string_split(bigram, ' ')[1] = ca.pre),
+         |ds AS (
+         |  SELECT db.doc_id, CAST(SUM(m) AS BIGINT) AS n_bigrams,
+         |    CAST(SUM(m * sc) AS BIGINT) AS st
+         |  FROM db JOIN sc USING (bigram) GROUP BY 1)
+         |SELECT d.doc_id,
+         |  COALESCE(ds.n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams,
+         |  CASE WHEN ds.doc_id IS NULL THEN 0.0
+         |       ELSE ${Q.duckRound4Ratio("st", "n_bigrams * 1000000")}
+         |  END AS lm_score
+         |FROM documents d LEFT JOIN ds ON d.doc_id = ds.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     // l14's scheme at 64 bits: four independent polynomial hash lanes
     // (multipliers 31/37/41/43, 16 fingerprint bits each), then the exact

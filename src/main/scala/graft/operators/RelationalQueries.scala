@@ -497,7 +497,26 @@ object RelationalQueries {
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(Q.sumMoney(col("l_quantity")).as("sum_qty"))
         .filter(col("sum_qty") > 254000.0)
-        .orderBy("l_returnflag", "l_linestatus"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // R32 — ordered-statistic aggregates: exact MEDIAN and DETERMINISTIC
+    // MODE per group. `mode(expr, true)` pins ties to the lowest value —
+    // the default non-deterministic mode is partitioning-dependent and
+    // could never hash-gate (the same reason r27 sorts its collect_set).
+    // l_quantity values are integers carried in doubles, so the even-count
+    // median midpoint interpolation is exact binary arithmetic on both
+    // engines (the l13 percentile ≡ quantile_cont equivalence, one level
+    // up through the dedicated aggregate). Both aggregates are single-pass
+    // hash aggregates with a per-group value sort inside the buffer —
+    // at 100 TB the per-(flag, qty) pre-aggregation the oracle spells out
+    // is the better plan shape; here the builtin demonstrates the API.
+    "r32_median_mode" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+             median(col("l_quantity")).as("med_qty"),
+             expr("mode(l_quantity, true)").as("mode_qty"))
+        .orderBy("l_returnflag"))
   )
 
   private def setOpsAll(s: SparkSession, d: String, op: String): DataFrame = {
@@ -810,6 +829,26 @@ object RelationalQueries {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY 1, 2
         |HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 254000.0
-        |ORDER BY 1, 2""".stripMargin
+        |ORDER BY 1, 2""".stripMargin,
+
+    // Median replayed as quantile_cont(0.5) (the l13 equivalence); the
+    // deterministic mode replayed as the (count DESC, value ASC) argmin —
+    // exactly the tie the `true` flag pins on the Spark side.
+    "r32_median_mode" ->
+      """WITH med AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    quantile_cont(l_quantity, 0.5) AS med_qty
+        |  FROM lineitem GROUP BY 1),
+        |c AS (
+        |  SELECT l_returnflag, l_quantity, COUNT(*) AS cnt
+        |  FROM lineitem GROUP BY 1, 2),
+        |md AS (
+        |  SELECT l_returnflag, l_quantity AS mode_qty,
+        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |                       ORDER BY cnt DESC, l_quantity ASC) AS rn
+        |  FROM c)
+        |SELECT med.l_returnflag, med.n, med.med_qty, md.mode_qty
+        |FROM med JOIN md USING (l_returnflag)
+        |WHERE md.rn = 1 ORDER BY 1""".stripMargin
   )
 }

@@ -200,6 +200,20 @@ object SqlQueries {
         |  COUNT(try_add(9223372036854775800, k % 10)) AS n_add
         |FROM r""".stripMargin)),
 
+    // SQL16 — ordered string aggregation through the parser: LISTAGG
+    // WITHIN GROUP (new in Spark 4) — the reporting/export staple that
+    // folds a group's values into one delimited string. The input is
+    // pre-DISTINCTed and the WITHIN GROUP order is total, so the string
+    // is deterministic on any partitioning — the r27 sort-before-export
+    // rule, here enforced by the aggregate itself instead of a wrapper.
+    "sql16_listagg" -> ((s, d) => Engine.sql(s, d,
+      """WITH p AS (SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders)
+        |SELECT o_orderstatus,
+        |  listagg(o_orderpriority, '|')
+        |    WITHIN GROUP (ORDER BY o_orderpriority) AS priorities,
+        |  COUNT(*) AS n
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // SQL13 — the USER-function registration surface: a plain Scala UDF
     // (acct_tier) and a typed Aggregator UDAF (sumsq_long) registered by
     // name and called through the parser ([[graft.functions
@@ -353,6 +367,15 @@ object SqlQueries {
         |  COUNT(CASE WHEN k % 5 != 0 THEN 1 END) AS n_div,
         |  COUNT(CASE WHEN k % 10 <= 7 THEN 1 END) AS n_add
         |FROM r""".stripMargin,
+
+    // DuckDB's grammar spells the ordered fold string_agg(... ORDER BY).
+    "sql16_listagg" ->
+      """WITH p AS (SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders)
+        |SELECT o_orderstatus,
+        |  string_agg(o_orderpriority, '|' ORDER BY o_orderpriority)
+        |    AS priorities,
+        |  COUNT(*) AS n
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Replays the UDF tier CASE and the UDAF's exact sum of squares.
     "sql13_udf" ->

@@ -49,6 +49,54 @@ class GraphPropSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  /** Reference triangle participation: brute-force over all node triples. */
+  private def naiveTriangles(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val es = edges.toSet
+    def has(a: Long, b: Long) = es((math.min(a, b), math.max(a, b)))
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val counts = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    for {
+      i <- nodes.indices; j <- (i + 1) until nodes.size; k <- (j + 1) until nodes.size
+      (a, b, c) = (nodes(i), nodes(j), nodes(k))
+      if has(a, b) && has(b, c) && has(a, c)
+    } { counts(a) += 1; counts(b) += 1; counts(c) += 1 }
+    counts.toMap
+  }
+
+  test("triangleCounts (degree-ordered) equals brute-force on random graphs") {
+    val genCase = for {
+      n <- Gen.choose(3, 20)
+      nEdges <- Gen.choose(0, 3 * n)
+      edges <- Gen.listOfN(nEdges, for {
+        a <- Gen.choose(0, n - 1)
+        b <- Gen.choose(0, n - 1)
+      } yield (math.min(a, b).toLong, math.max(a, b).toLong))
+    } yield edges.filter(e => e._1 != e._2).distinct
+
+    val prop = Prop.forAllNoShrink(genCase) { edges =>
+      val pairs = edges.toDF("da", "db")
+      val got = graft.operators.GraphOps.triangleCounts(pairs).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      got == naiveTriangles(edges)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(6), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("triangleCounts on a hub star plus one closing edge (skew shape)") {
+    // Star centered at 0 with leaves 1..40 — zero triangles until one
+    // leaf-leaf edge closes exactly one. The degree-ordered plan must not
+    // enumerate the hub's quadratic wedge set to find it: leaves have
+    // degree 1-2, so every star edge orients leaf→hub and the hub sources
+    // no wedges at all.
+    val star = (1L to 40L).map(i => (math.min(0L, i), math.max(0L, i)))
+    val edges = star :+ (1L, 2L)
+    val got = graft.operators.GraphOps.triangleCounts(edges.toDF("da", "db"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(0L -> 1L, 1L -> 1L, 2L -> 1L))
+  }
+
   test("connectedComponents on a worst-case path graph (deep diameter)") {
     val n = 65L
     val nodes = (0L until n).map(i => (i, "")).toDF("doc_id", "text")

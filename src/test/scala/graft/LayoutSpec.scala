@@ -77,6 +77,22 @@ class LayoutSpec extends SparkSpec {
            s"DPP join kept all $allYears years — the dim filter selected everything")
   }
 
+  test("io18: the dim filter reaches the fact scan as a runtime BLOOM filter") {
+    // Baseline OUTSIDE the conf scope: the plain (broadcast, no-bloom) join.
+    val plain = IoQueries.bloomPrunedRevenue(spark, dir).collect()
+    IoQueries.withBloomFilterConf(spark) {
+      val df = IoQueries.bloomPrunedRevenue(spark, dir)
+      val plan = executedPlan(df)
+      // InjectRuntimeFilter must have turned the selective dim predicate
+      // into a bloom-filter probe on the fact side's l_orderkey.
+      assert(plan.toLowerCase.contains("might_contain"),
+             s"no runtime bloom filter on the fact scan:\n$plan")
+      // And the filtered plan must agree with it (bloom false positives
+      // are discarded by the join itself).
+      assert(df.collect().toSeq == plain.toSeq)
+    }
+  }
+
   test("io9: compaction collapses file count, preserves rows, and never shuffles") {
     val base = System.getProperty("java.io.tmpdir") + "/graft-layout-spec/compact"
     val src = spark.read.parquet(s"$dir/documents.parquet")

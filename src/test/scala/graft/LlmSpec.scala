@@ -232,6 +232,28 @@ class LlmSpec extends SparkSpec {
     assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L))  // neighbor order
   }
 
+  test("lmScore: all-probable transitions score 1.0; short docs score 0") {
+    import spark.implicits._
+    // doc 1 "a b a b": transitions "a b"(×2), "b a"(×1) — with doc 1 the
+    // only text, every prefix has ONE continuation, so every transition
+    // has probability 1 and the doc scores exactly 1.0.
+    // doc 2 has a single token -> zero bigrams -> score 0 via the left join.
+    val dd = Seq((1L, "a b a b"), (2L, "solo")).toDF("doc_id", "text")
+    val got = graft.operators.LlmQueries.lmScore(dd).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 3L, 1.0), (2L, 0L, 0.0)))
+  }
+
+  test("lmScore: rarer continuations score proportionally lower") {
+    import spark.implicits._
+    // Prefix "x" continues to "y" twice and "z" once across the corpus:
+    // P(y|x) = ⌊2e6/3⌋/1e6, P(z|x) = ⌊1e6/3⌋/1e6.
+    val dd = Seq((1L, "x y"), (2L, "x y"), (3L, "x z")).toDF("doc_id", "text")
+    val got = graft.operators.LlmQueries.lmScore(dd).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(got(1L) == 0.6667 && got(2L) == 0.6667 && got(3L) == 0.3333)
+  }
+
   test("l28 redaction scrubs every occurrence and counts multi-matches") {
     // A documents fixture with MULTIPLE PII hits per row (the sf fixture
     // plants exactly one of each) — doc_id 5 also triggers the planted

@@ -36,6 +36,30 @@ class RelationalOpsSpec extends SparkSpec {
            "expected at least half the probed keys collision-free")
   }
 
+  test("r32 deterministic mode picks the LOWEST value on a tie; median interpolates") {
+    import spark.implicits._
+    // g1: 1.0 ×2, 3.0 ×2 (tie -> 1.0), even count -> median (1.0+3.0)/2.
+    // g2: odd count, unique mode.
+    val df = Seq(("g1", 1.0), ("g1", 1.0), ("g1", 3.0), ("g1", 3.0),
+                 ("g2", 5.0), ("g2", 5.0), ("g2", 9.0))
+      .toDF("g", "v")
+    val got = df.groupBy($"g")
+      .agg(median($"v").as("med"), expr("mode(v, true)").as("mo"))
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(got.toSeq == Seq(("g1", 2.0, 1.0), ("g2", 5.0, 5.0)))
+  }
+
+  test("sql16 listagg is deterministic: WITHIN GROUP order fixes the string") {
+    val rows = SqlQueries.queries("sql16_listagg")(spark, dir).collect()
+    rows.foreach { r =>
+      val parts = r.getString(1).split("\\|").toSeq
+      assert(parts == parts.sorted, s"unsorted listagg: ${r.getString(1)}")
+      assert(parts.size.toLong == r.getLong(2))
+    }
+    assert(rows.nonEmpty)
+  }
+
   test("r25 grouping sets: three levels, margins fold to the grand total") {
     val rows = RelationalQueries.queries("r25_grouping_sets")(spark, dir)
       .collect()
