@@ -35,7 +35,11 @@ object PlanAudit {
     "l26_knn_classify", "l27_normalize", "l28_redact", "j4_map_hof",
     "r28_full_outer", "l29_dup_shingle_frac",
     "l30_chunks", "l31_pack", "l32_decontaminate", "io17_merge_upsert",
-    "r31_countmin", "j5_json_roundtrip")
+    "r31_countmin", "j5_json_roundtrip",
+    // io18 is audited by LayoutSpec directly — its gate returns a
+    // localCheckpoint'd frame whose lineage (and plan features) are cut.
+    "l33_triangle_count", "l34_lm_score", "r32_median_mode",
+    "sql16_listagg", "l35_passage_dup", "l36_feature_hash", "sql17_pivot")
 
   /** Execute `df` (noop traversal — AQE's final plan only exists after
     * execution) and compute the anti-pattern flags from the executed plan.

@@ -92,6 +92,10 @@ object ScaleProbe {
       val tL20 = time(sink(SimilarityOps.gramMatrix(e)))
       val tL25 = time(sink(DedupOps.containmentPairs(d, 0.9)))
       val tL29 = time(sink(DedupOps.dupShingleFraction(d)))
+      val tL33 = time(sink(graft.operators.GraphOps.triangleCounts(
+        DedupOps.simhashPairs(d, 1).select("da", "db"))))
+      val tL34 = time(sink(graft.operators.LlmQueries.lmScore(d)))
+      val tL35 = time(sink(DedupOps.dupWindowFraction(d)))
       println(f"l2_prefix_jaccard      $x%3d $nD%10d $tL2%8.2f")
       println(f"l2b_minhash_lsh        $x%3d $nD%10d $tL2b%8.2f")
       println(f"l7_simhash             $x%3d $nD%10d $tL7%8.2f")
@@ -102,6 +106,9 @@ object ScaleProbe {
       println(f"l20_embedding_gram     $x%3d $nE%10d $tL20%8.2f")
       println(f"l25_containment        $x%3d $nD%10d $tL25%8.2f")
       println(f"l29_dup_shingle_frac   $x%3d $nD%10d $tL29%8.2f")
+      println(f"l33_triangle_count     $x%3d $nD%10d $tL33%8.2f")
+      println(f"l34_lm_score           $x%3d $nD%10d $tL34%8.2f")
+      println(f"l35_passage_dup        $x%3d $nD%10d $tL35%8.2f")
     }
     spark.stop()
   }

@@ -379,6 +379,50 @@ object DedupOps {
     } finally sh.unpersist(blocking = false)
   }
 
+  /** Per-document duplicated-PASSAGE fraction (the L35 gate): the share of
+    * each doc's distinct fixed-width character windows (width `w`, stride
+    * `stride`) that appear VERBATIM in at least one other doc — the
+    * passage/boilerplate detector at the granularity where training-data
+    * substring dedup operates (long verbatim spans, vs [[dupShingleFraction]]'s
+    * 3-gram noise floor; cf. the substring-dedup motivation in Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better", ACL'22 —
+    * a strided window table is the dataflow-friendly approximation of
+    * their suffix-array pass). Same linear no-self-join shape as L29: one
+    * window table, one frequency pass (a window with df = 1 belongs to
+    * exactly one doc, so min(doc_id) IS the owner), n_dup = n_win − n_uniq.
+    * Production would key windows by hash; the fixture keys by the window
+    * text itself so the DuckDB oracle replays byte-for-byte. Docs shorter
+    * than `w` carry zero windows and survive via the left join.
+    */
+  def dupWindowFraction(docs: DataFrame, w: Int = 64,
+                        stride: Int = 16): DataFrame = {
+    val wins = docs.select(col("doc_id"),
+      explode(expr(
+        s"""CASE WHEN length(text) >= $w
+            THEN array_distinct(transform(
+                   sequence(1, length(text) - ${w - 1}, $stride),
+                   i -> substring(text, i, $w)))
+            ELSE array() END""")).as("code")).persist()
+    try {
+      val perDoc = wins.groupBy(col("doc_id")).agg(count(lit(1)).as("n_win"))
+      val uniq = wins.groupBy(col("code"))
+        .agg(count(lit(1)).as("dfc"), min(col("doc_id")).as("owner"))
+        .filter(col("dfc") === 1)
+        .groupBy(col("owner")).agg(count(lit(1)).as("n_uniq"))
+      materialize(
+        docs.select(col("doc_id"))
+          .join(perDoc, Seq("doc_id"), "left")
+          .join(uniq.withColumnRenamed("owner", "doc_id"), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+                  coalesce(col("n_win"), lit(0L)).as("n_windows"),
+                  (coalesce(col("n_win"), lit(0L)) -
+                     coalesce(col("n_uniq"), lit(0L))).as("n_dup"))
+          .withColumn("dup_frac",
+            when(col("n_windows") === 0L, 0.0)
+              .otherwise(graft.Q.round4Ratio(col("n_dup"), col("n_windows")))))
+    } finally wins.unpersist(blocking = false)
+  }
+
   /** Exact near-dup pairs via PREFIX FILTERING (Bayardo/Ma/Srikant,
     * "Scaling Up All Pairs Similarity Search", WWW 2007; the PPJoin family
     * refines it) — candidate generation with a hard no-false-negative

@@ -569,6 +569,35 @@ object EventQueries {
       } finally prev.fold(s.conf.unset(key))(v => s.conf.set(key, v))
     },
 
+    // S21 — transformWithState MAP STATE (`MapState[event_type → agg]` +
+    // a ValueState activity clock — the multi-slot keyed-sub-aggregate
+    // layout s13's single ValueState doesn't exercise), with PERIODIC
+    // EVICTION semantics: 30 min of user inactivity flushes and CLEARS
+    // the user's map (state bounded by ACTIVE users), and the flushed
+    // partials are summed downstream — the bounded-state rollup shape of
+    // a production pipeline. Exactly-once per event across partials ⇒ the
+    // summed sink equals the batch per-(user, type) group-by (the oracle).
+    "s21_tws_typecounts" -> { (s, d) =>
+      import s.implicits._
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+                      "RocksDBStateStoreProvider")
+      try {
+        sentinelStream(s, d, Seq("sentinel")) { stream =>
+          val typed = stream
+            .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+            .as[EventStreams.TypedEvent]
+          val flushed = EventStreams.twsTypeCounts(typed).toDF
+          EventStreams.runToCompletion(s, flushed, "s21_sink", mode = "append")
+            .filter(col("user_id") >= 0)
+            .groupBy(col("user_id"), col("event_type"))
+            .agg(sum(col("n")).as("n"), sum(col("cents")).as("cents"))
+            .orderBy("user_id", "event_type")
+        }
+      } finally prev.fold(s.conf.unset(key))(v => s.conf.set(key, v))
+    },
+
     // S12 — LEFT OUTER stream-stream join: the interval join (S6) in its
     // outer form, where an unmatched click must STILL emit (null view
     // side) — and may only do so once the watermark proves no match can
@@ -892,6 +921,15 @@ object EventQueries {
 
     // transformWithState must reproduce the same batch sessionization as
     // the flatMapGroupsWithState path — one oracle, two state APIs.
+    // The flushed partials summed downstream must equal the whole-input
+    // per-(user, type) rollup — loss or double-count in any eviction
+    // cycle breaks the hash.
+    "s21_tws_typecounts" ->
+      """SELECT user_id, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |       AS BIGINT) AS cents
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "s13_tws_sessions" ->
       """WITH marked AS (
         |  SELECT user_id, ts, value,

@@ -539,6 +539,39 @@ object LlmQueries {
     // survive via the left join with score 0.
     "l34_lm_score" -> ((s, d) => lmScore(docs(s, d)).orderBy("doc_id")),
 
+    // L35 — duplicated-passage fraction: l29's duplicate-content score at
+    // PASSAGE granularity (64-char windows, stride 16) — the verbatim-span
+    // detector substring dedup runs on, vs the 3-gram noise floor. Linear
+    // frequency-pass formulation, no self-join; short docs carry zero
+    // windows through the left join.
+    "l35_passage_dup" -> ((s, d) =>
+      DedupOps.dupWindowFraction(docs(s, d), 64, 16).orderBy("doc_id")),
+
+    // L36 — feature-hashing document embeddings (the hashing trick,
+    // Weinberger et al. ICML'09): each doc's token stream folded into a
+    // fixed 16-dim signed-count vector — bucket = h mod 16, sign from the
+    // next hash bit — the deterministic, vocabulary-free featurization
+    // that stands in for a model encoder in this container (and IS the
+    // production baseline for cheap similarity/classification features).
+    // One narrow codegen pass + one hash aggregate; the (doc, dim) grid
+    // left-join zero-fills absent buckets so every doc emits exactly 16
+    // components. Restricted to doc_id < 50 to keep the gate's output
+    // row-bounded (50 docs × 16 dims).
+    "l36_feature_hash" -> { (s, d) =>
+      val dd = docs(s, d).filter(col("doc_id") < 50)
+      val comp = dd
+        .select(col("doc_id"), explode(TextFunctions.tokens("text")).as("tok"))
+        .withColumn("h", TextFunctions.tokenHash("tok"))
+        .select(col("doc_id"), (col("h") % 16).as("dim"),
+                when(expr("(h div 16) % 2") === 1, 1L).otherwise(-1L).as("sgn"))
+        .groupBy("doc_id", "dim").agg(sum(col("sgn")).as("v"))
+      dd.select(col("doc_id"),
+                explode(sequence(lit(0L), lit(15L))).as("dim"))
+        .join(comp, Seq("doc_id", "dim"), "left")
+        .select(col("doc_id"), col("dim"), coalesce(col("v"), lit(0L)).as("v"))
+        .orderBy("doc_id", "dim")
+    },
+
     // L24 — the L22 bigram counts through the engine's custom Catalyst
     // GENERATOR (`word_ngrams`, a native UDTF registered via
     // SparkSessionExtensions) on the SQL route: the generator resolves in
@@ -1193,6 +1226,63 @@ object LlmQueries {
         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_triangles DESC, doc_id ASC) AS BIGINT) AS rnk,
         |  doc_id, CAST(n_triangles AS BIGINT) AS n_triangles
         |FROM cnt ORDER BY n_triangles DESC, doc_id ASC LIMIT 10""".stripMargin,
+
+    // Replays the strided window table (range() is exclusive-stop, so
+    // len−62 matches sequence()'s inclusive len−63), the df=1 ownership
+    // pass, and the zero-window left join.
+    "l35_passage_dup" ->
+      s"""WITH w0 AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, length(text) - 62, 16),
+         |                          i -> substring(text, i, 64))) AS code
+         |  FROM documents WHERE length(text) >= 64),
+         |wins AS (SELECT DISTINCT doc_id, code FROM w0),
+         |per AS (SELECT doc_id, COUNT(*) AS n_win FROM wins GROUP BY 1),
+         |uniq AS (
+         |  SELECT owner, COUNT(*) AS n_uniq FROM (
+         |    SELECT code, MIN(doc_id) AS owner
+         |    FROM wins GROUP BY code HAVING COUNT(*) = 1)
+         |  GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(per.n_win, 0) AS BIGINT) AS n_windows,
+         |  CAST(COALESCE(per.n_win, 0) - COALESCE(u.n_uniq, 0) AS BIGINT) AS n_dup,
+         |  CASE WHEN COALESCE(per.n_win, 0) = 0 THEN 0.0
+         |       ELSE ${Q.duckRound4Ratio(
+                        "COALESCE(per.n_win, 0) - COALESCE(u.n_uniq, 0)",
+                        "per.n_win")}
+         |  END AS dup_frac
+         |FROM documents d
+         |LEFT JOIN per ON d.doc_id = per.doc_id
+         |LEFT JOIN uniq u ON d.doc_id = u.owner
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // Replays the l14-family polynomial token hash, the bucket/sign
+    // split, and the 16-dim grid zero-fill.
+    "l36_feature_hash" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split(text, ' '), t -> t != '')) AS tok
+        |  FROM documents WHERE doc_id < 50),
+        |h AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(range(1, length(tok) + 1),
+        |                       i -> CAST(ascii(substring(tok, i, 1)) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 1000003) AS h
+        |  FROM toks),
+        |comp AS (
+        |  SELECT doc_id, h % 16 AS dim,
+        |    CAST(SUM(CASE WHEN (h // 16) % 2 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v
+        |  FROM h GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT doc_id, g.range AS dim
+        |  FROM documents, range(16) g WHERE doc_id < 50)
+        |SELECT grid.doc_id, CAST(grid.dim AS BIGINT) AS dim,
+        |  CAST(COALESCE(comp.v, 0) AS BIGINT) AS v
+        |FROM grid LEFT JOIN comp
+        |  ON grid.doc_id = comp.doc_id AND grid.dim = comp.dim
+        |ORDER BY 1, 2""".stripMargin,
 
     // Replays the self-consistent bigram LM: prefix counts derived from
     // the bigram table, integer transition scores, per-doc multiplicity-

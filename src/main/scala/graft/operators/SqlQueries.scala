@@ -214,6 +214,22 @@ object SqlQueries {
         |  COUNT(*) AS n
         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // SQL17 — PIVOT through the parser (r20 proves the DataFrame route;
+    // the SQL clause is the warehouse-report spelling). Explicit value
+    // list with aliases ⇒ one conditional-aggregate pass, no
+    // collect-distinct planning step; a status with no orders of a listed
+    // priority surfaces NULL (the SQL PIVOT contract — the oracle's
+    // conditional SUM over zero rows is NULL likewise). Exact DECIMAL
+    // sums exported as DOUBLE per the Q conventions.
+    "sql17_pivot" -> ((s, d) => Engine.sql(s, d,
+      """SELECT * FROM (
+        |  SELECT o_orderstatus, o_orderpriority,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p
+        |  FROM orders)
+        |PIVOT (CAST(SUM(p) AS DOUBLE) FOR o_orderpriority
+        |       IN ('1-URGENT' AS urgent, '2-HIGH' AS high, '5-LOW' AS low))
+        |ORDER BY o_orderstatus""".stripMargin)),
+
     // SQL13 — the USER-function registration surface: a plain Scala UDF
     // (acct_tier) and a typed Aggregator UDAF (sumsq_long) registered by
     // name and called through the parser ([[graft.functions
@@ -367,6 +383,21 @@ object SqlQueries {
         |  COUNT(CASE WHEN k % 5 != 0 THEN 1 END) AS n_div,
         |  COUNT(CASE WHEN k % 10 <= 7 THEN 1 END) AS n_add
         |FROM r""".stripMargin,
+
+    // Replays the pivot as conditional aggregation — SUM over zero rows
+    // is NULL on both engines, matching PIVOT's missing-cell contract.
+    "sql17_pivot" ->
+      """SELECT o_orderstatus,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+        |                THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+        |       AS DOUBLE) AS urgent,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH'
+        |                THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+        |       AS DOUBLE) AS high,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '5-LOW'
+        |                THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+        |       AS DOUBLE) AS low
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // DuckDB's grammar spells the ordered fold string_agg(... ORDER BY).
     "sql16_listagg" ->

@@ -375,6 +375,84 @@ object EventStreams {
     }
   }
 
+  /** Per-(user, event_type) counts + exact cents through `transformWithState`
+    * MAP STATE — the keyed-sub-aggregate slot of the new arbitrary-state
+    * API (s13's ValueState holds ONE value per key; production per-entity
+    * rollups need a map of sub-keys under the grouping key, which this
+    * exercises). Flush semantics are the PERIODIC-EVICTION shape: on 30
+    * minutes of user inactivity (event time) the map is emitted and
+    * CLEARED — state is bounded by ACTIVE users, not all users ever seen —
+    * and the downstream consumer sums the flushed partials, which is
+    * exactly how a bounded-state pipeline feeds a rollup table. Every
+    * event lands in exactly one flushed partial (cents are order-free
+    * LONGs), so the summed sink equals the batch group-by — the oracle.
+    */
+  def twsTypeCounts(events: org.apache.spark.sql.Dataset[EventStreams.TypedEvent],
+                    gapMinutes: Int = 30)
+      : org.apache.spark.sql.Dataset[EventStreams.UserTypeCount] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .transformWithState(new TypeCountProcessor(gapMinutes),
+                          TimeMode.EventTime, OutputMode.Append)
+  }
+
+  /** Per-user map-state machine for [[twsTypeCounts]]: MapState[event_type
+    * → TypeAgg] plus a ValueState holding the last-activity micros for the
+    * inactivity timer (two named state slots — the multi-slot layout the
+    * handle API exists for). Same timer discipline as [[SessionProcessor]]:
+    * one live timer per key, deleted on extension AND guarded at expiry.
+    */
+  private class TypeCountProcessor(gapMinutes: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, EventStreams.TypedEvent, EventStreams.UserTypeCount] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, MapState,
+      OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var types: MapState[String, TypeAgg] = _
+    @transient private var last: ValueState[Long] = _
+    private val gapMs = gapMinutes * 60000L
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      types = getHandle.getMapState[String, TypeAgg]("types",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.product[TypeAgg], TTLConfig.NONE)
+      last = getHandle.getValueState[Long]("last",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(uid: Long, rows: Iterator[TypedEvent],
+                                 timers: TimerValues): Iterator[UserTypeCount] = {
+      var lastUs = if (last.exists) last.get else Long.MinValue
+      rows.foreach { e =>
+        val cur = if (types.containsKey(e.event_type)) types.getValue(e.event_type)
+                  else TypeAgg(0L, 0L)
+        types.updateValue(e.event_type,
+                          TypeAgg(cur.n + 1L, cur.cents + cents(e.value)))
+        lastUs = math.max(lastUs, micros(e.ts))
+      }
+      last.update(lastUs)
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(math.max(lastUs / 1000L + gapMs,
+                                       timers.getCurrentWatermarkInMs() + 1))
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(uid: Long, timers: TimerValues,
+                                    expired: ExpiredTimerInfo): Iterator[UserTypeCount] = {
+      if (last.exists && expired.getExpiryTimeInMs >= last.get / 1000L + gapMs) {
+        val out = types.iterator()
+          .map { case (et, a) => UserTypeCount(uid, et, a.n, a.cents) }
+          .toVector
+        types.clear()
+        last.clear()
+        out.iterator
+      } else Iterator.empty
+    }
+  }
+
   /** Run a streaming frame to completion against a bounded source and return
     * the final result as a batch DataFrame (memory sink, complete mode).
     * This is how S4 executes a *real* streaming query inside the oracle gate.
@@ -493,6 +571,14 @@ object EventStreams {
 
   /** Typed input row for [[customSessions]]. */
   case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  /** Typed input row for [[twsTypeCounts]] (adds the sub-key column). */
+  case class TypedEvent(user_id: Long, ts: java.sql.Timestamp,
+                        event_type: String, value: Double)
+  /** One map-state entry: exact count + cents for a (user, type) slot. */
+  case class TypeAgg(n: Long, cents: Long)
+  /** One flushed (user, type) partial from [[twsTypeCounts]]. */
+  case class UserTypeCount(user_id: Long, event_type: String,
+                           n: Long, cents: Long)
   /** Fixed-size per-user custom state (epoch micros; exact cents sum —
     * order-free LONG arithmetic, so the emitted value is deterministic
     * under any micro-batch arrival order AND replayable by an integer

@@ -106,7 +106,27 @@ class PlanAuditSpec extends SparkSpec {
     // broadcasts onto the counter rows.
     "r31_countmin" -> Set("WholeStageCodegen", "BroadcastHashJoin"),
     // to_json/from_json both codegen — no UDF fallback in the roundtrip.
-    "j5_json_roundtrip" -> Set("WholeStageCodegen"))
+    "j5_json_roundtrip" -> Set("WholeStageCodegen"),
+    // Degree-ordered wedge enumeration is equi-joins all the way down —
+    // the universal no-cartesian rule IS the feature (a naive triangle
+    // join on a hot hub would appear here as a cartesian/blowup).
+    "l33_triangle_count" -> Set("WholeStageCodegen"),
+    // The LM model join keeps the doc scan's pushed filter and the
+    // whole score pipeline codegen'd.
+    "l34_lm_score" -> Set("WholeStageCodegen", "PushedFilters"),
+    // median/mode are ObjectHashAggregate buffers; the scan + project
+    // stages around them still codegen.
+    "r32_median_mode" -> Set("WholeStageCodegen"),
+    "sql16_listagg" -> Set("WholeStageCodegen"),
+    // Materialized (localCheckpoint) like l29 — the audited plan is the
+    // final assembly; the window-table pass is spec'd by its oracle.
+    "l35_passage_dup" -> Set("WholeStageCodegen"),
+    // The (doc, dim) grid join must BROADCAST the component aggregate
+    // and keep the doc_id<50 filter pushed to the scan.
+    "l36_feature_hash" -> Set("WholeStageCodegen", "BroadcastHashJoin",
+                              "PushedFilters"),
+    // PIVOT with an explicit value list = one conditional-aggregate pass.
+    "sql17_pivot" -> Set("WholeStageCodegen"))
 
   test("every audited gated query is cartesian-free with its required plan features") {
     // Keep the spec's coverage locked to the audit's default set — adding a

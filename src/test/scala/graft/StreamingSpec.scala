@@ -240,6 +240,50 @@ class StreamingSpec extends SparkSpec {
     } finally prev.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
   }
 
+  test("transformWithState map state: eviction flushes partials that sum to the total") {
+    import graft.streaming.EventStreams.{TypedEvent, UserTypeCount}
+    implicit val sq = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+                        "RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[TypedEvent]
+      val counts = EventStreams.twsTypeCounts(ms.toDS(), gapMinutes = 30)
+      val q = counts.writeStream
+        .format("memory").queryName("t_tws_map").outputMode("append").start()
+      try {
+        // Burst 1: user 1 clicks twice, views once (minutes 0-10).
+        ms.addData(Seq(TypedEvent(1, t(0), "click", 1.0),
+                       TypedEvent(1, t(5), "view", 2.0),
+                       TypedEvent(1, t(10), "click", 3.0)))
+        q.processAllAvailable()
+        // Watermark driver: minute 300+120 ⇒ wm minute 180 > 10+30 —
+        // burst 1 must flush (and the map must CLEAR).
+        ms.addData(Seq(TypedEvent(2, t(300), "click", 9.0)))
+        q.processAllAvailable()
+        // Burst 2 for user 1 (minute 400): a fresh partial, not a
+        // continuation — if eviction failed to clear, click would carry 3.
+        ms.addData(Seq(TypedEvent(1, t(400), "click", 5.0)))
+        q.processAllAvailable()
+        // Advance the watermark past burst 2's deadline.
+        ms.addData(Seq(TypedEvent(2, t(700), "view", 1.0)))
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table("t_tws_map").as[UserTypeCount].collect()
+        .map(c => (c.user_id, c.event_type, c.n, c.cents)).toSeq
+      val u1 = got.filter(_._1 == 1L)
+      // Burst 1 partials: click (2, 400 cents), view (1, 200 cents).
+      assert(u1.contains((1L, "click", 2L, 400L)), s"burst-1 click: $got")
+      assert(u1.contains((1L, "view", 1L, 200L)), s"burst-1 view: $got")
+      // Burst 2 is a FRESH partial — eviction cleared the map.
+      assert(u1.contains((1L, "click", 1L, 500L)), s"burst-2 click: $got")
+      // Partials sum to the per-(user, type) totals.
+      val clickTotal = u1.filter(_._2 == "click").map(_._4).sum
+      assert(clickTotal == 900L, s"click partials must sum to 900: $got")
+    } finally prev.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
+  }
+
   test("stream-stream interval join matches views in the preceding hour only") {
     implicit val sq = spark.sqlContext
     val ms = MemoryStream[Ev]
