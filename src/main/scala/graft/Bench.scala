@@ -151,7 +151,9 @@ object Bench {
     // to a file the round commit picks up), then a compact summary as the
     // FINAL line — short enough to always survive tail capture and parse.
     println(full)
-    try {
+    // Persist ONLY full (unfiltered) runs: a SPARK_GRAFT_BENCH_ONLY
+    // iteration run must not clobber the committed full-map artifact.
+    if (only.isEmpty) try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("/root/repo/bench_full.json"),
         (full + "\n").getBytes("UTF-8"))

@@ -648,6 +648,74 @@ object DedupOps {
       .distinct()
   }
 
+  /** Per-doc triangle counts over the SimHash ≤`maxHamming` graph (the L33
+    * gate), computed on the CONTRACTED fingerprint-class graph — the same
+    * collapse [[simhashComponents]] applies to connected components.
+    *
+    * Why contraction is mandatory here: identical-fingerprint docs form
+    * CLIQUES in the doc graph, and wedge enumeration — even degree-ordered
+    * — is quadratic in clique width (sf0.1: a handful of wide classes put
+    * ~26 s of wedge join into the direct [[GraphOps.triangleCounts]] run).
+    * Because adjacency depends only on fingerprints, the doc graph is the
+    * class graph with every node blown up to a clique of its width w, and
+    * each doc's triangle count has a CLOSED FORM over class aggregates:
+    *
+    *   T(doc ∈ A) = C(wA−1, 2)                 — both others in A
+    *              + (wA−1)·Σ_{B~A} wB          — one in A, one adjacent
+    *              + Σ_{B~A} C(wB, 2)           — both in one adjacent B
+    *              + Σ_{(A,B,C) class-triangle} wB·wC   — all distinct
+    *
+    * Only the last term enumerates triangles, and it runs on the class
+    * graph (sf0.1: 1195 nodes / ~3.1k edges vs 5000 nodes / ~578k edges)
+    * via [[GraphOps.triangles]]. Equals the direct doc-graph counts —
+    * spec-pinned. Output: (doc_id, n_triangles), only docs in ≥1 triangle
+    * (the direct formulation's contract).
+    */
+  def simhashTriangleCounts(docs: DataFrame, maxHamming: Int = 1,
+                            bits: Int = 16): DataFrame = {
+    val fpCol = s"simhash$bits"
+    val fp = simhash(docs, bits).persist()
+    try {
+      val classes = fpClasses(fp, bits)
+      // Both small frames fan out into many consumers below (weights 5×,
+      // edges 3× + the triangle probe) — checkpoint once, read many.
+      val weights = fp.groupBy(col(fpCol)).agg(count(lit(1)).as("w"))
+        .join(classes, fpCol).select(col("cid"), col("w"))
+        .localCheckpoint(true)
+      val e = classPairs(classes, maxHamming, bits).select("ca", "cb")
+        .localCheckpoint(true)
+      val nbr = e.select(col("ca").as("c"), col("cb").as("n"))
+        .unionByName(e.select(col("cb").as("c"), col("ca").as("n")))
+        .join(weights.select(col("cid").as("n"), col("w").as("wn")), "n")
+        .groupBy(col("c"))
+        .agg(sum(col("wn")).as("s1"),
+             // `div`, not `/`: Spark's `/` on LONGs is a DOUBLE divide.
+             sum(expr("wn * (wn - 1L) div 2L")).as("s2"))
+      val tri = GraphOps.triangles(e.select(col("ca").as("da"), col("cb").as("db")))
+        .join(weights.select(col("cid").as("x"), col("w").as("wx")), "x")
+        .join(weights.select(col("cid").as("y"), col("w").as("wy")), "y")
+        .join(weights.select(col("cid").as("z"), col("w").as("wz")), "z")
+        .select(explode(array(
+          struct(col("x").as("c"), (col("wy") * col("wz")).as("p")),
+          struct(col("y").as("c"), (col("wx") * col("wz")).as("p")),
+          struct(col("z").as("c"), (col("wx") * col("wy")).as("p")))).as("e"))
+        .select(col("e.c").as("c"), col("e.p").as("p"))
+        .groupBy(col("c")).agg(sum(col("p")).as("tt"))
+      val perClass = weights
+        .join(nbr, col("cid") === nbr("c"), "left").drop("c")
+        .join(tri, col("cid") === tri("c"), "left").drop("c")
+        .select(col("cid"),
+          (expr("(w - 1L) * (w - 2L) div 2L") +
+           (col("w") - 1L) * coalesce(col("s1"), lit(0L)) +
+           coalesce(col("s2"), lit(0L)) +
+           coalesce(col("tt"), lit(0L))).as("n_triangles"))
+        .filter(col("n_triangles") > 0L)
+      materialize(
+        fp.join(classes, fpCol).join(perClass, "cid")
+          .select(col("doc_id"), col("n_triangles")))
+    } finally fp.unpersist(blocking = false)
+  }
+
   /** Dedup clusters in one call: SimHash fingerprints → class contraction →
     * banded class pairs → [[connectedComponents]] on the CLASS graph →
     * membership expansion. Output (doc_id, component_id) where

@@ -34,8 +34,31 @@ object GraphOps {
     * star graph costing deg² and costing deg. All joins are equi-joins
     * (shuffle on node id / id pair); no driver loop, no cartesian product.
     */
-  def triangleCounts(edges: DataFrame): DataFrame = {
+  def triangleCounts(edges: DataFrame): DataFrame =
+    triangles(edges)
+      .select(explode(array(col("x"), col("y"), col("z"))).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))
+
+  /** Triangle ENUMERATION: one row `(x, y, z)` per triangle (each triangle
+    * exactly once; x is the wedge apex under the (degree, id) order).
+    * [[triangleCounts]] folds this to per-node counts; weighted consumers
+    * (e.g. [[DedupOps.simhashTriangleCounts]]'s class contraction) join
+    * their own per-node weights onto the roles.
+    *
+    * On dedup graphs, contract duplicate classes BEFORE calling this:
+    * identical-fingerprint docs form cliques, and clique wedge counts are
+    * quadratic in clique size — the class-contracted formulation computes
+    * the same per-doc counts from the class graph in closed form.
+    */
+  def triangles(edges: DataFrame): DataFrame = {
+    // The edge frame is referenced SIX times below (degree table twice,
+    // degree attach, both wedge sides, closure probe) — without cutting
+    // lineage here, an expensive upstream (e.g. the simhash banding
+    // pipeline) re-executes once per reference (measured: l33's 15 s was
+    // ~6 re-runs of a ~2.5 s pair pipeline, constant across SFs). One
+    // eager localCheckpoint = O(m) executor storage, each stage reads it.
     val e = edges.select(col("da").as("u"), col("db").as("v"))
+      .localCheckpoint(true)
     val deg = e.select(col("u").as("x")).union(e.select(col("v").as("x")))
       .groupBy("x").agg(count(lit(1)).as("deg"))
     val withDeg = e
@@ -45,20 +68,20 @@ object GraphOps {
       (col("du") === col("dv") && col("u") < col("v"))
     // Oriented edge (s → t) with the TARGET's degree kept: the wedge
     // filter below needs the (deg, id) order of the two out-neighbors.
+    // Checkpointed for the same reason: three references below.
     val oriented = withDeg.select(
       when(uFirst, col("u")).otherwise(col("v")).as("s"),
       when(uFirst, col("v")).otherwise(col("u")).as("t"),
       when(uFirst, col("dv")).otherwise(col("du")).as("dt"))
+      .localCheckpoint(true)
     val a = oriented.select(col("s"), col("t").as("t1"), col("dt").as("d1"))
     val b = oriented.select(col("s"), col("t").as("t2"), col("dt").as("d2"))
     val wedges = a.join(b, "s")
       .filter(col("d1") < col("d2") ||
               (col("d1") === col("d2") && col("t1") < col("t2")))
       .select("s", "t1", "t2")
-    val triangles = wedges.join(
+    wedges.join(
       oriented.select(col("s").as("t1"), col("t").as("t2")), Seq("t1", "t2"))
-    triangles
-      .select(explode(array(col("s"), col("t1"), col("t2"))).as("doc_id"))
-      .groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))
+      .select(col("s").as("x"), col("t1").as("y"), col("t2").as("z"))
   }
 }

@@ -36,6 +36,11 @@ object LlmQueries {
     * docs; the l34 gate hashes it against the DuckDB replay.
     */
   def lmScore(dd: DataFrame): DataFrame = {
+    // docBi/corpus are each referenced twice below; measured at sf0.1,
+    // cutting their lineage (localCheckpoint) does NOT pay — the repeated
+    // explode+aggregate is cheap and pipelines, while the eager barriers
+    // serialize (4.4 s lazy vs 4.7 s checkpointed) — unlike GraphOps'
+    // six-reference banding pipeline where the cut won 2.5×.
     val docBi = dd
       .select(col("doc_id"),
               explode(TextFunctions.wordNgrams("text", 2)).as("bigram"))
@@ -508,15 +513,17 @@ object LlmQueries {
     // community-density primitive on top of the pair family (L14 finds
     // edges, L16 finds components, this measures how CLIQUE-LIKE each
     // neighborhood is — a doc in many triangles sits in a dense duplicate
-    // cluster, not a chain of borderline matches). Degree-ordered
-    // orientation bounds the wedge join at O(m^1.5) regardless of hub
-    // skew ([[GraphOps.triangleCounts]]); the top-10 funnel is
+    // cluster, not a chain of borderline matches). Runs on the CONTRACTED
+    // fingerprint-class graph with closed-form clique expansion
+    // ([[DedupOps.simhashTriangleCounts]] — identical-fingerprint cliques
+    // make direct doc-graph wedge enumeration quadratic in class width;
+    // measured 26 s → ~3 s at sf0.1); the generic degree-ordered
+    // [[GraphOps.triangleCounts]] remains the arbitrary-graph operator,
+    // spec-pinned equal on the expanded graph. Top-10 funnel is
     // TakeOrderedAndProject (distributed top-k), never a whole-corpus
     // single-partition window.
     "l33_triangle_count" -> { (s, d) =>
-      val edges = DedupOps.simhashPairs(docs(s, d), maxHamming = 1)
-        .select("da", "db")
-      val counts = GraphOps.triangleCounts(edges)
+      val counts = DedupOps.simhashTriangleCounts(docs(s, d), maxHamming = 1)
       val top = counts
         .orderBy(col("n_triangles").desc, col("doc_id").asc).limit(10)
       top.withColumn("rnk",

@@ -97,6 +97,20 @@ class GraphPropSpec extends SparkSpec {
     assert(got == Map(0L -> 1L, 1L -> 1L, 2L -> 1L))
   }
 
+  test("simhashTriangleCounts (class contraction) equals the direct doc-graph counts") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val direct = graft.operators.GraphOps.triangleCounts(
+        DedupOps.simhashPairs(docs, maxHamming = 1).select("da", "db"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val contracted = DedupOps.simhashTriangleCounts(docs, maxHamming = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(contracted == direct,
+      s"sizes: direct=${direct.size} contracted=${contracted.size}; " +
+      s"diff=${(direct.toSet diff contracted.toSet).take(5)} " +
+      s"${(contracted.toSet diff direct.toSet).take(5)}")
+    assert(direct.nonEmpty, "fixture must contain at least one triangle")
+  }
+
   test("connectedComponents on a worst-case path graph (deep diameter)") {
     val n = 65L
     val nodes = (0L until n).map(i => (i, "")).toDF("doc_id", "text")
