@@ -39,7 +39,8 @@ object PlanAudit {
     // io18 is audited by LayoutSpec directly — its gate returns a
     // localCheckpoint'd frame whose lineage (and plan features) are cut.
     "l33_triangle_count", "l34_lm_score", "r32_median_mode",
-    "sql16_listagg", "l35_passage_dup", "l36_feature_hash", "sql17_pivot")
+    "sql16_listagg", "l35_passage_dup", "l36_feature_hash", "sql17_pivot",
+    "io19_parquet_bloom")
 
   /** Execute `df` (noop traversal — AQE's final plan only exists after
     * execution) and compute the anti-pattern flags from the executed plan.

@@ -436,6 +436,40 @@ object IoQueries {
     // settings are restored no matter when the caller executes it.
     "io18_bloom_join" -> { (s, d) =>
       withBloomFilterConf(s)(bloomPrunedRevenue(s, d).localCheckpoint(true))
+    },
+
+    // IO19 — WRITE-SIDE parquet bloom filters: the storage-level
+    // companion of io18's runtime filter. The writer embeds a per-column
+    // bloom filter in each row group's metadata (`parquet.bloom.filter.
+    // enabled#col`, ndv-sized), and any later point/IN-list scan on that
+    // column can skip whole row groups whose filter proves the key absent
+    // — the difference between touching every file of a 100 TB table and
+    // touching the row groups that can match, WITHOUT re-sorting the data
+    // (io12's z-order clusters; this filters post-hoc). LayoutSpec
+    // asserts the footer actually carries the filter (offset ≥ 0) and
+    // that unconfigured columns don't pay for one. The gate proves the
+    // roundtrip is lossless under an IN-list probe.
+    "io19_parquet_bloom" -> { (s, d) =>
+      val path = scratch("pqbloom", d)
+      Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+                Q.dec2(col("o_totalprice")).as("price"))
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#o_custkey", "true")
+        .option("parquet.bloom.filter.expected.ndv#o_custkey", "20000")
+        // parquet-mr DROPS the bloom filter when a chunk stays fully
+        // dictionary-encoded (the dictionary already answers membership
+        // exactly) — true for every column at fixture scale. Production
+        // bloom columns are high-NDV keys whose dictionaries overflow to
+        // plain encoding anyway; forcing plain here makes the fixture
+        // exhibit the production footer.
+        .option("parquet.enable.dictionary#o_custkey", "false")
+        .parquet(path)
+      s.read.parquet(path)
+        .filter(col("o_custkey").isin(7L, 107L, 1007L))
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n"), sum(col("price")).cast("double").as("spend"))
+        .orderBy("o_custkey")
     }
   )
 
@@ -475,6 +509,14 @@ object IoQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // The embedded bloom filter is metadata — the IN-list probe result
+    // must equal the plain-table filter.
+    "io19_parquet_bloom" ->
+      """SELECT o_custkey, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |FROM orders WHERE o_custkey IN (7, 107, 1007)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // The bloom filter is transparent to semantics: the oracle is the
     // plain selective-dim join.
     "io18_bloom_join" ->

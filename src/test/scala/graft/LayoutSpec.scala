@@ -93,6 +93,30 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("io19: the footer carries a bloom filter for the configured column only") {
+    // Run the gate (its write is part of the query), then open a part
+    // file's footer with parquet-hadoop and check the column metadata.
+    IoQueries.queries("io19_parquet_bloom")(spark, dir).collect()
+    val tag = java.lang.Integer.toHexString(dir.hashCode & 0x7fffffff)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft-io/pqbloom-$tag"
+    val part = new java.io.File(base).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val conf = spark.sparkContext.hadoopConfiguration
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(part.getAbsolutePath), conf))
+    try {
+      val cols = reader.getFooter.getBlocks.get(0).getColumns
+      import scala.jdk.CollectionConverters._
+      val offsets = cols.asScala
+        .map(c => c.getPath.toDotString -> c.getBloomFilterOffset).toMap
+      assert(offsets("o_custkey") >= 0,
+             s"no bloom filter on o_custkey: $offsets")
+      assert(offsets("o_orderkey") < 0,
+             s"unconfigured column must not pay for a filter: $offsets")
+    } finally reader.close()
+  }
+
   test("io9: compaction collapses file count, preserves rows, and never shuffles") {
     val base = System.getProperty("java.io.tmpdir") + "/graft-layout-spec/compact"
     val src = spark.read.parquet(s"$dir/documents.parquet")

@@ -126,7 +126,9 @@ class PlanAuditSpec extends SparkSpec {
     "l36_feature_hash" -> Set("WholeStageCodegen", "BroadcastHashJoin",
                               "PushedFilters"),
     // PIVOT with an explicit value list = one conditional-aggregate pass.
-    "sql17_pivot" -> Set("WholeStageCodegen"))
+    "sql17_pivot" -> Set("WholeStageCodegen"),
+    // The IN-list probe must reach the bloom-filtered parquet scan.
+    "io19_parquet_bloom" -> Set("PushedFilters", "WholeStageCodegen"))
 
   test("every audited gated query is cartesian-free with its required plan features") {
     // Keep the spec's coverage locked to the audit's default set — adding a
