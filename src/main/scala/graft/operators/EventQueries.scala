@@ -497,6 +497,18 @@ object EventQueries {
         .orderBy("event_type")
     },
 
+    // J7 — `variant_explode`: the TABLE-VALUED generator over VARIANT
+    // objects (one row per key) — the third leg of the variant surface:
+    // j3 proves typed point-extraction (`variant_get`), this proves
+    // whole-object iteration without re-parsing per key (j2's MapType
+    // route forces one declared value type; variant keeps per-entry
+    // types until the cast). Lateral-correlated TVF through the parser.
+    "j7_variant_explode" -> ((s, d) => graft.Engine.sql(s, d,
+      """SELECT event_type, t.key AS k, COUNT(*) AS n,
+        |  CAST(SUM(CAST(t.value AS BIGINT)) AS BIGINT) AS sum_v
+        |FROM events, LATERAL variant_explode(parse_json(props)) AS t
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // S9 — time-series gap-fill: per event_type, the FULL hourly spine
     // from its first to its last event (integer epoch-micros sequence —
     // calendar densification without timestamp-type hazards), zero-filled
@@ -859,6 +871,18 @@ object EventQueries {
     // re-extraction — injection-proof for keys containing quotes or
     // backslashes, unlike '$."<key>"' string concatenation), not a
     // hardcoded 'k' — the gate checks the dynamic-key machinery.
+    // Same replay as j2 — the variant TVF route must agree with the
+    // string-JSON key iteration value-for-value.
+    "j7_variant_explode" ->
+      """WITH kv AS (
+        |  SELECT event_type, key,
+        |    CAST(json_extract_string(props, key) AS BIGINT) AS v
+        |  FROM (SELECT event_type, props, unnest(json_keys(props)) AS key
+        |        FROM events))
+        |SELECT event_type, key AS k, COUNT(*) AS n,
+        |  CAST(SUM(v) AS BIGINT) AS sum_v
+        |FROM kv GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "j2_props_map" ->
       """WITH kv AS (
         |  SELECT event_type, key,
