@@ -681,6 +681,27 @@ object EventQueries {
       } finally EventStreams.deleteRecursively(scratch)
     },
 
+    // S22 — the NATIVE parquet file sink: micro-batches commit atomically
+    // into the `_spark_metadata` manifest and readers list the directory
+    // THROUGH it — Spark's exactly-once contract for file outputs, where
+    // s10's foreachBatch leaves idempotence to the user. The landed table
+    // must aggregate identically to the source (the oracle); the manifest
+    // listing itself (stray files invisible) is pinned by StreamingSpec.
+    "s22_file_sink" -> { (s, d) =>
+      val scratch = java.nio.file.Files.createTempDirectory("graft-s22-")
+      try {
+        val projected = evStream(s, d).select(
+          col("event_id"), col("event_type"), col("value"),
+          Q.micros(col("ts")).as("ts_us"))
+        EventStreams.fileSinkEtl(s, projected, s"$scratch/landed")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), Q.sumMoney(col("value")).as("sum_value"),
+               min(col("event_id")).as("min_id"), max(col("ts_us")).as("last_us"))
+          .orderBy("event_type")
+          .localCheckpoint(true)
+      } finally EventStreams.deleteRecursively(scratch)
+    },
+
     // S5 (batch form) — dedup by event_id keeping the MIN-ts row (total
     // tie-break ts, user_id, event_type), so the semantics are deterministic
     // even under real duplicates — matching the oracle's DISTINCT ON
@@ -975,6 +996,14 @@ object EventQueries {
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
         |  MAX(epoch_us(ts)) AS last_us
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // The manifest-listed landed table must aggregate exactly like the
+    // source — a lost or double-committed micro-batch breaks the hash.
+    "s22_file_sink" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  MIN(event_id) AS min_id, MAX(epoch_us(ts)) AS last_us
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "s1_tumbling_window" -> s1Oracle,

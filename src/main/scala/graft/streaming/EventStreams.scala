@@ -569,6 +569,27 @@ object EventStreams {
     spark.read.parquet(outDir)
   }
 
+  /** Land the stream through Spark's NATIVE parquet FILE SINK — the
+    * exactly-once path for file outputs: each micro-batch's files commit
+    * atomically into the `_spark_metadata` manifest, and readers of the
+    * directory list THROUGH the manifest, so half-written or stray files
+    * are invisible (vs [[foreachBatchEtl]], where idempotence is the
+    * user's batchId-keyed problem). Returns the landed table read back
+    * through the manifest. StreamingSpec proves the manifest contract by
+    * planting a stray parquet file the read must ignore.
+    */
+  def fileSinkEtl(spark: SparkSession, stream: DataFrame,
+                  outDir: String): DataFrame = {
+    withScratchCheckpoint("fsink") { ckpt =>
+      stream.writeStream
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .start()
+    }
+    spark.read.parquet(outDir)
+  }
+
   /** Typed input row for [[customSessions]]. */
   case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   /** Typed input row for [[twsTypeCounts]] (adds the sub-key column). */

@@ -284,6 +284,33 @@ class StreamingSpec extends SparkSpec {
     } finally prev.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
   }
 
+  test("file sink: _spark_metadata manifest governs the read; stray files are invisible") {
+    import graft.streaming.EventStreams.UserEvent
+    implicit val sq = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft-fsink-spec-")
+    try {
+      val ms = MemoryStream[UserEvent]
+      ms.addData(Seq(UserEvent(1, t(0), 1.0), UserEvent(2, t(5), 2.0)))
+      EventStreams.fileSinkEtl(spark, ms.toDF(), s"$out/landed")
+      assert(new java.io.File(s"$out/landed/_spark_metadata").exists,
+             "file sink must write its transaction manifest")
+      val committed = spark.read.parquet(s"$out/landed").count()
+      assert(committed == 2)
+      // A stray parquet file (a crashed writer's orphan, a manual copy)
+      // lands in the directory but NOT in the manifest — the read must
+      // not see its rows. This is the exactly-once file-listing contract.
+      spark.createDataFrame(Seq((99L, t(1), 9.9)))
+        .toDF("user_id", "ts", "value")
+        .coalesce(1).write.parquet(s"$out/stray")
+      val strayPart = new java.io.File(s"$out/stray").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(strayPart.toPath,
+        java.nio.file.Paths.get(s"$out/landed/zz_stray.parquet"))
+      assert(spark.read.parquet(s"$out/landed").count() == committed,
+             "manifest-listed read must ignore files outside the manifest")
+    } finally EventStreams.deleteRecursively(out)
+  }
+
   test("stream-stream interval join matches views in the preceding hour only") {
     implicit val sq = spark.sqlContext
     val ms = MemoryStream[Ev]
