@@ -92,8 +92,10 @@ object ScaleProbe {
       val tL20 = time(sink(SimilarityOps.gramMatrix(e)))
       val tL25 = time(sink(DedupOps.containmentPairs(d, 0.9)))
       val tL29 = time(sink(DedupOps.dupShingleFraction(d)))
-      val tL33 = time(sink(graft.operators.GraphOps.triangleCounts(
-        DedupOps.simhashPairs(d, 1).select("da", "db"))))
+      // The GATED l33 path (class contraction); the generic doc-graph
+      // GraphOps.triangleCounts pays clique-width wedge costs by design
+      // and is equivalence-tested in GraphPropSpec, not probed here.
+      val tL33 = time(sink(DedupOps.simhashTriangleCounts(d, 1)))
       val tL34 = time(sink(graft.operators.LlmQueries.lmScore(d)))
       val tL35 = time(sink(DedupOps.dupWindowFraction(d)))
       println(f"l2_prefix_jaccard      $x%3d $nD%10d $tL2%8.2f")

@@ -516,7 +516,21 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"),
              median(col("l_quantity")).as("med_qty"),
              expr("mode(l_quantity, true)").as("mode_qty"))
-        .orderBy("l_returnflag"))
+        .orderBy("l_returnflag")),
+
+    // R33 — ANSI boolean aggregates: every/bool_and, any/bool_or, and
+    // count_if — the data-quality predicate rollup (is EVERY row in
+    // bounds, does ANY row trip the flag, how many) without CASE-WHEN
+    // scaffolding. All three are plain hash aggregates; both dialects
+    // share the semantics (DuckDB spells them bool_and/bool_or/count_if).
+    "r33_bool_agg" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+             expr("every(o_totalprice > 0)").as("all_positive"),
+             expr("any(o_totalprice > 300000)").as("has_jumbo"),
+             expr("count_if(o_orderpriority = '1-URGENT')").as("n_urgent"))
+        .orderBy("o_orderstatus"))
   )
 
   private def setOpsAll(s: SparkSession, d: String, op: String): DataFrame = {
@@ -834,6 +848,13 @@ object RelationalQueries {
     // Median replayed as quantile_cont(0.5) (the l13 equivalence); the
     // deterministic mode replayed as the (count DESC, value ASC) argmin —
     // exactly the tie the `true` flag pins on the Spark side.
+    "r33_bool_agg" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  bool_and(o_totalprice > 0) AS all_positive,
+        |  bool_or(o_totalprice > 300000) AS has_jumbo,
+        |  CAST(count_if(o_orderpriority = '1-URGENT') AS BIGINT) AS n_urgent
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "r32_median_mode" ->
       """WITH med AS (
         |  SELECT l_returnflag, COUNT(*) AS n,
