@@ -214,6 +214,87 @@ object SqlQueries {
         |  COUNT(*) AS n
         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // SQL18 — the CATALOG/DDL surface: CREATE TABLE ... AS SELECT into an
+    // explicit scratch LOCATION, INSERT INTO on top, read back through
+    // `spark.table` — the managed-table lifecycle (CTAS → append → query
+    // → DROP) a user expects from an engine, vs the temp-view-only route
+    // every other gate rides. DDL executes eagerly inside the builder;
+    // the result is materialized (localCheckpoint) before DROP TABLE so
+    // the caller never sees the dropped table.
+    "sql18_ctas" -> { (s, d) =>
+      graft.Engine.registerViews(s, d)
+      val tag = java.lang.Integer.toHexString(d.hashCode & 0x7fffffff)
+      val tbl = s"graft_ctas_$tag"
+      val loc = s"${System.getProperty("java.io.tmpdir")}/graft-ctas-$tag"
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      // An explicit LOCATION makes the table external: DROP leaves the
+      // files, and CTAS refuses a non-empty location — clear it so the
+      // gate is re-runnable (Bench runs three passes).
+      graft.streaming.EventStreams.deleteRecursively(
+        java.nio.file.Paths.get(loc))
+      try {
+        s.sql(
+          s"""CREATE TABLE $tbl USING parquet LOCATION '$loc' AS
+             |SELECT o_orderstatus AS status, COUNT(*) AS n,
+             |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+             |                AS BIGINT)) AS BIGINT) AS cents
+             |FROM orders GROUP BY 1""".stripMargin)
+        s.sql(s"INSERT INTO $tbl VALUES ('X', 0, 0)")
+        s.table(tbl).orderBy("status").localCheckpoint(true)
+      } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
+    },
+
+    // SQL19 — the CACHE surface: CACHE TABLE <name> AS SELECT pins the
+    // derived relation in the columnar in-memory store; the downstream
+    // aggregate must scan the cache (InMemoryTableScan — asserted by
+    // EngineSqlSpec), and at 100 TB this is the interactive-reuse lever
+    // (pay the scan once per session, not per query). UNCACHE restores
+    // session state; the result is materialized inside the cached scope.
+    "sql19_cache" -> { (s, d) =>
+      graft.Engine.registerViews(s, d)
+      // CACHE TABLE ... AS SELECT creates the temp view too — drop any
+      // leftover from a prior pass (Bench runs each gate three times).
+      s.sql("UNCACHE TABLE IF EXISTS graft_cached_orders")
+      s.sql("DROP VIEW IF EXISTS graft_cached_orders")
+      try {
+        s.sql(
+          """CACHE TABLE graft_cached_orders AS
+            |SELECT o_orderstatus, o_orderpriority,
+            |  CAST(o_totalprice AS DECIMAL(18,2)) AS price
+            |FROM orders WHERE o_totalprice > 1000""".stripMargin)
+        s.sql(
+          """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+            |  CAST(SUM(price) AS DOUBLE) AS sum_price
+            |FROM graft_cached_orders
+            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+          .localCheckpoint(true)
+      } finally {
+        s.sql("UNCACHE TABLE IF EXISTS graft_cached_orders")
+        s.sql("DROP VIEW IF EXISTS graft_cached_orders")
+      }
+    },
+
+    // SQL20 — the HINT surface: /*+ BROADCAST */ forces the dim to the
+    // build side even when the session's auto-broadcast is DISABLED —
+    // the escape hatch for when statistics mislead the planner (stale
+    // stats on a 100 TB fact table being the classic case). EngineSqlSpec
+    // asserts the hinted plan broadcasts where the unhinted one
+    // sort-merges; the result is hint-invariant (the oracle).
+    "sql20_hints" -> { (s, d) =>
+      val key = "spark.sql.autoBroadcastJoinThreshold"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "-1")
+      try graft.Engine.sql(s, d,
+        """SELECT /*+ BROADCAST(customer) */ c_mktsegment,
+          |  COUNT(*) AS n,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS revenue
+          |FROM orders JOIN customer ON o_custkey = c_custkey
+          |GROUP BY 1 ORDER BY 1""".stripMargin)
+        .localCheckpoint(true)
+      finally prev.fold(s.conf.unset(key))(s.conf.set(key, _))
+    },
+
     // SQL17 — PIVOT through the parser (r20 proves the DataFrame route;
     // the SQL clause is the warehouse-report spelling). Explicit value
     // list with aliases ⇒ one conditional-aggregate pass, no
@@ -383,6 +464,32 @@ object SqlQueries {
         |  COUNT(CASE WHEN k % 5 != 0 THEN 1 END) AS n_div,
         |  COUNT(CASE WHEN k % 10 <= 7 THEN 1 END) AS n_add
         |FROM r""".stripMargin,
+
+    // Replays CTAS + the inserted row.
+    "sql18_ctas" ->
+      """SELECT status, n, cents FROM (
+        |  SELECT o_orderstatus AS status, COUNT(*) AS n,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1
+        |  UNION ALL SELECT 'X', 0, 0)
+        |ORDER BY status""".stripMargin,
+
+    // The cache is transparent to semantics — the oracle is the filtered
+    // aggregate itself.
+    "sql19_cache" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders WHERE o_totalprice > 1000
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // The hint changes the physical join, never the result.
+    "sql20_hints" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Replays the pivot as conditional aggregation — SUM over zero rows
     // is NULL on both engines, matching PIVOT's missing-cell contract.

@@ -31,6 +31,53 @@ class EngineSqlSpec extends SparkSpec {
     assert(r.getLong(0) == r.getLong(1))
   }
 
+  test("sql19: the aggregate scans the columnar cache (InMemoryRelation)") {
+    Engine.registerViews(spark, sfDir)
+    spark.sql("UNCACHE TABLE IF EXISTS graft_cached_orders")
+    spark.sql("DROP VIEW IF EXISTS graft_cached_orders")
+    try {
+      spark.sql(
+        """CACHE TABLE graft_cached_orders AS
+          |SELECT o_orderstatus, o_orderpriority,
+          |  CAST(o_totalprice AS DECIMAL(18,2)) AS price
+          |FROM orders WHERE o_totalprice > 1000""".stripMargin)
+      val df = spark.sql(
+        "SELECT o_orderstatus, COUNT(*) AS n FROM graft_cached_orders GROUP BY 1")
+      df.collect()
+      // Spark 4 prints the cache scan as "Scan In-memory table" over an
+      // InMemoryRelation (the InMemoryTableScan node name is gone).
+      assert(df.queryExecution.executedPlan.toString
+               .contains("InMemoryRelation"),
+             s"aggregate must scan the cache:\n${df.queryExecution.executedPlan}")
+    } finally {
+      spark.sql("UNCACHE TABLE IF EXISTS graft_cached_orders")
+      spark.sql("DROP VIEW IF EXISTS graft_cached_orders")
+    }
+  }
+
+  test("sql20: the BROADCAST hint overrides a disabled auto-broadcast threshold") {
+    Engine.registerViews(spark, sfDir)
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "-1")
+    try {
+      def plan(hint: String): String = {
+        val df = spark.sql(
+          s"""SELECT $hint c_mktsegment, COUNT(*) AS n
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY 1""".stripMargin)
+        df.queryExecution.toRdd.foreach(_ => ())
+        df.queryExecution.executedPlan.toString
+      }
+      val hinted = plan("/*+ BROADCAST(customer) */")
+      assert(hinted.contains("BroadcastHashJoin"),
+             s"hint must force the broadcast:\n$hinted")
+      val unhinted = plan("")
+      assert(!unhinted.contains("BroadcastHashJoin"),
+             s"without the hint, -1 threshold must forbid broadcast:\n$unhinted")
+    } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
   test("registerViews: one statement per view returns rows") {
     Engine.registerViews(spark, sfDir)
     Tables.names.foreach { n =>
