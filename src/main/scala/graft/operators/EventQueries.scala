@@ -207,6 +207,17 @@ object EventQueries {
           s, EventStreams.tumblingCounts(evStream(s, d)), "s4_sink")
         .orderBy("ws", "event_type")),
 
+    // S23 — the same tumbling aggregate under Trigger.AvailableNow: the
+    // BACKFILL trigger processes the available backlog in bounded
+    // micro-batches and terminates ITSELF (s4's default trigger runs
+    // until externally stopped) — the catch-up/replay mode a production
+    // pipeline runs after downtime, same query, same checkpoint. Shares
+    // s1's oracle: the trigger changes scheduling, never the result.
+    "s23_available_now" -> ((s, d) =>
+      EventStreams.runAvailableNow(
+          s, EventStreams.tumblingCounts(evStream(s, d)), "s23_sink")
+        .orderBy("ws", "event_type")),
+
     // S2/S3/S5 streaming gates (VERDICT r3 "Next round" 6): the SLIDING,
     // SESSION, and DEDUP builders run as genuine Structured Streaming
     // queries to completion, hashed against the same batch oracles as
@@ -1008,6 +1019,8 @@ object EventQueries {
 
     "s1_tumbling_window" -> s1Oracle,
     "s4_streaming_final_state" -> s1Oracle,
+    // The AvailableNow trigger changes scheduling, never the result.
+    "s23_available_now" -> s1Oracle,
     // The resumed query's final table equals the whole-input aggregate.
     "s19_restart_recovery" -> s1Oracle,
     "s2_sliding_stream" -> slidingOracle,

@@ -244,6 +244,45 @@ object SqlQueries {
       } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
     },
 
+    // SQL21 — partitioned DML through the parser: CREATE a partitioned
+    // table, dynamic-partition INSERT INTO the full load, then INSERT
+    // OVERWRITE one STATIC partition (status='F', re-priced ×2) — the SQL
+    // spelling of io10's dynamic-overwrite primitive, and the statement a
+    // warehouse restatement job actually runs. The explicit PARTITION
+    // clause scopes the overwrite: every other partition's rows must
+    // survive byte-for-byte (the oracle restates F and keeps the rest).
+    "sql21_insert_overwrite" -> { (s, d) =>
+      graft.Engine.registerViews(s, d)
+      val tag = java.lang.Integer.toHexString(d.hashCode & 0x7fffffff)
+      val tbl = s"graft_part_$tag"
+      val loc = s"${System.getProperty("java.io.tmpdir")}/graft-part-$tag"
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      graft.streaming.EventStreams.deleteRecursively(
+        java.nio.file.Paths.get(loc))
+      try {
+        s.sql(
+          s"""CREATE TABLE $tbl (k BIGINT, cents BIGINT, status STRING)
+             |USING parquet PARTITIONED BY (status)
+             |LOCATION '$loc'""".stripMargin)
+        s.sql(
+          s"""INSERT INTO $tbl
+             |SELECT o_orderkey,
+             |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT),
+             |  o_orderstatus
+             |FROM orders""".stripMargin)
+        s.sql(
+          s"""INSERT OVERWRITE TABLE $tbl PARTITION (status = 'F')
+             |SELECT o_orderkey,
+             |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 200 AS BIGINT)
+             |FROM orders WHERE o_orderstatus = 'F'""".stripMargin)
+        s.sql(
+          s"""SELECT status, COUNT(*) AS n,
+             |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+             |FROM $tbl GROUP BY 1 ORDER BY 1""".stripMargin)
+          .localCheckpoint(true)
+      } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
+    },
+
     // SQL19 — the CACHE surface: CACHE TABLE <name> AS SELECT pins the
     // derived relation in the columnar in-memory store; the downstream
     // aggregate must scan the cache (InMemoryTableScan — asserted by
@@ -473,6 +512,16 @@ object SqlQueries {
         |  FROM orders GROUP BY 1
         |  UNION ALL SELECT 'X', 0, 0)
         |ORDER BY status""".stripMargin,
+
+    // Replays the load + the static-partition restatement: F carries
+    // doubled cents, every other partition its original.
+    "sql21_insert_overwrite" ->
+      """SELECT o_orderstatus AS status, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F'
+        |    THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 200 AS BIGINT)
+        |    ELSE CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    END) AS BIGINT) AS sum_cents
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // The cache is transparent to semantics — the oracle is the filtered
     // aggregate itself.

@@ -539,6 +539,38 @@ object EventStreams {
     }
   }
 
+  /** S23 — run a streaming frame under `Trigger.AvailableNow`: the
+    * BACKFILL trigger — process everything available in rate-limited
+    * micro-batches, then TERMINATE on its own (vs the default trigger's
+    * run-until-stopped loop that [[runToCompletion]] drives with
+    * `processAllAvailable`). This is how a production pipeline catches up
+    * after downtime or replays history with the same query it streams
+    * with: same code, same checkpoint, self-bounding execution. The gate
+    * waits on the query's own termination — nothing external stops it.
+    */
+  def runAvailableNow(spark: SparkSession, streaming: DataFrame,
+                      name: String, mode: String = "complete"): DataFrame = {
+    val base = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else
+      System.getProperty("java.io.tmpdir")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get(base), s"graft-ckpt-$name-")
+    val partKey = "spark.sql.shuffle.partitions"
+    val prevParts = spark.conf.get(partKey)
+    spark.conf.set(partKey, "8")
+    try {
+      val q = streaming.writeStream
+        .format("memory").queryName(name).outputMode(mode)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      q.awaitTermination()
+    } finally {
+      spark.conf.set(partKey, prevParts)
+      deleteRecursively(ckpt)
+    }
+    spark.table(name)
+  }
+
   /** Best-effort recursive delete of a scratch directory. */
   def deleteRecursively(dir: java.nio.file.Path): Unit =
     try {
