@@ -254,6 +254,31 @@ class LlmSpec extends SparkSpec {
     assert(got(1L) == 0.6667 && got(2L) == 0.6667 && got(3L) == 0.3333)
   }
 
+  test("dupWindowFraction: verbatim spans score, unique text and short docs don't") {
+    import spark.implicits._
+    val span = "A" * 80                        // shared 80-char passage
+    val uniqueTail = "B" * 80                  // doc 2's own material
+    val dd = Seq(
+      (1L, span),                              // every window shared with 2
+      (2L, span + uniqueTail),                 // half shared, half unique
+      (3L, "C" * 80),                          // unique text — zero dup
+      (4L, "short")                            // < 64 chars — zero windows
+    ).toDF("doc_id", "text")
+    val got = graft.operators.DedupOps.dupWindowFraction(dd, 64, 16)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // Doc 1: windows at offsets 1,17 of an all-A string are IDENTICAL →
+    // one distinct window, shared with doc 2 → frac 1.0.
+    assert(got(0) == (1L, 1L, 1L, 1.0), s"doc 1: ${got.toSeq}")
+    // Doc 3 has its own single distinct window, nowhere else → 0.
+    assert(got(2) == (3L, 1L, 0L, 0.0), s"doc 3: ${got.toSeq}")
+    // Doc 4 is too short for any window.
+    assert(got(3) == (4L, 0L, 0L, 0.0), s"doc 4: ${got.toSeq}")
+    // Doc 2 carries the shared all-A window plus mixed/unique ones.
+    val (_, n2, dup2, _) = got(1)
+    assert(n2 > 1 && dup2 >= 1 && dup2 < n2, s"doc 2: ${got.toSeq}")
+  }
+
   test("l28 redaction scrubs every occurrence and counts multi-matches") {
     // A documents fixture with MULTIPLE PII hits per row (the sf fixture
     // plants exactly one of each) — doc_id 5 also triggers the planted
