@@ -158,7 +158,11 @@ object Bench {
         java.nio.file.Paths.get("/root/repo/bench_full.json"),
         (full + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () } // best-effort; stdout already has it
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"full":"bench_full.json","sf":"$sfDir"}""")
+    // The `full` pointer is only honest when this run actually rewrote
+    // the artifact (unfiltered); a filtered run must not attribute the
+    // stale full map to itself.
+    val fullRef = if (only.isEmpty) "\"bench_full.json\"" else "null"
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"full":$fullRef,"sf":"$sfDir"}""")
     if (!spark.sparkContext.isStopped) spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -93,10 +93,15 @@ object Tables {
     * both generations.
     */
   def loadEventsRaw(spark: SparkSession, dir: String): DataFrame = {
-    // Defensive: Engine.configure sets this session-wide, but the loader
-    // must also work under a bare SparkSession (r3 ADVICE) — without it the
-    // vectorized reader rejects a TIMESTAMP(NANOS) fixture outright.
+    // Defensive: Engine.configure sets these session-wide, but the loader
+    // must also work under a bare SparkSession (r3 ADVICE) — without
+    // nanosAsLong the vectorized reader rejects a TIMESTAMP(NANOS)
+    // fixture outright, and without the UTC pin the NTZ generation's
+    // [[withEventTime]] cast would reinterpret wall-clock fields in the
+    // JVM's local zone, silently shifting every event time off the
+    // TZ-free DuckDB oracle (epoch_us).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.read.parquet(s"$dir/events.parquet")
   }
 

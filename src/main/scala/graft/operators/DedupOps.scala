@@ -678,7 +678,11 @@ object DedupOps {
     try {
       val classes = fpClasses(fp, bits)
       // Both small frames fan out into many consumers below (weights 5×,
-      // edges 3× + the triangle probe) — checkpoint once, read many.
+      // edges into the TWO nbr legs plus GraphOps.triangles) — checkpoint
+      // once, read many. triangles() checkpoints its own re-selection
+      // too; that second copy reads this one (a fast scan of a tiny
+      // frame), it does not re-run classPairs — the banding pipeline
+      // executes exactly once.
       val weights = fp.groupBy(col(fpCol)).agg(count(lit(1)).as("w"))
         .join(classes, fpCol).select(col("cid"), col("w"))
         .localCheckpoint(true)

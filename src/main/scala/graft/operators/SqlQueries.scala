@@ -222,17 +222,7 @@ object SqlQueries {
     // the result is materialized (localCheckpoint) before DROP TABLE so
     // the caller never sees the dropped table.
     "sql18_ctas" -> { (s, d) =>
-      graft.Engine.registerViews(s, d)
-      val tag = java.lang.Integer.toHexString(d.hashCode & 0x7fffffff)
-      val tbl = s"graft_ctas_$tag"
-      val loc = s"${System.getProperty("java.io.tmpdir")}/graft-ctas-$tag"
-      s.sql(s"DROP TABLE IF EXISTS $tbl")
-      // An explicit LOCATION makes the table external: DROP leaves the
-      // files, and CTAS refuses a non-empty location — clear it so the
-      // gate is re-runnable (Bench runs three passes).
-      graft.streaming.EventStreams.deleteRecursively(
-        java.nio.file.Paths.get(loc))
-      try {
+      withScratchTable(s, d, "graft_ctas") { (tbl, loc) =>
         s.sql(
           s"""CREATE TABLE $tbl USING parquet LOCATION '$loc' AS
              |SELECT o_orderstatus AS status, COUNT(*) AS n,
@@ -241,7 +231,7 @@ object SqlQueries {
              |FROM orders GROUP BY 1""".stripMargin)
         s.sql(s"INSERT INTO $tbl VALUES ('X', 0, 0)")
         s.table(tbl).orderBy("status").localCheckpoint(true)
-      } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
+      }
     },
 
     // SQL21 — partitioned DML through the parser: CREATE a partitioned
@@ -252,14 +242,7 @@ object SqlQueries {
     // clause scopes the overwrite: every other partition's rows must
     // survive byte-for-byte (the oracle restates F and keeps the rest).
     "sql21_insert_overwrite" -> { (s, d) =>
-      graft.Engine.registerViews(s, d)
-      val tag = java.lang.Integer.toHexString(d.hashCode & 0x7fffffff)
-      val tbl = s"graft_part_$tag"
-      val loc = s"${System.getProperty("java.io.tmpdir")}/graft-part-$tag"
-      s.sql(s"DROP TABLE IF EXISTS $tbl")
-      graft.streaming.EventStreams.deleteRecursively(
-        java.nio.file.Paths.get(loc))
-      try {
+      withScratchTable(s, d, "graft_part") { (tbl, loc) =>
         s.sql(
           s"""CREATE TABLE $tbl (k BIGINT, cents BIGINT, status STRING)
              |USING parquet PARTITIONED BY (status)
@@ -280,7 +263,7 @@ object SqlQueries {
              |  CAST(SUM(cents) AS BIGINT) AS sum_cents
              |FROM $tbl GROUP BY 1 ORDER BY 1""".stripMargin)
           .localCheckpoint(true)
-      } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
+      }
     },
 
     // SQL19 — the CACHE surface: CACHE TABLE <name> AS SELECT pins the
@@ -620,4 +603,27 @@ object SqlQueries {
         |  COUNT(*) AS n
         |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
   )
+
+  /** Scratch-table lifecycle shared by the DDL gates (sql18/sql21):
+    * register views, derive an sf-scoped table name + tmp LOCATION, drop
+    * any leftover table AND clear the location (an explicit LOCATION
+    * makes the table external — DROP leaves the files, and CTAS/CREATE
+    * refuse a non-empty dir, so without the clear the gate is not
+    * re-runnable across Bench's three passes), run `body(tbl, loc)`, and
+    * always DROP on the way out. `body` must materialize its result
+    * (localCheckpoint) — the table is gone when it returns.
+    */
+  private def withScratchTable(
+      s: SparkSession, d: String, prefix: String)(
+      body: (String, String) => DataFrame): DataFrame = {
+    graft.Engine.registerViews(s, d)
+    val tag = java.lang.Integer.toHexString(d.hashCode & 0x7fffffff)
+    val tbl = s"${prefix}_$tag"
+    val loc = s"${System.getProperty("java.io.tmpdir")}/$prefix-$tag"
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    graft.streaming.EventStreams.deleteRecursively(
+      java.nio.file.Paths.get(loc))
+    try body(tbl, loc)
+    finally s.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
 }

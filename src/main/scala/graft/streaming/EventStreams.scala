@@ -526,14 +526,22 @@ object EventStreams {
     * gate checkpoints have no value after the run; leaking them would
     * bloat tmpfs across a long bench).
     */
-  private def withScratchCheckpoint(tag: String)(
+  private def withScratchCheckpoint(
+      tag: String,
+      wait: org.apache.spark.sql.streaming.StreamingQuery => Unit =
+        _.processAllAvailable())(
       start: String => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
     val base = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else
       System.getProperty("java.io.tmpdir")
     val ckpt = java.nio.file.Files
       .createTempDirectory(java.nio.file.Paths.get(base), s"graft-ckpt-$tag-")
     val q = start(ckpt.toString)
-    try q.processAllAvailable() finally {
+    // stop() before delete on EVERY exit path: deleting the checkpoint
+    // under a still-running query (e.g. an interrupted wait) turns the
+    // next micro-batch commit into checkpoint IO errors and leaks the
+    // query registration for the session's lifetime. stop() after a
+    // self-terminated AvailableNow run is a no-op.
+    try wait(q) finally {
       q.stop()
       deleteRecursively(ckpt)
     }
@@ -550,23 +558,19 @@ object EventStreams {
     */
   def runAvailableNow(spark: SparkSession, streaming: DataFrame,
                       name: String, mode: String = "complete"): DataFrame = {
-    val base = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else
-      System.getProperty("java.io.tmpdir")
-    val ckpt = java.nio.file.Files
-      .createTempDirectory(java.nio.file.Paths.get(base), s"graft-ckpt-$name-")
-    val partKey = "spark.sql.shuffle.partitions"
-    val prevParts = spark.conf.get(partKey)
-    spark.conf.set(partKey, "8")
-    try {
-      val q = streaming.writeStream
+    // Same scratch-checkpoint + state-parallelism scaffolding as
+    // [[runToCompletion]]; only the wait strategy differs (the query
+    // terminates itself, so the gate awaits rather than drains).
+    withScratchCheckpoint(name, wait = _.awaitTermination()) { ckpt =>
+      val partKey = "spark.sql.shuffle.partitions"
+      val prevParts = spark.conf.get(partKey)
+      spark.conf.set(partKey, "8")
+      try streaming.writeStream
         .format("memory").queryName(name).outputMode(mode)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .option("checkpointLocation", ckpt.toString)
+        .option("checkpointLocation", ckpt)
         .start()
-      q.awaitTermination()
-    } finally {
-      spark.conf.set(partKey, prevParts)
-      deleteRecursively(ckpt)
+      finally spark.conf.set(partKey, prevParts)
     }
     spark.table(name)
   }
