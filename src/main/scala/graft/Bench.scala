@@ -87,11 +87,21 @@ object Bench {
       errors :+= ("warmup" -> errString(e))
     }
 
-    // Matrix scaling sweep, mirroring the reference's size sweep.
+    // Matrix scaling sweep, mirroring the reference's size sweep. The
+    // 50–400 rungs keep the handwritten block path (comparable across
+    // rounds); 1000²/2000² run through the PLANNER-selected node
+    // (m12's MatMulStrategy), whose cost statistics flip row-join →
+    // block-GEMM well before these sizes — the sweep records the flipped
+    // path's wall-clock where the reference's own baseline stops at
+    // 200² = 46.1 s (BASELINE.md). Strategy choice per size is pinned by
+    // MatMulPlanSpec; here the numbers show the chosen path WINNING.
     val sweep: Seq[(String, (SparkSession, String) => DataFrame)] =
       Seq(50, 100, 200, 400).map { n =>
         (s"m1_sweep_$n", (s: SparkSession, _: String) =>
           MatrixOps.multiply(MatrixGen.matA(s, n, n), MatrixGen.matB(s, n, n)))
+      } ++ Seq(1000, 2000).map { n =>
+        (s"m1_sweep_$n", (s: SparkSession, _: String) =>
+          MatrixOps.multiplyPlanned(MatrixGen.matA(s, n, n), MatrixGen.matB(s, n, n)))
       }
 
     val everything = SparkEntry.queries.toSeq.sortBy(_._1) ++ sweep
@@ -159,10 +169,11 @@ object Bench {
         (full + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () } // best-effort; stdout already has it
     // The `full` pointer is only honest when this run actually rewrote
-    // the artifact (unfiltered); a filtered run must not attribute the
-    // stale full map to itself.
-    val fullRef = if (only.isEmpty) "\"bench_full.json\"" else "null"
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"full":$fullRef,"sf":"$sfDir"}""")
+    // the artifact (unfiltered); a filtered run OMITS the key entirely
+    // rather than emitting a JSON null a string-typed consumer would
+    // trip over (r7 ADVICE).
+    val fullRef = if (only.isEmpty) "\"full\":\"bench_full.json\"," else ""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},$fullRef"sf":"$sfDir"}""")
     if (!spark.sparkContext.isStopped) spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -93,22 +93,25 @@ object Tables {
     * both generations.
     */
   def loadEventsRaw(spark: SparkSession, dir: String): DataFrame = {
-    // Defensive: Engine.configure sets these session-wide, but the loader
+    // Defensive: Engine.configure sets this session-wide, but the loader
     // must also work under a bare SparkSession (r3 ADVICE) — without
     // nanosAsLong the vectorized reader rejects a TIMESTAMP(NANOS)
-    // fixture outright, and without the UTC pin the NTZ generation's
-    // [[withEventTime]] cast would reinterpret wall-clock fields in the
-    // JVM's local zone, silently shifting every event time off the
-    // TZ-free DuckDB oracle (epoch_us).
+    // fixture outright. (A legacy schema-conversion flag with no effect
+    // on non-nanos files; the timezone-sensitive half of the contract
+    // lives in [[withEventTime]], which pins UTC only for the duration
+    // of its own analysis — r7 ADVICE: no session-global tz mutation.)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.read.parquet(s"$dir/events.parquet")
   }
 
   /** Fixture `ts` (nanos LONG or NTZ micros) → microsecond TimestampType.
     * The NTZ→TZ cast re-reads the wall-clock fields in the session
-    * timezone — pinned UTC (build.sbt / Engine.configure), so the stored
-    * micros value is preserved bit-for-bit.
+    * timezone. That zone is bound to the Cast at ANALYSIS time
+    * (`withColumn` analyzes eagerly, and ResolveTimeZone freezes the
+    * session zone into the expression), so pinning UTC around this call
+    * alone is sufficient AND side-effect-free: the caller's session
+    * timezone is restored before returning, and the returned frame keeps
+    * UTC semantics wherever it is later composed or executed.
     */
   def withEventTime(raw: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
@@ -117,7 +120,11 @@ object Tables {
       case LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType =>
-        raw.withColumn("ts", col("ts").cast("timestamp"))
+        val spark = raw.sparkSession
+        val prior = spark.conf.get("spark.sql.session.timeZone")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        try raw.withColumn("ts", col("ts").cast("timestamp"))
+        finally spark.conf.set("spark.sql.session.timeZone", prior)
       case _ => raw
     }
   }

@@ -220,7 +220,27 @@ object DedupOps {
     val estBytes = nCodes * 8L + nDocs * 32L
     val attach: DataFrame => DataFrame =
       if (estBytes <= bcThreshold) broadcast else identity
-    val result = candidates.repartition(nParts, col("da"))
+    // LENGTH FILTER before the code-set joins (the PPJoin size bound the
+    // prefix path applies at DedupOps.containmentPairs): J(a,b) ≥ t forces
+    // min(na,nb) ≥ t·max(na,nb), so a banded candidate whose set sizes
+    // are too lopsided can be discarded from the size table alone — never
+    // paying the array attach (the verify stage's shuffle in the
+    // at-scale regime) or the intersect CPU. Integer-exact threshold
+    // (T = ⌊t·10^6⌋ scaled longs, floor keeps the bound conservative —
+    // no false negatives); the sizes frame is 16 bytes/doc, broadcast
+    // whenever it fits, falling back to the shuffled join exactly like
+    // the array attach.
+    val T = math.floor(threshold * 1e6).toLong
+    val sizesDf = sets.select(col("doc_id"), size(col("codes")).cast("long").as("nsh"))
+    val attachSz: DataFrame => DataFrame =
+      if (nDocs * 24L <= bcThreshold) broadcast else identity
+    val lenFiltered = candidates.repartition(nParts, col("da"))
+      .join(attachSz(sizesDf.select(col("doc_id").as("da"), col("nsh").as("na"))), "da")
+      .join(attachSz(sizesDf.select(col("doc_id").as("db"), col("nsh").as("nb"))), "db")
+      .filter(least(col("na"), col("nb")) * 1000000L >=
+              greatest(col("na"), col("nb")) * T)
+      .select("da", "db")
+    val result = lenFiltered
       .join(attach(sets.select(col("doc_id").as("da"), col("codes").as("ca"))), "da")
       .join(attach(sets.select(col("doc_id").as("db"), col("codes").as("cb"))), "db")
       .select(col("da"), col("db"),
@@ -655,7 +675,9 @@ object DedupOps {
     * Why contraction is mandatory here: identical-fingerprint docs form
     * CLIQUES in the doc graph, and wedge enumeration — even degree-ordered
     * — is quadratic in clique width (sf0.1: a handful of wide classes put
-    * ~26 s of wedge join into the direct [[GraphOps.triangleCounts]] run).
+    * a 15.2 s direct [[GraphOps.triangleCounts]] run — 5.9 s once
+    * localCheckpoint cut the 6× lineage re-execution, still ~50% over the
+    * ~4 s contracted path in BENCH_r07).
     * Because adjacency depends only on fingerprints, the doc graph is the
     * class graph with every node blown up to a clique of its width w, and
     * each doc's triangle count has a CLOSED FORM over class aggregates:

@@ -57,7 +57,14 @@ object GraphOps {
     // pipeline) re-executes once per reference (measured: l33's 15 s was
     // ~6 re-runs of a ~2.5 s pair pipeline, constant across SFs). One
     // eager localCheckpoint = O(m) executor storage, each stage reads it.
-    val e = edges.select(col("da").as("u"), col("db").as("v"))
+    // Normalized defensively (r7 ADVICE): undirected orientation via
+    // least/greatest, self-loops dropped, duplicates collapsed — so a
+    // caller handing both orientations or repeated rows can't silently
+    // over-count; the pass rides the checkpoint shuffle it already pays.
+    val e = edges
+      .select(least(col("da"), col("db")).as("u"),
+              greatest(col("da"), col("db")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
       .localCheckpoint(true)
     val deg = e.select(col("u").as("x")).union(e.select(col("v").as("x")))
       .groupBy("x").agg(count(lit(1)).as("deg"))

@@ -227,12 +227,19 @@ object LlmQueries {
 
     // L13b — the declared scale path of L13: GK-sketch approx_percentile
     // (mergeable, one pass, no per-group sort). Sketch outputs are
-    // engine-specific, so like R14b this is declared non-hash-gated —
-    // rows-only check, with the exact/approx agreement asserted in the
-    // unit spec at fixture scale instead.
+    // engine-specific, so the gate exports the r14b verdict shape: the
+    // EXACT interpolated median, the declared ±5% band, and within_band =
+    // |ap50 − p50|·20 ≤ p50 — the estimate stays out of the hash and the
+    // oracle asserts literal true, hash-enforcing the sketch's band. (At
+    // fixture scale GK with accuracy=10000 returns an exact element; the
+    // slack covers element-vs-interpolation, which is one gap at most.)
     "l13b_approx_quantiles" -> ((s, d) =>
       docs(s, d).groupBy(col("lang"))
-        .agg(approx_percentile(col("n_chars"), lit(0.5), lit(10000)).as("ap50"))
+        .agg(approx_percentile(col("n_chars"), lit(0.5), lit(10000)).as("ap50"),
+             percentile(col("n_chars"), lit(0.5)).as("exact_p50"))
+        .select(col("lang"), col("exact_p50"), lit(5L).as("band_pct"),
+                (abs(col("ap50") - col("exact_p50")) * 20 <=
+                  col("exact_p50")).as("within_band"))
         .orderBy("lang")),
 
     // MM2 — multimodal frame sampling: k evenly-spaced byte probes per
@@ -517,7 +524,8 @@ object LlmQueries {
     // fingerprint-class graph with closed-form clique expansion
     // ([[DedupOps.simhashTriangleCounts]] — identical-fingerprint cliques
     // make direct doc-graph wedge enumeration quadratic in class width;
-    // measured 26 s → ~3 s at sf0.1); the generic degree-ordered
+    // direct run measured 15.2 s → 5.9 s after localCheckpoint at sf0.1,
+    // vs ~4 s contracted in BENCH_r07); the generic degree-ordered
     // [[GraphOps.triangleCounts]] remains the arbitrary-graph operator,
     // spec-pinned equal on the expanded graph. Top-10 funnel is
     // TakeOrderedAndProject (distributed top-k), never a whole-corpus
@@ -1571,6 +1579,12 @@ object LlmQueries {
         |  quantile_cont(n_chars, 0.25) AS p25,
         |  quantile_cont(n_chars, 0.5)  AS p50,
         |  quantile_cont(n_chars, 0.75) AS p75
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Verdict shape (see r14b): the GK estimate is engine-specific, so the
+    // oracle carries the exact interpolated median + the literal verdict.
+    "l13b_approx_quantiles" ->
+      """SELECT lang, quantile_cont(n_chars, 0.5) AS exact_p50,
+        |       CAST(5 AS BIGINT) AS band_pct, true AS within_band
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Replays Multimodal.frameSample: k = least(4, n_bytes) frames at

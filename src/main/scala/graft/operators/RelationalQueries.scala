@@ -388,13 +388,23 @@ object RelationalQueries {
              countDistinct(col("l_suppkey")).as("n_supps"))
         .orderBy("l_returnflag")),
 
-    // R14b — HLL sketch capability (declared non-hash-gated in SURVEY §2.2:
-    // sketch estimates are engine-specific, so the driver records a
-    // rows-only check — no oracleSql entry).
+    // R14b — the HLL++ scale path of r14, HASH-GATED through a
+    // deterministic verdict: sketch estimates are engine-specific, so the
+    // exported row carries the EXACT distinct count, the declared ±5%
+    // band, and within_band = |approx − exact|·20 ≤ exact (integer
+    // arithmetic — no float compare). The estimate itself stays out of
+    // the hash; the oracle computes the exact side and a literal true,
+    // so a sketch drifting outside its declared band flips the boolean
+    // and hash-fails the gate.
     "r14b_approx_distinct" -> ((s, d) =>
       t(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+             approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+                lit(5L).as("band_pct"),
+                (abs(col("approx_parts") - col("exact_parts")) * 20 <=
+                  col("exact_parts")).as("within_band"))
         .orderBy("l_returnflag")),
 
     // R30 — MERGEABLE HLL sketches (Datasketches): per-status partial
@@ -403,8 +413,11 @@ object RelationalQueries {
     // path r14's exact Expand can't walk — partials build map-side, merge
     // associatively across any partitioning, and re-aggregate without
     // rescanning (the stored-sketch rollup pattern). Estimates are
-    // engine-specific → declared rows-only like R14b; the merged≈direct≈
-    // exact agreement is asserted in RelationalOpsSpec.
+    // engine-specific, so the gate exports the r14b verdict shape instead
+    // of raw estimates: exact count, the declared ±5% band, and one
+    // within_band boolean per estimate path (merged partials / direct
+    // whole-table) — the oracle computes the exact side plus literal
+    // trues, making the sketch's band a HASH-ENFORCED contract.
     "r30_hll_merge" -> { (s, d) =>
       val o = t(s, d, "orders")
       val merged = o.groupBy(col("o_orderstatus"))
@@ -412,8 +425,13 @@ object RelationalQueries {
         .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("merged_est"))
       val direct = o.agg(
         hll_sketch_estimate(hll_sketch_agg(col("o_custkey"))).as("direct_est"),
-        countDistinct(col("o_custkey")).as("exact"))
+        countDistinct(col("o_custkey")).as("exact_custkeys"))
       merged.crossJoin(direct)
+        .select(col("exact_custkeys"), lit(5L).as("band_pct"),
+                (abs(col("merged_est") - col("exact_custkeys")) * 20 <=
+                  col("exact_custkeys")).as("merged_within_band"),
+                (abs(col("direct_est") - col("exact_custkeys")) * 20 <=
+                  col("exact_custkeys")).as("direct_within_band"))
     },
 
     // R31 — COUNT-MIN SKETCH with an ORACLE-REPLAYABLE construction: the
@@ -806,6 +824,18 @@ object RelationalQueries {
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
         |       COUNT(DISTINCT l_suppkey) AS n_supps
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // The sketch estimate is engine-specific, so the oracle computes only
+    // the deterministic half of the verdict row: the exact count, the
+    // declared band, and the literal verdict the sketch must earn.
+    "r14b_approx_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
+        |       CAST(5 AS BIGINT) AS band_pct, true AS within_band
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "r30_hll_merge" ->
+      """SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_custkeys,
+        |       CAST(5 AS BIGINT) AS band_pct,
+        |       true AS merged_within_band, true AS direct_within_band
+        |FROM orders""".stripMargin,
     "r15_scalar_funcs" ->
       """SELECT o_orderkey,
         |  UPPER(SUBSTRING(o_orderpriority, 1, 1)) AS prio_code,

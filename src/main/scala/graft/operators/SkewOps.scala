@@ -13,6 +13,19 @@ import org.apache.spark.sql.functions._
   * partitions split), or stages that must co-group with a downstream
   * aggregation. The cost model is explicit: the small side is
   * replicated `k`×, the hot key's rows spread across `k` tasks.
+  *
+  * When each applies, concretely:
+  *  - **AQE split** (OptimizeSkewedJoin, proven live in `SkewAqeSpec`):
+  *    the default — zero plan changes, fires at runtime from measured
+  *    partition bytes, and splits a join-side partition by replicating
+  *    the OTHER side's matching partition. It is join-local: the split
+  *    output loses its partitioning guarantee, so a downstream
+  *    aggregation on the same key re-shuffles.
+  *  - **saltedJoin** (r23): when the hot rows must ALSO spread through a
+  *    downstream co-keyed stage (the widened (key, salt) grouping
+  *    carries through), when AQE is unavailable (stream-batch joins plan
+  *    per micro-batch), or when the skew is known ahead of time and the
+  *    k× small-side replication is cheaper than runtime detection.
   */
 object SkewOps {
 

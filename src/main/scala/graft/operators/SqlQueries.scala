@@ -617,7 +617,12 @@ object SqlQueries {
       s: SparkSession, d: String, prefix: String)(
       body: (String, String) => DataFrame): DataFrame = {
     graft.Engine.registerViews(s, d)
-    val tag = java.lang.Integer.toHexString(d.hashCode & 0x7fffffff)
+    // Tag = fixture-dir hash + PID: the dir hash keeps Bench's in-process
+    // passes reusing (and pre-cleaning) one table per fixture, while the
+    // PID keeps two JVMs benching the same fixture from racing on one
+    // tmp LOCATION / table name (r7 ADVICE).
+    val tag = java.lang.Integer.toHexString(d.hashCode & 0x7fffffff) +
+      "p" + java.lang.Long.toHexString(ProcessHandle.current().pid())
     val tbl = s"${prefix}_$tag"
     val loc = s"${System.getProperty("java.io.tmpdir")}/$prefix-$tag"
     s.sql(s"DROP TABLE IF EXISTS $tbl")

@@ -12,10 +12,11 @@ class CoverageSpec extends AnyFunSuite {
   private lazy val survey = scala.io.Source.fromFile("SURVEY.md")("UTF-8")
     .mkString
 
-  // Declared rows-only (no-oracle) queries — SURVEY declares these as
-  // non-hash-gated because their values are engine-specific sketches.
-  private val rowsOnly = Set("r14b_approx_distinct", "l13b_approx_quantiles",
-                             "r30_hll_merge")
+  // Every declared query is hash-gated since round 8: the three sketch
+  // gates (r14b, l13b, r30) export exact-value + within-band verdict rows
+  // instead of raw engine-specific estimates, so this set is empty and
+  // must stay empty.
+  private val rowsOnly = Set.empty[String]
 
   test("every declared query name appears in SURVEY.md") {
     // SURVEY §2.2 names the original surface by short row IDs (`| M1 |`,

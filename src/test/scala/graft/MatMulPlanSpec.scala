@@ -44,6 +44,26 @@ class MatMulPlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("cost statistics flip the physical path across the m1 size sweep") {
+    // Planning only (no execution): MatMulStrategy decides from the
+    // children's size estimates, before AQE ever runs — so the choice is
+    // visible in the initial physical plan string.
+    def planFor(n: Int): String = MatrixOps.multiplyPlanned(
+      MatrixGen.matA(spark, n, n), MatrixGen.matB(spark, n, n))
+      .queryExecution.executedPlan.toString
+    // 50²: COO estimate ~0.2 MB — a broadcastable side, row join.
+    assert(!planFor(50).contains("SerializeFromObject"),
+           "50² should plan as the broadcast row join")
+    // 1000²/2000² (the bench's m1_sweep_1000/2000 rungs): estimates
+    // (~64 MB / ~256 MB) clear the broadcast threshold on BOTH sides, so
+    // the strategy flips to the block-GEMM object pipeline — the
+    // dense-operand shape whose row join would shuffle m·n·p rows.
+    assert(planFor(1000).contains("SerializeFromObject"),
+           "1000² should plan as block GEMM")
+    assert(planFor(2000).contains("SerializeFromObject"),
+           "2000² should plan as block GEMM")
+  }
+
   test("MatMulReassociate rotates (A·B)·C right-deep iff C is the small operand") {
     import graft.plans.MatMul
     val a = MatrixGen.matA(spark, 40, 30)

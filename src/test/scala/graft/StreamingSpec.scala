@@ -311,6 +311,41 @@ class StreamingSpec extends SparkSpec {
     } finally EventStreams.deleteRecursively(out)
   }
 
+  test("AvailableNow + maxFilesPerTrigger: backlog lands over MULTIPLE atomic commits") {
+    // s22/s23 prove the manifest contract and self-terminating backfill;
+    // this pins the RATE-LIMITING discipline between them: a 4-file
+    // backlog consumed 1 file per trigger must land as >=4 separate
+    // atomic manifest commits — the bounded-micro-batch behavior a
+    // 100 TB backfill relies on (state and sink commits sized by the
+    // trigger cap, not by backlog size) — with the SAME final table as
+    // the batch read.
+    val root = java.nio.file.Files.createTempDirectory("graft-mfpt-")
+    try {
+      (0 until 4).foreach { i =>
+        spark.range(i * 10, i * 10 + 10).selectExpr("id", "id * 2 AS v")
+          .coalesce(1).write.mode("append").parquet(s"$root/in")
+      }
+      val sch = spark.read.parquet(s"$root/in").schema
+      val stream = spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(s"$root/in")
+      val q = stream.writeStream.format("parquet")
+        .option("path", s"$root/landed")
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val commits = new java.io.File(s"$root/landed/_spark_metadata")
+        .listFiles().map(_.getName).filter(_.forall(_.isDigit))
+      assert(commits.length >= 4,
+             s"rate limiting must split the backlog into >=4 manifest " +
+             s"commits, got: ${commits.toSeq.sorted}")
+      val landed = spark.read.parquet(s"$root/landed")
+      assert(landed.count() == 40)
+      assert(landed.agg(sum("v")).head.getLong(0) ==
+             spark.read.parquet(s"$root/in").agg(sum("v")).head.getLong(0))
+    } finally EventStreams.deleteRecursively(root)
+  }
+
   test("stream-stream interval join matches views in the preceding hour only") {
     implicit val sq = spark.sqlContext
     val ms = MemoryStream[Ev]
