@@ -188,7 +188,8 @@ object DedupOps {
     * coalesce them into one task otherwise.
     */
   def verifyJaccard(sh: DataFrame, allCandidates: Boolean,
-                    candidates: DataFrame, threshold: Double): DataFrame = {
+                    candidates: DataFrame, threshold: Double,
+                    lengthFilter: Boolean = true): DataFrame = {
     if (allCandidates) {
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
       val a = sh.select(col("doc_id").as("da"), col("code"))
@@ -234,7 +235,8 @@ object DedupOps {
     val sizesDf = sets.select(col("doc_id"), size(col("codes")).cast("long").as("nsh"))
     val attachSz: DataFrame => DataFrame =
       if (nDocs * 24L <= bcThreshold) broadcast else identity
-    val lenFiltered = candidates.repartition(nParts, col("da"))
+    val repartitioned = candidates.repartition(nParts, col("da"))
+    val lenFiltered = if (!lengthFilter) repartitioned else repartitioned
       .join(attachSz(sizesDf.select(col("doc_id").as("da"), col("nsh").as("na"))), "da")
       .join(attachSz(sizesDf.select(col("doc_id").as("db"), col("nsh").as("nb"))), "db")
       .filter(least(col("na"), col("nb")) * 1000000L >=
@@ -499,8 +501,11 @@ object DedupOps {
       .filter(col("nb") * M >= col("na") * T && col("na") * M >= col("nb") * T)
       .filter(cap * (M + T) >= (col("na") + col("nb")) * T)
       .select("da", "db").distinct()
+    // lengthFilter off: the PPJoin length bound above already pruned the
+    // candidate stream at generation — re-checking it in the verify stage
+    // would pay two size joins to discard nothing.
     try verifyJaccard(sh, allCandidates = false, candidates = cand,
-                      threshold = threshold)
+                      threshold = threshold, lengthFilter = false)
     finally {
       prefix.unpersist(blocking = false)
       sh.unpersist(blocking = false)
