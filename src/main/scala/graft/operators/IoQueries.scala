@@ -470,6 +470,33 @@ object IoQueries {
         .groupBy(col("o_custkey"))
         .agg(count(lit(1)).as("n"), sum(col("price")).cast("double").as("spend"))
         .orderBy("o_custkey")
+    },
+
+    // IO20 — CSV quoting/escaping/multiline roundtrip: every value
+    // carries the three delimiters that break naive CSV (the field
+    // separator, the quote char, an embedded NEWLINE), written through
+    // Spark's quoting writer and read back with `multiLine` — the parser
+    // mode where a record may span physical lines, so the file cannot be
+    // split on newlines. That is the 100 TB trade stated plainly: a
+    // multiLine CSV file is ONE task (no intra-file splits) — the gate
+    // proves the engine survives the format; the scale posture is
+    // io1-style clean CSV or parquet. The oracle replays the computed
+    // values from the source table — the CSV cycle must be lossless.
+    "io20_csv_multiline" -> { (s, d) =>
+      val path = scratch("csvml", d)
+      Tables.load(s, d, "orders")
+        .filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+                concat(col("o_orderpriority"), lit(",\""), lit("\n"),
+                       col("o_orderstatus")).as("v"))
+        .write.mode("overwrite").option("header", "true").csv(path)
+      s.read.schema("o_orderkey BIGINT, o_orderstatus STRING, v STRING")
+        .option("header", "true").option("multiLine", "true").csv(path)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+             sum(length(col("v"))).cast("long").as("sum_len"),
+             countDistinct(col("v")).as("n_distinct"))
+        .orderBy("o_orderstatus")
     }
   )
 
@@ -516,6 +543,18 @@ object IoQueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
         |FROM orders WHERE o_custkey IN (7, 107, 1007)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // The CSV cycle must be lossless, so the oracle rebuilds the tricky
+    // value (separator + quote + newline) straight from the source table.
+    "io20_csv_multiline" ->
+      """WITH t AS (
+        |  SELECT o_orderstatus,
+        |    o_orderpriority || ',"' || chr(10) || o_orderstatus AS v
+        |  FROM orders WHERE o_orderkey % 7 = 0)
+        |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(length(v)) AS BIGINT) AS sum_len,
+        |  CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // The bloom filter is transparent to semantics: the oracle is the
     // plain selective-dim join.

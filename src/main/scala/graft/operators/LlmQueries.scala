@@ -587,6 +587,58 @@ object LlmQueries {
         .orderBy("doc_id", "dim")
     },
 
+    // L37 — character-level edit distance (Levenshtein): every document
+    // scored against its language's canonical (min doc_id) document —
+    // the fuzzy-match verifier the shingle family can't express (Jaccard
+    // sees SET overlap; edit distance sees ORDERED character agreement,
+    // the right lens for templated/boilerplate variants and OCR noise).
+    // Both probes are ASCII-sanitized first ([^ -~] stripped) so the
+    // char-based Spark metric and the byte-based DuckDB one agree by
+    // construction, and capped at 64 chars — the O(len²) DP cell count
+    // is bounded per row, so the pass stays a linear scan at any corpus
+    // size. Canonical probes ride a per-lang BROADCAST dim (5 rows).
+    "l37_edit_distance" -> { (s, d) =>
+      val base = docs(s, d).select(col("doc_id"), col("lang"),
+        substring(regexp_replace(col("text"), "[^ -~]", ""), 1, 64)
+          .as("probe"))
+      val canon = base.groupBy(col("lang")).agg(min(col("doc_id")).as("cid"))
+        .join(base.select(col("doc_id").as("cid"),
+                          col("probe").as("canon_probe")), "cid")
+        .select("lang", "canon_probe")
+      base.join(broadcast(canon), "lang")
+        .select(col("lang"),
+                levenshtein(col("probe"), col("canon_probe")).cast("long")
+                  .as("dist"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+             max(col("dist")).as("max_dist"),
+             sum(col("dist")).as("sum_dist"),
+             expr("count_if(dist <= 16)").as("n_close"))
+        .orderBy("lang")
+    },
+
+    // L38 — lexical diversity per language: type-token ratio and hapax
+    // share, the corpus-health diagnostics (a repetitive/boilerplate
+    // slice shows low TTR; a noisy one shows a hapax spike) standard in
+    // corpus linguistics reports. Same whitespace tokenization as L3 (one
+    // declared convention); two hash aggregates — (lang, token) counts,
+    // then per-lang rollup — so the heavy first shuffle carries partial
+    // counts, never raw tokens; ratios via the shared integer half-up
+    // ROUND.
+    "l38_lexical_diversity" -> { (s, d) =>
+      docs(s, d)
+        .select(col("lang"), explode(TextFunctions.tokens("text")).as("token"))
+        .groupBy(col("lang"), col("token")).agg(count(lit(1)).as("c"))
+        .groupBy(col("lang"))
+        .agg(sum(col("c")).as("n_tokens"),
+             count(lit(1)).as("n_distinct"),
+             expr("count_if(c = 1)").as("n_hapax"))
+        .select(col("lang"), col("n_tokens"), col("n_distinct"), col("n_hapax"),
+                graft.Q.round4Ratio(col("n_distinct"), col("n_tokens")).as("ttr"),
+                graft.Q.round4Ratio(col("n_hapax"), col("n_distinct")).as("hapax_ratio"))
+        .orderBy("lang")
+    },
+
     // L24 — the L22 bigram counts through the engine's custom Catalyst
     // GENERATOR (`word_ngrams`, a native UDTF registered via
     // SparkSessionExtensions) on the SQL route: the generator resolves in
@@ -1580,6 +1632,36 @@ object LlmQueries {
         |  quantile_cont(n_chars, 0.5)  AS p50,
         |  quantile_cont(n_chars, 0.75) AS p75
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "l37_edit_distance" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang,
+        |    substring(regexp_replace(text, '[^ -~]', '', 'g'), 1, 64) AS probe
+        |  FROM documents),
+        |c AS (SELECT lang, MIN(doc_id) AS cid FROM b GROUP BY 1),
+        |cp AS (SELECT c.lang, b.probe AS canon_probe
+        |       FROM c JOIN b ON b.doc_id = c.cid),
+        |dd AS (SELECT b.lang,
+        |         CAST(levenshtein(b.probe, cp.canon_probe) AS BIGINT) AS dist
+        |       FROM b JOIN cp ON b.lang = cp.lang)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(MAX(dist) AS BIGINT) AS max_dist,
+        |       CAST(SUM(dist) AS BIGINT) AS sum_dist,
+        |       CAST(COUNT(*) FILTER (WHERE dist <= 16) AS BIGINT) AS n_close
+        |FROM dd GROUP BY 1 ORDER BY 1""".stripMargin,
+    "l38_lexical_diversity" ->
+      s"""WITH toks AS (
+        |  SELECT lang,
+        |    unnest(list_filter(string_split(text, ' '), t -> t != '')) AS token
+        |  FROM documents),
+        |c AS (SELECT lang, token, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+        |g AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |        CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |        CAST(COUNT(*) FILTER (WHERE c = 1) AS BIGINT) AS n_hapax
+        |      FROM c GROUP BY 1)
+        |SELECT lang, n_tokens, n_distinct, n_hapax,
+        |  ${graft.Q.duckRound4Ratio("n_distinct", "n_tokens")} AS ttr,
+        |  ${graft.Q.duckRound4Ratio("n_hapax", "n_distinct")} AS hapax_ratio
+        |FROM g ORDER BY lang""".stripMargin,
     // Verdict shape (see r14b): the GK estimate is engine-specific, so the
     // oracle carries the exact interpolated median + the literal verdict.
     "l13b_approx_quantiles" ->

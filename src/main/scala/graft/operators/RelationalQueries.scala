@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
@@ -548,7 +548,70 @@ object RelationalQueries {
              expr("every(o_totalprice > 0)").as("all_positive"),
              expr("any(o_totalprice > 300000)").as("has_jumbo"),
              expr("count_if(o_orderpriority = '1-URGENT')").as("n_urgent"))
-        .orderBy("o_orderstatus"))
+        .orderBy("o_orderstatus")),
+
+    // R34 — correlation + least-squares regression per status with EXACT
+    // integer moments. Spark's corr()/regr_slope() fold doubles in
+    // partition order (engine- and partitioning-dependent), so the gate
+    // computes the five moments (n, Σx, Σy, Σxy, Σx², Σy²) as exact LONG
+    // sums — x = whole weeks since 1992-01-01, y = whole thousand-dollars,
+    // both small enough that every moment combination stays under 2^53
+    // through sf0.1 — lifts the textbook combinations into DECIMAL(38,0)
+    // for scale headroom, and performs the ONLY inexact steps as the same
+    // short IEEE sequence both engines evaluate identically on exact
+    // inputs (cast, multiply, sqrt, divide — the r22 determinism
+    // argument; no ROUND convention needed at all). 100 TB: one narrow
+    // projection + one hash aggregate; moments merge associatively across
+    // any partitioning — the exact-arithmetic analogue of sketch
+    // mergeability for second-order statistics.
+    "r34_corr_regr" -> { (s, d) =>
+      val m = t(s, d, "orders")
+        .select(col("o_orderstatus"),
+          datediff(col("o_orderdate").cast("date"),
+                   lit("1992-01-01").cast("date")).cast("long").as("days"),
+          (Q.dec2(col("o_totalprice")) * 100).cast("long").as("cents"))
+        .select(col("o_orderstatus"),
+          expr("days div 7").as("x"), expr("cents div 100000").as("y"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+             sum(col("x") * col("y")).as("sxy"),
+             sum(col("x") * col("x")).as("sxx"),
+             sum(col("y") * col("y")).as("syy"))
+      val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      def D(c: Column): Column = c.cast(dec38)
+      val num = (D(col("n")) * D(col("sxy")) - D(col("sx")) * D(col("sy")))
+        .cast("double")
+      val denx = (D(col("n")) * D(col("sxx")) - D(col("sx")) * D(col("sx")))
+        .cast("double")
+      val deny = (D(col("n")) * D(col("syy")) - D(col("sy")) * D(col("sy")))
+        .cast("double")
+      m.select(col("o_orderstatus"), col("n"),
+          (num / denx).as("slope"),
+          ((col("sy").cast("double") - (num / denx) * col("sx").cast("double"))
+            / col("n").cast("double")).as("intercept"),
+          (num / (sqrt(denx) * sqrt(deny))).as("corr"))
+        .orderBy("o_orderstatus")
+    },
+
+    // R35 — the remaining analytic window functions: first_value and
+    // nth_value over the default ANSI frame (RANGE UNBOUNDED PRECEDING →
+    // CURRENT ROW: nth_value is NULL until the frame reaches n rows —
+    // semantics both engines share verbatim), plus lead with an explicit
+    // default. Total (price desc, orderkey) order makes every value
+    // deterministic; prices pass through unchanged (no arithmetic), so
+    // DOUBLE parity with the oracle is exact (the r26 argument).
+    "r35_nth_value" -> { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, d, "orders")
+        .filter(col("o_custkey") % 10 === 0)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+                first_value(col("o_totalprice")).over(w).as("top_price"),
+                nth_value(col("o_totalprice"), 3).over(w).as("third_price"),
+                lead(col("o_totalprice"), 1, -1.0).over(w).as("next_price"))
+        .orderBy("o_custkey", "o_orderkey")
+    }
   )
 
   private def setOpsAll(s: SparkSession, d: String, op: String): DataFrame = {
@@ -824,6 +887,36 @@ object RelationalQueries {
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
         |       COUNT(DISTINCT l_suppkey) AS n_supps
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Same exact-moment formulas as the Spark side, spelled in BIGINT
+    // (the combinations stay under 2^53 at gate SFs, so the double casts
+    // are exact and the IEEE tail is bit-identical).
+    "r34_corr_regr" ->
+      """WITH m AS (
+        |  SELECT o_orderstatus,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x*y) AS BIGINT) AS sxy,
+        |    CAST(SUM(x*x) AS BIGINT) AS sxx,
+        |    CAST(SUM(y*y) AS BIGINT) AS syy
+        |  FROM (SELECT o_orderstatus,
+        |          DATEDIFF('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) // 7 AS x,
+        |          CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 100000 AS y
+        |        FROM orders)
+        |  GROUP BY 1)
+        |SELECT o_orderstatus, n,
+        |  CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE) AS slope,
+        |  (CAST(sy AS DOUBLE) - (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept,
+        |  CAST(n*sxy - sx*sy AS DOUBLE) / (SQRT(CAST(n*sxx - sx*sx AS DOUBLE)) * SQRT(CAST(n*syy - sy*sy AS DOUBLE))) AS corr
+        |FROM m ORDER BY o_orderstatus""".stripMargin,
+    "r35_nth_value" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  FIRST_VALUE(o_totalprice) OVER w AS top_price,
+        |  NTH_VALUE(o_totalprice, 3) OVER w AS third_price,
+        |  COALESCE(LEAD(o_totalprice, 1) OVER w, -1.0) AS next_price
+        |FROM orders WHERE o_custkey % 10 = 0
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_totalprice DESC, o_orderkey ASC)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     // The sketch estimate is engine-specific, so the oracle computes only
     // the deterministic half of the verdict row: the exact count, the
     // declared band, and the literal verdict the sketch must earn.
