@@ -639,6 +639,38 @@ object LlmQueries {
         .orderBy("lang")
     },
 
+    // L39 — vocabulary overlap via ARRAY SET ALGEBRA: each doc's distinct
+    // token set against its language's canonical (min doc_id) doc —
+    // array_intersect / array_except / array_union / array_distinct, the
+    // no-UDF set operations l18's numeric lambdas never touch. Exported
+    // as SET CARDINALITIES, which are element-order-independent, so the
+    // gate needs no array-ordering convention at all; the oracle replays
+    // the sizes relationally (distinct-token join). The shape is the
+    // vocabulary-coverage diagnostic of corpus curation: how much of each
+    // doc's vocabulary is already in the canonical sample. Canonical sets
+    // ride a 5-row broadcast dim; the scan stays one pass.
+    "l39_vocab_overlap" -> { (s, d) =>
+      val toks = docs(s, d).select(col("doc_id"), col("lang"),
+        array_distinct(TextFunctions.tokens("text")).as("ts"))
+      val canon = toks.groupBy(col("lang")).agg(min(col("doc_id")).as("cid"))
+        .join(toks.select(col("doc_id").as("cid"), col("ts").as("cs")), "cid")
+        .select("lang", "cs")
+      toks.join(broadcast(canon), "lang")
+        .select(col("lang"),
+          size(col("ts")).cast("long").as("nd"),
+          size(array_intersect(col("ts"), col("cs"))).cast("long").as("ni"),
+          size(array_except(col("ts"), col("cs"))).cast("long").as("ne"),
+          size(array_union(col("ts"), col("cs"))).cast("long").as("nu"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("ni")).as("sum_int"),
+             sum(col("ne")).as("sum_except"),
+             sum(col("nu")).as("sum_union"),
+             graft.Q.round4Ratio(sum(col("ni")), sum(col("nd")))
+               .as("coverage"))
+        .orderBy("lang")
+    },
+
     // L24 — the L22 bigram counts through the engine's custom Catalyst
     // GENERATOR (`word_ngrams`, a native UDTF registered via
     // SparkSessionExtensions) on the SQL route: the generator resolves in
@@ -1632,6 +1664,35 @@ object LlmQueries {
         |  quantile_cont(n_chars, 0.5)  AS p50,
         |  quantile_cont(n_chars, 0.75) AS p75
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Set cardinalities replayed relationally: per-doc distinct tokens
+    // joined to the canonical doc's distinct tokens; except/union derive
+    // from |d|, |c|, |d∩c|.
+    "l39_vocab_overlap" ->
+      s"""WITH tok AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_filter(string_split(text, ' '), t -> t != '')) AS token
+        |  FROM documents),
+        |td AS (SELECT DISTINCT doc_id, lang, token FROM tok),
+        |base AS (SELECT doc_id, lang FROM documents),
+        |nd AS (SELECT b.doc_id, b.lang, COUNT(td.token) AS nd
+        |       FROM base b LEFT JOIN td ON td.doc_id = b.doc_id GROUP BY 1, 2),
+        |c AS (SELECT lang, MIN(doc_id) AS cid FROM documents GROUP BY 1),
+        |tc AS (SELECT c.lang, td.token FROM c JOIN td ON td.doc_id = c.cid),
+        |ncs AS (SELECT lang, COUNT(*) AS nc FROM tc GROUP BY 1),
+        |ni AS (SELECT b.doc_id, b.lang, COUNT(tc.token) AS ni
+        |       FROM base b
+        |       LEFT JOIN td ON td.doc_id = b.doc_id
+        |       LEFT JOIN tc ON tc.lang = b.lang AND tc.token = td.token
+        |       GROUP BY 1, 2)
+        |SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(i.ni) AS BIGINT) AS sum_int,
+        |  CAST(SUM(d.nd - i.ni) AS BIGINT) AS sum_except,
+        |  CAST(SUM(d.nd + COALESCE(n.nc, 0) - i.ni) AS BIGINT) AS sum_union,
+        |  ${graft.Q.duckRound4Ratio("SUM(i.ni)", "SUM(d.nd)")} AS coverage
+        |FROM nd d
+        |JOIN ni i ON i.doc_id = d.doc_id
+        |LEFT JOIN ncs n ON n.lang = d.lang
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "l37_edit_distance" ->
       """WITH b AS (
         |  SELECT doc_id, lang,

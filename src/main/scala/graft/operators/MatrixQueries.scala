@@ -51,6 +51,26 @@ object MatrixQueries {
     "m7_trace_sumsq" -> ((s, _) =>
       MatrixOps.trace(A50(s)).crossJoin(MatrixOps.sumsq(A50(s)))),
 
+    // M14 — matrix similarity: the Frobenius inner product ⟨A,B⟩ = Σ A∘B
+    // (one (i,j) equi-join + hash aggregate) beside both squared norms,
+    // finished as cos = ⟨A,B⟩/(‖A‖·‖B‖) — the r34 determinism shape on
+    // the matrix core: every sum is exact LONG integers, the cosine is
+    // the same 4-op IEEE tail both engines evaluate bit-identically.
+    // The "how similar are two matrices/gradients/embedding tables"
+    // aggregate that completes M7's single-operand norms.
+    "m14_matrix_cos" -> { (s, _) =>
+      val ab = A50(s).as("a")
+        .join(B50(s).as("b"), Seq("i", "j"))
+        .agg(sum(col("a.v") * col("b.v")).as("sab"))
+      val na = MatrixOps.sumsq(A50(s)).select(col("sumsq").as("saa"))
+      val nb = MatrixOps.sumsq(B50(s)).select(col("sumsq").as("sbb"))
+      ab.crossJoin(na).crossJoin(nb)
+        .select(col("sab"), col("saa"), col("sbb"),
+          (col("sab").cast("double") /
+            (sqrt(col("saa").cast("double")) * sqrt(col("sbb").cast("double"))))
+            .as("frob_cos"))
+    },
+
     // M8 — A·A self-join (alias disambiguation exercised).
     "m8_matpow" -> ((s, _) =>
       MatrixOps.multiply(A50(s), A50(s)).orderBy("i", "k")),
@@ -140,6 +160,17 @@ object MatrixQueries {
       s"""WITH ${duckA("a", 50, 50)}
          |SELECT (SELECT CAST(SUM(v) AS BIGINT) FROM a WHERE i = j) AS trace,
          |       (SELECT CAST(SUM(v*v) AS BIGINT) FROM a) AS sumsq""".stripMargin,
+    "m14_matrix_cos" ->
+      s"""WITH ${duckA("a", 50, 50)}, ${duckB("b", 50, 50)},
+         |m AS (SELECT
+         |  (SELECT CAST(SUM(a.v * b.v) AS BIGINT) FROM a
+         |     JOIN b ON a.i = b.i AND a.j = b.j) AS sab,
+         |  (SELECT CAST(SUM(v*v) AS BIGINT) FROM a) AS saa,
+         |  (SELECT CAST(SUM(v*v) AS BIGINT) FROM b) AS sbb)
+         |SELECT sab, saa, sbb,
+         |  CAST(sab AS DOUBLE) /
+         |    (SQRT(CAST(saa AS DOUBLE)) * SQRT(CAST(sbb AS DOUBLE))) AS frob_cos
+         |FROM m""".stripMargin,
     "m10_matvec_power" ->
       s"""WITH ${duckA("a", 50, 50)},
          |x0 AS (SELECT range AS j, CAST(1 AS BIGINT) AS v FROM range(50)),
