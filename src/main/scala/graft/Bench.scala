@@ -100,8 +100,15 @@ object Bench {
         (s"m1_sweep_$n", (s: SparkSession, _: String) =>
           MatrixOps.multiply(MatrixGen.matA(s, n, n), MatrixGen.matB(s, n, n)))
       } ++ Seq(1000, 2000).map { n =>
+        // Path choice is the planner's (block GEMM at these sizes —
+        // MatMulPlanSpec); block size is the physical tuning knob: tile
+        // replication in the pair join AND the partial-tile shuffle both
+        // scale linearly with grid width n/bs, so pick the smallest grid
+        // that still saturates the cores (grid² pairs ≥ ~2·parallelism;
+        // bs = n/8 → 512 pairs ≥ 64).
         (s"m1_sweep_$n", (s: SparkSession, _: String) =>
-          MatrixOps.multiplyPlanned(MatrixGen.matA(s, n, n), MatrixGen.matB(s, n, n)))
+          MatrixOps.multiplyPlanned(MatrixGen.matA(s, n, n),
+                                    MatrixGen.matB(s, n, n), bs = n / 8))
       }
 
     val everything = SparkEntry.queries.toSeq.sortBy(_._1) ++ sweep

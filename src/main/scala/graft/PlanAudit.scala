@@ -40,7 +40,10 @@ object PlanAudit {
     // localCheckpoint'd frame whose lineage (and plan features) are cut.
     "l33_triangle_count", "l34_lm_score", "r32_median_mode",
     "sql16_listagg", "l35_passage_dup", "l36_feature_hash", "sql17_pivot",
-    "io19_parquet_bloom")
+    "io19_parquet_bloom",
+    "r34_corr_regr", "r35_nth_value", "l37_edit_distance",
+    "l38_lexical_diversity", "l39_vocab_overlap", "io20_csv_multiline",
+    "m14_matrix_cos")
 
   /** Execute `df` (noop traversal — AQE's final plan only exists after
     * execution) and compute the anti-pattern flags from the executed plan.

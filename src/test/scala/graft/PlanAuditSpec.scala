@@ -128,7 +128,18 @@ class PlanAuditSpec extends SparkSpec {
     // PIVOT with an explicit value list = one conditional-aggregate pass.
     "sql17_pivot" -> Set("WholeStageCodegen"),
     // The IN-list probe must reach the bloom-filtered parquet scan.
-    "io19_parquet_bloom" -> Set("PushedFilters", "WholeStageCodegen"))
+    "io19_parquet_bloom" -> Set("PushedFilters", "WholeStageCodegen"),
+    // One narrow projection + one hash aggregate of exact moments.
+    "r34_corr_regr" -> Set("WholeStageCodegen"),
+    "r35_nth_value" -> Set("WholeStageCodegen"),
+    // The 5-row canonical dim must BROADCAST onto the doc scan.
+    "l37_edit_distance" -> Set("BroadcastHashJoin", "WholeStageCodegen"),
+    "l38_lexical_diversity" -> Set("WholeStageCodegen"),
+    "l39_vocab_overlap" -> Set("BroadcastHashJoin", "WholeStageCodegen"),
+    "io20_csv_multiline" -> Set("WholeStageCodegen"),
+    // Both COO operands are broadcastable at 50² — the inner-product join
+    // must not shuffle.
+    "m14_matrix_cos" -> Set("WholeStageCodegen", "BroadcastHashJoin"))
 
   test("every audited gated query is cartesian-free with its required plan features") {
     // Keep the spec's coverage locked to the audit's default set — adding a
