@@ -611,6 +611,33 @@ object RelationalQueries {
                 nth_value(col("o_totalprice"), 3).over(w).as("third_price"),
                 lead(col("o_totalprice"), 1, -1.0).over(w).as("next_price"))
         .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // R36 — equi-width value histogram via `width_bucket`: the
+    // distribution-profiling staple (R24 profiles nulls/distincts/bounds;
+    // this profiles SHAPE) every warehouse runs before choosing join
+    // strategies or partition ranges. One narrow projection + one hash
+    // aggregate over ≤ n+2 groups — shuffle volume is bucket-count-bound,
+    // independent of table size, so the op is trivially 100 TB-safe.
+    // Determinism: cents are exact LONGs; Spark's width_bucket evaluates
+    // bucket = trunc(n·(v−lo)/(hi−lo)) + 1 as one double multiply and one
+    // double divide on exactly-representable integers — DuckDB has no
+    // width_bucket, so the oracle replays the SAME two IEEE ops in the
+    // same order (the r22/r34 bit-identical-short-sequence argument; a
+    // histogram spec additionally pins Spark's width_bucket ≡ the replayed
+    // formula on planted boundary-exact values).
+    "r36_histogram" -> { (s, d) =>
+      val cents = (Q.dec2(col("o_totalprice")) * 100).cast("long")
+      t(s, d, "orders")
+        .select(cents.as("cents"))
+        .select(col("cents"),
+                expr("width_bucket(cents, 0L, 50000000L, 10)").as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_orders"),
+             sum(col("cents")).as("sum_cents"),
+             min(col("cents")).as("min_cents"),
+             max(col("cents")).as("max_cents"))
+        .orderBy("bucket")
     }
   )
 
@@ -917,6 +944,20 @@ object RelationalQueries {
         |WINDOW w AS (PARTITION BY o_custkey
         |             ORDER BY o_totalprice DESC, o_orderkey ASC)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    // DuckDB has no width_bucket; replay Spark's exact evaluation —
+    // trunc(n·(v−lo)/(hi−lo)) + 1 as the same double multiply-then-divide
+    // on exactly-representable integers (bit-identical on both engines).
+    "r36_histogram" ->
+      """WITH c AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT CASE WHEN cents >= 50000000 THEN CAST(11 AS BIGINT)
+        |            WHEN cents < 0 THEN CAST(0 AS BIGINT)
+        |            ELSE CAST(trunc((10.0 * cents) / 50000000.0) AS BIGINT) + 1
+        |       END AS bucket,
+        |  COUNT(*) AS n_orders, CAST(SUM(cents) AS BIGINT) AS sum_cents,
+        |  MIN(cents) AS min_cents, MAX(cents) AS max_cents
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     // The sketch estimate is engine-specific, so the oracle computes only
     // the deterministic half of the verdict row: the exact count, the
     // declared band, and the literal verdict the sketch must earn.

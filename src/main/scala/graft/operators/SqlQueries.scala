@@ -16,6 +16,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SqlQueries {
 
+  // sql22: one statement, both engines verbatim (WINDOW clause is
+  // dialect-shared). CAST(... AS BIGINT) pins ROW_NUMBER (Spark INT) and
+  // DuckDB's HUGEINT window SUM/COUNT to one exported type.
+  private val WindowClauseSql: String =
+    """WITH o AS (
+      |  SELECT o_custkey, o_orderkey,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders WHERE o_custkey % 20 = 0)
+      |SELECT o_custkey, o_orderkey, cents,
+      |  CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+      |  CAST(SUM(cents) OVER w AS BIGINT) AS run_cents,
+      |  CAST(COUNT(*) OVER w2 AS BIGINT) AS n_orders,
+      |  CAST(MAX(cents) OVER w2 AS BIGINT) AS max_cents
+      |FROM o
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY cents DESC, o_orderkey ASC),
+      |       w2 AS (PARTITION BY o_custkey)
+      |ORDER BY o_custkey, rn""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Pricing-summary shape (R2 family) parsed from ANSI SQL: exact
@@ -161,6 +179,16 @@ object SqlQueries {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ALL
         |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // SQL22 — the named WINDOW clause: one window definition referenced by
+    // several OVER clauses (ranking + running sum share `w`, the
+    // whole-partition aggregates share `w2`) — the reporting-SQL staple
+    // that keeps N window expressions from re-stating (and risking
+    // divergent copies of) their specification. Analyzer-side sugar: the
+    // plan is the same two Window nodes the inline spelling produces, and
+    // both dialects share the statement verbatim. Exact cents, total
+    // (cents DESC, orderkey) order ⇒ deterministic running sums.
+    "sql22_window_clause" -> ((s, d) => Engine.sql(s, d, WindowClauseSql)),
 
     // SQL14 — named parameter markers: the statement is compiled with
     // `:status` / `:minprice` placeholders and the values bound at call
@@ -559,6 +587,8 @@ object SqlQueries {
         |  CAST(SUM(cents * cents) AS BIGINT) AS sumsq
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // Dialect-shared named WINDOW clause — identical statement.
+    "sql22_window_clause" -> WindowClauseSql,
     // Dialect-shared GROUP BY ALL — identical statement.
     "sql12_group_by_all" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,

@@ -139,7 +139,12 @@ class PlanAuditSpec extends SparkSpec {
     "io20_csv_multiline" -> Set("WholeStageCodegen"),
     // Both COO operands are broadcastable at 50² — the inner-product join
     // must not shuffle.
-    "m14_matrix_cos" -> Set("WholeStageCodegen", "BroadcastHashJoin"))
+    "m14_matrix_cos" -> Set("WholeStageCodegen", "BroadcastHashJoin"),
+    // One narrow projection + one ≤ n+2-group hash aggregate, codegen'd.
+    "r36_histogram" -> Set("WholeStageCodegen"),
+    // Named-WINDOW sugar resolves to ordinary Window nodes; the cents
+    // projection and window chain stay codegen'd, filter pushed.
+    "sql22_window_clause" -> Set("WholeStageCodegen", "PushedFilters"))
 
   test("every audited gated query is cartesian-free with its required plan features") {
     // Keep the spec's coverage locked to the audit's default set — adding a

@@ -34,6 +34,27 @@ class RelationalOpsSpec extends SparkSpec {
            "expected at least half the probed keys collision-free")
   }
 
+  test("r36: width_bucket matches the oracle's trunc(n*(v-lo)/(hi-lo))+1 replay on boundary values") {
+    import spark.implicits._
+    // Exact bucket edges (multiples of hi/n), one-off neighbors, the
+    // extremes, and out-of-range values: Spark's width_bucket must equal
+    // the double multiply-then-divide replay the DuckDB oracle runs —
+    // this is the bit-identity the r36 gate's determinism argument rests on.
+    val hi = 50000000L; val n = 10L
+    val vals = (0L to 10L).flatMap(k => Seq(k * hi / n - 1, k * hi / n, k * hi / n + 1)) ++
+      Seq(-5L, hi, hi + 1, 49999318L)
+    val got = vals.toDF("v")
+      .select(col("v"), expr(s"width_bucket(v, 0L, ${hi}L, $n)").as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    vals.foreach { v =>
+      val expected =
+        if (v < 0) 0L
+        else if (v >= hi) n + 1
+        else (n.toDouble * v / hi).toLong + 1
+      assert(got(v) == expected, s"width_bucket($v) = ${got(v)}, replay says $expected")
+    }
+  }
+
   test("r32 deterministic mode picks the LOWEST value on a tie; median interpolates") {
     import spark.implicits._
     // g1: 1.0 ×2, 3.0 ×2 (tie -> 1.0), even count -> median (1.0+3.0)/2.
