@@ -43,7 +43,8 @@ object PlanAudit {
     "io19_parquet_bloom",
     "r34_corr_regr", "r35_nth_value", "l37_edit_distance",
     "l38_lexical_diversity", "l39_vocab_overlap", "io20_csv_multiline",
-    "m14_matrix_cos", "r36_histogram", "sql22_window_clause")
+    "m14_matrix_cos", "r36_histogram", "sql22_window_clause",
+    "io21_glob_discovery")
 
   /** Execute `df` (noop traversal — AQE's final plan only exists after
     * execution) and compute the anti-pattern flags from the executed plan.

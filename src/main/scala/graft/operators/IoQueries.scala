@@ -497,6 +497,46 @@ object IoQueries {
              sum(length(col("v"))).cast("long").as("sum_len"),
              countDistinct(col("v")).as("n_distinct"))
         .orderBy("o_orderstatus")
+    },
+
+    // IO21 — nested-directory file discovery: `recursiveFileLookup` (the
+    // layout of a years-old lake — dumps arrive under arbitrary
+    // sub-folders, not hive-style k=v partitions) + `pathGlobFilter`
+    // excluding the junk that accumulates beside data files (abandoned
+    // temp files, stray exports). The discovery discipline of a 100 TB
+    // ingest: listing is driver/metadata work proportional to file count,
+    // and a single non-parquet stray in any sub-folder would otherwise
+    // fail the scan at footer-read time (LayoutSpec asserts exactly that
+    // without the glob). recursiveFileLookup deliberately disables
+    // partition inference — nothing in the dir names is data.
+    "io21_glob_discovery" -> { (s, d) =>
+      val base = scratch("glob", d)
+      val part = Tables.load(s, d, "part")
+        .select(col("p_partkey"), col("p_brand"),
+                Q.dec2(col("p_retailprice")).as("price"))
+      // Three disjoint thirds into three differently-nested sub-folders —
+      // the "many deliveries, many layouts" reality the recursive lookup
+      // exists for.
+      Seq(("batch1/early", 0), ("batch1/late", 1), ("batch2", 2)).foreach {
+        case (sub, m) => part.filter(col("p_partkey") % 3 === m)
+          .write.mode("overwrite").parquet(s"$base/$sub")
+      }
+      // Stray non-data files a naive recursive read would trip over.
+      val junk = Seq(s"$base/batch1/early/stale-export.json" -> "{\"not\":\"parquet\"}",
+                     s"$base/batch2/notes.txt" -> "leftover\n")
+      junk.foreach { case (p, content) =>
+        java.nio.file.Files.write(java.nio.file.Paths.get(p),
+          content.getBytes("UTF-8"))
+      }
+      s.read
+        .schema("p_partkey BIGINT, p_brand STRING, price DECIMAL(18,2)")
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(base)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("price")).cast("double").as("sum_price"))
+        .orderBy("p_brand")
     }
   )
 
@@ -555,6 +595,14 @@ object IoQueries {
         |  CAST(SUM(length(v)) AS BIGINT) AS sum_len,
         |  CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct
         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Discovery is layout-plumbing only: the three nested thirds union
+    // back to the whole table, junk excluded — so the oracle is the plain
+    // per-brand aggregate over the source.
+    "io21_glob_discovery" ->
+      """SELECT p_brand, COUNT(*) AS n,
+        |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM part GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // The bloom filter is transparent to semantics: the oracle is the
     // plain selective-dim join.

@@ -159,6 +159,26 @@ class LayoutSpec extends SparkSpec {
     assert(files("F") != fBefore, "overwritten partition must have new files")
   }
 
+  test("io21: the glob filter is load-bearing — the same read without it trips on the junk") {
+    // The gate plants non-parquet strays beside the nested data files;
+    // prove the pathGlobFilter actually excludes them by running the SAME
+    // recursive read without it and watching the footer read fail.
+    IoQueries.queries("io21_glob_discovery")(spark, dir).collect() // plants + passes
+    val tag = java.lang.Integer.toHexString(dir.hashCode & 0x7fffffff)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft-io/glob-$tag"
+    val ex = intercept[Exception] {
+      spark.read
+        .schema("p_partkey BIGINT, p_brand STRING, price DECIMAL(18,2)")
+        .option("recursiveFileLookup", "true")
+        .parquet(base)
+        .agg(count(lit(1))).collect()
+    }
+    val msg = (ex.getMessage + Option(ex.getCause).map(_.getMessage).getOrElse(""))
+    assert(msg.toLowerCase.contains("parquet") || msg.contains("footer") ||
+           msg.contains("CANNOT_READ"),
+           s"expected a parquet footer failure on the junk file, got: $msg")
+  }
+
   test("io1/io2: text roundtrips are lossless against the direct aggregate") {
     val viaCsv = IoQueries.queries("io1_csv_roundtrip")(spark, dir).collect()
     val direct = Tables.load(spark, dir, "lineitem")

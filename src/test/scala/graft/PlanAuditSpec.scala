@@ -144,7 +144,9 @@ class PlanAuditSpec extends SparkSpec {
     "r36_histogram" -> Set("WholeStageCodegen"),
     // Named-WINDOW sugar resolves to ordinary Window nodes; the cents
     // projection and window chain stay codegen'd, filter pushed.
-    "sql22_window_clause" -> Set("WholeStageCodegen", "PushedFilters"))
+    "sql22_window_clause" -> Set("WholeStageCodegen", "PushedFilters"),
+    // Recursive discovery feeds an ordinary vectorized parquet scan.
+    "io21_glob_discovery" -> Set("WholeStageCodegen"))
 
   test("every audited gated query is cartesian-free with its required plan features") {
     // Keep the spec's coverage locked to the audit's default set — adding a
