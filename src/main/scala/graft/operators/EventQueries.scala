@@ -278,6 +278,19 @@ object EventQueries {
           "s6_stream_sink", mode = "append")
         .orderBy("click_id", "view_id")),
 
+    // S24 — multi-source streaming union: TWO independent file sources
+    // (clicks feed, views feed) unioned into one tumbling aggregate in a
+    // single query — the N-topic ingest rollup. The min-across-sources
+    // watermark semantics is the operator; final state must equal the
+    // batch union, per-type filtered.
+    "s24_union_stream" -> ((s, d) =>
+      EventStreams.runToCompletion(s,
+          EventStreams.unionCounts(
+            evStream(s, d).filter(col("event_type") === "click"),
+            evStream(s, d).filter(col("event_type") === "view")),
+          "s24_stream_sink")
+        .orderBy("ws", "event_type")),
+
     // S17 (batch form) — join→aggregate: the S6 interval join rolled up
     // into hourly matched-pair counts, the batch twin of the chained
     // stream below.
@@ -1019,6 +1032,14 @@ object EventQueries {
 
     "s1_tumbling_window" -> s1Oracle,
     "s4_streaming_final_state" -> s1Oracle,
+    // Two sources, one aggregate: the union must equal the batch rollup
+    // over exactly the two unioned types.
+    "s24_union_stream" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS ws, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events WHERE event_type IN ('click', 'view')
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // The AvailableNow trigger changes scheduling, never the result.
     "s23_available_now" -> s1Oracle,
     // The resumed query's final table equals the whole-input aggregate.

@@ -23,6 +23,29 @@ object EventStreams {
       .select(unix_micros(col("window.start")).as("ws"), col("event_type"),
               col("n"), col("sum_value"))
 
+  /** S24 — multi-source union: two INDEPENDENT unbounded sources (the
+    * N-topic/N-directory ingest shape — clicks land in one feed, views in
+    * another) unioned into ONE stateful windowed aggregate. The watermark
+    * MUST be attached per source, BEFORE the union: Spark's default
+    * `multipleWatermarkPolicy = min` then gates the query on the SLOWEST
+    * feed, so one lagging source correctly holds back window finalization
+    * for the whole rollup — the cross-topic consistency contract
+    * (StreamingSpec pins it). A single watermark applied AFTER the union
+    * would instead track the global max event time and finalize windows
+    * the lagging feed can still deliver into — silently dropping its
+    * rows as "late". At 100 TB each source scales its own file
+    * listing/offset tracking; the aggregate's shuffle is unchanged by
+    * source count.
+    */
+  def unionCounts(clicks: DataFrame, views: DataFrame): DataFrame =
+    clicks.withWatermark("ts", "2 hours")
+      .unionByName(views.withWatermark("ts", "2 hours"))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(unix_micros(col("window.start")).as("ws"), col("event_type"),
+              col("n"), col("sum_value"))
+
   /** S2 — sliding 1-hour window every 15 minutes. */
   def slidingCounts(events: DataFrame): DataFrame =
     events

@@ -71,6 +71,34 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == Seq((ws(0), "a", 1L, 1.0)))
   }
 
+  test("union of two sources: the LAGGING source's watermark gates finalization") {
+    // Two independent MemoryStreams unioned into one append-mode tumbling
+    // aggregate (the s24 shape). Source A races ahead (minute 200 → its
+    // own watermark would close hour 0); source B still sits at minute 30.
+    // The query watermark is the MIN across sources, so hour 0 must NOT
+    // emit until B also advances — the cross-source consistency contract.
+    implicit val sq = spark.sqlContext
+    val a = MemoryStream[Ev]
+    val b = MemoryStream[Ev]
+    val q = EventStreams.unionCounts(a.toDF(), b.toDF()).writeStream
+      .format("memory").queryName("t_union_wm").outputMode("append")
+      .start()
+    try {
+      a.addData(Ev(1, t(10), 1, "click", 1.0), Ev(2, t(200), 1, "click", 2.0))
+      b.addData(Ev(3, t(20), 2, "view", 3.0), Ev(4, t(30), 2, "view", 4.0))
+      q.processAllAvailable()
+      assert(spark.table("t_union_wm").isEmpty,
+             "hour 0 finalized while source B's watermark was still inside it")
+      // B catches up past hour 0 + watermark; now hour 0 emits from BOTH feeds.
+      b.addData(Ev(5, t(210), 2, "view", 5.0))
+      q.processAllAvailable()
+      val got = spark.table("t_union_wm")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(x => (x._1, x._2))
+      assert(got.toSeq == Seq((ws(0), "click", 1L, 1.0), (ws(0), "view", 2L, 7.0)))
+    } finally q.stop()
+  }
+
   test("chained windowed aggs emit each hour exactly once; late data stays dead") {
     // Hour 0 holds four events across three distinct 10-minute sub-windows
     // (0, 10, 20). Batch 2's far-future event pushes the watermark past the
