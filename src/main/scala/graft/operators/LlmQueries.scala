@@ -617,6 +617,62 @@ object LlmQueries {
         .orderBy("lang")
     },
 
+    // L40 — deterministic k-means over the embedding corpus
+    // (SimilarityOps.kmeansFp: fp-quantized vectors, exact integer
+    // distances, floor-division centroid means, 2 Lloyd rounds from the
+    // k-smallest-id seeds) — the clustering stage of SemDeDup-style
+    // curation and IVF/PQ quantizer training, made exactly reproducible
+    // so it can be HASH-GATED (floating k-means converges
+    // engine/partitioning-specifically; this one converges identically
+    // anywhere, including in DuckDB's replay). Output: per-cluster
+    // membership count, the exact fp sum of dim 0 over members, and the
+    // final centroid's dim-0 value — empty clusters survive with n=0.
+    "l40_kmeans" -> { (s, d) =>
+      import s.implicits._
+      val (fp, assign, cents) = SimilarityOps.kmeansFp(emb(s, d), 8, 2)
+      val centDf = cents.map { case (cid, c) => (cid, c.head) }
+        .toDF("cid", "centroid_fp0")
+      val stats = assign.join(fp, "vec_id")
+        .select(col("cid"), element_at(col("v"), 1).as("fp0"))
+        .groupBy("cid")
+        .agg(count(lit(1)).as("n_vecs"), sum(col("fp0")).as("sum_fp0"))
+      centDf.join(stats, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("n_vecs"), lit(0L)).as("n_vecs"),
+                coalesce(col("sum_fp0"), lit(0L)).as("sum_fp0"),
+                col("centroid_fp0"))
+        .orderBy("cid")
+    },
+
+    // L41 — SemDeDup-shaped cluster-scoped embedding dedup (Abbas et al.
+    // 2023, public): k-means first, then exact cosine near-dup pairs
+    // ONLY WITHIN each cluster — the clustering bounds the pair space
+    // (corpus² → Σ cluster²; production picks k ~ √N so expected cluster
+    // width is √N and total pair work is ~linear·√N, vs l10's LSH route —
+    // two scale paths, one pairs contract). Members with a smaller-id
+    // in-cluster neighbor at cosine ≥ 0.9 are "dropped"; the gate
+    // accounts kept/dropped per cluster. The within-cluster join
+    // shuffles on cid, so pair generation parallelizes across clusters.
+    "l41_semdedup" -> { (s, d) =>
+      val e = emb(s, d)
+      val (_, assign, _) = SimilarityOps.kmeansFp(e, 8, 2)
+      val withC = e.join(assign, "vec_id")
+      val a = withC.select(col("cid"), col("vec_id").as("va"),
+                           col("embedding").as("ea"))
+      val b = withC.select(col("cid").as("cidb"), col("vec_id").as("vb"),
+                           col("embedding").as("eb"))
+      val dropped = a.join(b, col("cid") === col("cidb") && col("va") < col("vb"))
+        .filter(graft.functions.VectorFunctions.cosine(col("ea"), col("eb")) >= 0.9)
+        .select(col("cid"), col("vb")).distinct()
+      assign.groupBy("cid").agg(count(lit(1)).as("n_members"))
+        .join(dropped.groupBy("cid").agg(count(lit(1)).as("n_dropped")),
+              Seq("cid"), "left")
+        .select(col("cid"), col("n_members"),
+                coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+                (col("n_members") - coalesce(col("n_dropped"), lit(0L)))
+                  .as("n_kept"))
+        .orderBy("cid")
+    },
+
     // L38 — lexical diversity per language: type-token ratio and hapax
     // share, the corpus-health diagnostics (a repetitive/boilerplate
     // slice shows low TTR; a noisy one shows a hapax spike) standard in
@@ -838,6 +894,65 @@ object LlmQueries {
 
   private def duckCosine(a: String, b: String): String =
     s"ROUND(${duckDot(a, b)} / (sqrt(${duckNormSq(a)}) * sqrt(${duckNormSq(b)})), 4)"
+
+  /** The l40/l41 k-means replay: fp quantization, 2 Lloyd rounds from the
+    * k-smallest-id seeds, exact integer distances (list lambdas), floor-
+    * division means, (dist, cid) argmin windows — step-for-step the
+    * arithmetic of [[SimilarityOps.kmeansFp]]. `a3` is the final
+    * assignment, `c2` the final centroids.
+    */
+  private val duckKmeans: String =
+    """fp AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding,
+      |      x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS v
+      |  FROM embeddings),
+      |c0 AS (SELECT vec_id AS cid, v AS c FROM fp WHERE vec_id < 8),
+      |d1 AS (
+      |  SELECT f.vec_id, c.cid,
+      |    CAST(list_sum(list_transform(list_zip(f.v, c.c),
+      |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS dist
+      |  FROM fp f CROSS JOIN c0 c),
+      |a1 AS (SELECT vec_id, cid FROM (
+      |  SELECT vec_id, cid,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      |  FROM d1) WHERE rn = 1),
+      |u1 AS (
+      |  SELECT a.cid, d.i AS dim, CAST(SUM(f.v[d.i]) AS BIGINT) AS s, COUNT(*) AS n
+      |  FROM a1 a JOIN fp f USING (vec_id), range(1, 65) d(i)
+      |  GROUP BY 1, 2),
+      |c1 AS (
+      |  SELECT p.cid, COALESCE(u.c, p.c) AS c
+      |  FROM c0 p LEFT JOIN (
+      |    SELECT cid, list((s - ((s % n) + n) % n) // n ORDER BY dim) AS c
+      |    FROM u1 GROUP BY cid) u USING (cid)),
+      |d2 AS (
+      |  SELECT f.vec_id, c.cid,
+      |    CAST(list_sum(list_transform(list_zip(f.v, c.c),
+      |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS dist
+      |  FROM fp f CROSS JOIN c1 c),
+      |a2 AS (SELECT vec_id, cid FROM (
+      |  SELECT vec_id, cid,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      |  FROM d2) WHERE rn = 1),
+      |u2 AS (
+      |  SELECT a.cid, d.i AS dim, CAST(SUM(f.v[d.i]) AS BIGINT) AS s, COUNT(*) AS n
+      |  FROM a2 a JOIN fp f USING (vec_id), range(1, 65) d(i)
+      |  GROUP BY 1, 2),
+      |c2 AS (
+      |  SELECT p.cid, COALESCE(u.c, p.c) AS c
+      |  FROM c1 p LEFT JOIN (
+      |    SELECT cid, list((s - ((s % n) + n) % n) // n ORDER BY dim) AS c
+      |    FROM u2 GROUP BY cid) u USING (cid)),
+      |d3 AS (
+      |  SELECT f.vec_id, c.cid,
+      |    CAST(list_sum(list_transform(list_zip(f.v, c.c),
+      |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS dist
+      |  FROM fp f CROSS JOIN c2 c),
+      |a3 AS (SELECT vec_id, cid FROM (
+      |  SELECT vec_id, cid,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      |  FROM d3) WHERE rn = 1)""".stripMargin
 
   /** Shingle/token expansion shared by the L2/L3/L7 oracles. */
   private val duckShingles =
@@ -1709,6 +1824,34 @@ object LlmQueries {
         |       CAST(SUM(dist) AS BIGINT) AS sum_dist,
         |       CAST(COUNT(*) FILTER (WHERE dist <= 16) AS BIGINT) AS n_close
         |FROM dd GROUP BY 1 ORDER BY 1""".stripMargin,
+    "l40_kmeans" ->
+      s"""WITH $duckKmeans
+        |SELECT c2.cid, CAST(COUNT(a3.vec_id) AS BIGINT) AS n_vecs,
+        |  CAST(COALESCE(SUM(f.v[1]), 0) AS BIGINT) AS sum_fp0,
+        |  c2.c[1] AS centroid_fp0
+        |FROM c2
+        |LEFT JOIN a3 ON a3.cid = c2.cid
+        |LEFT JOIN fp f ON f.vec_id = a3.vec_id
+        |GROUP BY c2.cid, c2.c[1] ORDER BY c2.cid""".stripMargin,
+
+    "l41_semdedup" ->
+      s"""WITH $duckKmeans,
+        |e AS (SELECT vec_id,
+        |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS a
+        |      FROM embeddings),
+        |mem AS (SELECT a3.cid, a3.vec_id, e.a
+        |        FROM a3 JOIN e USING (vec_id)),
+        |drp AS (SELECT DISTINCT x.cid, y.vec_id
+        |        FROM mem x JOIN mem y
+        |          ON x.cid = y.cid AND x.vec_id < y.vec_id
+        |        WHERE ${duckCosine("x.a", "y.a")} >= 0.9),
+        |m AS (SELECT cid, COUNT(*) AS n_members FROM mem GROUP BY 1),
+        |dd AS (SELECT cid, COUNT(*) AS n_dropped FROM drp GROUP BY 1)
+        |SELECT m.cid, CAST(m.n_members AS BIGINT) AS n_members,
+        |  CAST(COALESCE(dd.n_dropped, 0) AS BIGINT) AS n_dropped,
+        |  CAST(m.n_members - COALESCE(dd.n_dropped, 0) AS BIGINT) AS n_kept
+        |FROM m LEFT JOIN dd USING (cid) ORDER BY m.cid""".stripMargin,
+
     "l38_lexical_diversity" ->
       s"""WITH toks AS (
         |  SELECT lang,

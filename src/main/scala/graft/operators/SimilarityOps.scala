@@ -293,4 +293,74 @@ object SimilarityOps {
       .filter(col("vrn") === 1)
       .select(col("query_id"), col("label").as("pred_label"), col("votes"))
   }
+
+  /** Deterministic fixed-point Lloyd k-means over the embedding corpus —
+    * the clustering primitive of corpus curation (SemDeDup's cluster
+    * stage, IVF/PQ coarse-quantizer training, topic balancing). Floating
+    * k-means converges engine- and partitioning-specifically (the reason
+    * [[ivfTopK]]/[[pqTopK]] use donor-subset centroids); this one is
+    * exactly reproducible anywhere:
+    *  - vectors quantize to fp = ⌊x·2^20⌋ LONGs (float→double is exact,
+    *    ·2^20 is an exponent shift, floor is deterministic — both engines
+    *    produce identical integers);
+    *  - assignment is argmin of the EXACT integer squared L2 distance
+    *    (≤ 64·(2·2^20·max|x|)² « 2^63), ties to the smallest cid;
+    *  - the update is an exact floor-division mean per dimension
+    *    ([[graft.Q.intDiv]]); an emptied cluster keeps its previous
+    *    centroid.
+    * Execution shape at 100 TB: centroids are k·dim values — bounded by
+    * ALGORITHM parameters, not data — so they ride the driver/broadcast
+    * path by design (the canonical distributed-k-means loop: broadcast
+    * centroids down, aggregate k·dim partial sums up per round); the
+    * assignment pass is one broadcast crossJoin + codegen'd lambda fold
+    * per vector, linear in the corpus, and the update shuffles k·dim
+    * partial-sum rows per task.
+    *
+    * Returns (fp corpus, final assignment `(vec_id, cid)`, final
+    * centroids) — assignment and fp are localCheckpoint'd: both feed
+    * multiple downstream references (l40's stats, l41's pair join), and
+    * the assignment's lineage otherwise re-runs `iters` crossJoin rounds
+    * per reference.
+    */
+  def kmeansFp(corpus: DataFrame, k: Int, iters: Int)
+      : (DataFrame, DataFrame, Seq[(Long, Seq[Long])]) = {
+    val s = corpus.sparkSession
+    import s.implicits._
+    val fp = corpus.select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * lit(1048576L)).cast("long")).as("v"))
+      .localCheckpoint(true)
+    // Seed centroids: the k smallest vec_ids' vectors — deterministic and
+    // engine-replayable (vs. k-means++'s RNG).
+    var cents: Seq[(Long, Seq[Long])] = fp.filter(col("vec_id") < k)
+      .orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toSeq
+    require(cents.size == k, s"expected $k seed vectors, got ${cents.size}")
+
+    def assign(): DataFrame = {
+      val centDf = cents.toDF("cid", "c")
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("dist").asc, col("cid").asc)
+      fp.crossJoin(broadcast(centDf))
+        .select(col("vec_id"), col("cid"),
+          aggregate(zip_with(col("v"), col("c"), (a, b) => (a - b) * (a - b)),
+                    lit(0L), (acc, x) => acc + x).as("dist"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("vec_id", "cid")
+    }
+
+    for (_ <- 1 to iters) {
+      // k·dim rows per round — algorithm-parameter-bounded driver traffic.
+      val upd = assign().join(fp, "vec_id")
+        .select(col("cid"), posexplode(col("v")))
+        .toDF("cid", "dim", "x")
+        .groupBy(col("cid"), col("dim"))
+        .agg(graft.Q.intDiv(sum(col("x")), count(lit(1))).as("m"))
+        .collect().groupBy(_.getLong(0))
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
+      cents = cents.map { case (cid, prev) => cid -> upd.getOrElse(cid, prev) }
+    }
+    (fp, assign().localCheckpoint(true), cents)
+  }
 }

@@ -496,4 +496,49 @@ class LlmSpec extends SparkSpec {
       meta.first_byte == 'h'.toInt && meta.width == 6 &&
       meta.height == ('h'.toInt & 0x7f) + 1 && meta.ok)
   }
+
+  test("l40 kmeansFp is partitioning-invariant and assigns each vector to its nearest centroid") {
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val (fp, a1, c1) = SimilarityOps.kmeansFp(e, 8, 2)
+    // Same corpus scrambled across a different partitioning: exact integer
+    // arithmetic must converge to IDENTICAL centroids and assignment —
+    // the property floating k-means lacks and the hash gate depends on.
+    val (_, a2, c2) = SimilarityOps.kmeansFp(e.repartition(7), 8, 2)
+    assert(c1 == c2, "centroids depend on partitioning")
+    assert(a1.orderBy("vec_id").collect().toSeq ==
+           a2.orderBy("vec_id").collect().toSeq, "assignment depends on partitioning")
+    // Driver re-derivation: the assigned cid minimizes the exact integer
+    // squared L2 distance with the declared (dist, cid) tie-break.
+    val cents = c1.toMap
+    fp.join(a1, "vec_id").collect().foreach { r =>
+      val v = r.getSeq[Long](1)
+      val got = r.getLong(2)
+      val best = cents.map { case (cid, c) =>
+        (v.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum, cid)
+      }.min._2
+      assert(got == best, s"vec ${r.getLong(0)} assigned $got, nearest is $best")
+    }
+  }
+
+  test("l41 semdedup drops exactly the higher-id member of every in-cluster cosine pair") {
+    val dir = "/root/testdata/sf0.001"
+    val e = Tables.load(spark, dir, "embeddings")
+    val (_, assign, _) = SimilarityOps.kmeansFp(e, 8, 2)
+    val cid = assign.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Quadratic in-Spark oracle: ALL cosine pairs, then restrict to
+    // same-cluster — the dropped set must match the gate's accounting.
+    val pairs = SimilarityOps.cosinePairs(e, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val droppedByCluster = pairs.filter { case (a, b) => cid(a) == cid(b) }
+      .map { case (_, b) => (cid(b), b) }.distinct
+      .groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val got = graft.operators.LlmQueries.queries("l41_semdedup")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+    got.foreach { case (c, (members, dropped, kept)) =>
+      assert(dropped == droppedByCluster.getOrElse(c, 0L),
+             s"cluster $c dropped=$dropped expected ${droppedByCluster.getOrElse(c, 0L)}")
+      assert(kept == members - dropped)
+    }
+    assert(got.map(_._2._1).sum == cid.size, "membership must partition the corpus")
+  }
 }

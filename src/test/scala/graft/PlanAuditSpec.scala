@@ -146,7 +146,12 @@ class PlanAuditSpec extends SparkSpec {
     // projection and window chain stay codegen'd, filter pushed.
     "sql22_window_clause" -> Set("WholeStageCodegen", "PushedFilters"),
     // Recursive discovery feeds an ordinary vectorized parquet scan.
-    "io21_glob_discovery" -> Set("WholeStageCodegen"))
+    "io21_glob_discovery" -> Set("WholeStageCodegen"),
+    // The centroid frame must BROADCAST into the assignment crossJoin
+    // (k·dim values — algorithm-bounded); the fold stays codegen'd.
+    "l40_kmeans" -> Set("WholeStageCodegen", "BroadcastHashJoin"),
+    // Within-cluster pair join shuffles on cid — codegen'd, no cartesian.
+    "l41_semdedup" -> Set("WholeStageCodegen"))
 
   test("every audited gated query is cartesian-free with its required plan features") {
     // Keep the spec's coverage locked to the audit's default set — adding a
