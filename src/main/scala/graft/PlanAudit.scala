@@ -44,7 +44,8 @@ object PlanAudit {
     "r34_corr_regr", "r35_nth_value", "l37_edit_distance",
     "l38_lexical_diversity", "l39_vocab_overlap", "io20_csv_multiline",
     "m14_matrix_cos", "r36_histogram", "sql22_window_clause",
-    "io21_glob_discovery", "l40_kmeans", "l41_semdedup")
+    "io21_glob_discovery", "l40_kmeans", "l41_semdedup",
+    "l42_clipped_precision")
 
   /** Execute `df` (noop traversal — AQE's final plan only exists after
     * execution) and compute the anti-pattern flags from the executed plan.

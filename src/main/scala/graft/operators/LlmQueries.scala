@@ -617,6 +617,35 @@ object LlmQueries {
         .orderBy("lang")
     },
 
+    // L42 — clipped n-gram precision (the BLEU-1 primitive, Papineni et
+    // al. 2002): each doc scored against its language's canonical doc by
+    // MULTISET overlap — Σ_t min(c_doc(t), c_ref(t)) / |doc tokens| —
+    // the count-clipping that distinguishes the eval-metric family from
+    // l39's set algebra (a doc repeating one reference word 100× gets
+    // set-coverage 1.0 but clipped precision c_ref/100). Reference
+    // counts are one doc's vocabulary per language — a broadcast dim at
+    // any corpus size; the heavy side is one (doc, token) hash aggregate.
+    "l42_clipped_precision" -> { (s, d) =>
+      val toks = docs(s, d).select(col("doc_id"), col("lang"),
+          explode(TextFunctions.tokens("text")).as("token"))
+        .groupBy(col("doc_id"), col("lang"), col("token"))
+        .agg(count(lit(1)).as("c"))
+      val canon = docs(s, d).groupBy(col("lang")).agg(min(col("doc_id")).as("cid"))
+      val ref = toks.join(canon, toks("doc_id") === canon("cid") &&
+                                 toks("lang") === canon("lang"))
+        .select(toks("lang"), col("token"), col("c").as("cref"))
+      toks.join(broadcast(ref), Seq("lang", "token"), "left")
+        .select(col("doc_id"), col("lang"), col("c"),
+                least(col("c"), coalesce(col("cref"), lit(0L))).as("clipped"))
+        .groupBy(col("lang"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+             sum(col("clipped")).as("sum_clipped"),
+             sum(col("c")).as("sum_tokens"),
+             graft.Q.round4Ratio(sum(col("clipped")), sum(col("c")))
+               .as("avg_precision"))
+        .orderBy("lang")
+    },
+
     // L40 — deterministic k-means over the embedding corpus
     // (SimilarityOps.kmeansFp: fp-quantized vectors, exact integer
     // distances, floor-division centroid means, 2 Lloyd rounds from the
@@ -1824,6 +1853,28 @@ object LlmQueries {
         |       CAST(SUM(dist) AS BIGINT) AS sum_dist,
         |       CAST(COUNT(*) FILTER (WHERE dist <= 16) AS BIGINT) AS n_close
         |FROM dd GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Multiset clipping replayed relationally: per-(doc, token) counts
+    // LEFT-joined to the canonical doc's counts, min() per row.
+    "l42_clipped_precision" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_filter(string_split(text, ' '), t -> t != '')) AS token
+        |  FROM documents),
+        |tc AS (SELECT doc_id, lang, token, COUNT(*) AS c
+        |       FROM toks GROUP BY 1, 2, 3),
+        |cn AS (SELECT lang, MIN(doc_id) AS cid FROM documents GROUP BY 1),
+        |ref AS (SELECT tc.lang, tc.token, tc.c AS cref
+        |        FROM tc JOIN cn ON tc.doc_id = cn.cid AND tc.lang = cn.lang),
+        |cl AS (SELECT tc.doc_id, tc.lang, tc.c,
+        |         least(tc.c, COALESCE(ref.cref, 0)) AS clipped
+        |       FROM tc LEFT JOIN ref
+        |         ON ref.lang = tc.lang AND ref.token = tc.token)
+        |SELECT lang, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(SUM(clipped) AS BIGINT) AS sum_clipped,
+        |  CAST(SUM(c) AS BIGINT) AS sum_tokens,
+        |  ${graft.Q.duckRound4Ratio("SUM(clipped)", "SUM(c)")} AS avg_precision
+        |FROM cl GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "l40_kmeans" ->
       s"""WITH $duckKmeans
         |SELECT c2.cid, CAST(COUNT(a3.vec_id) AS BIGINT) AS n_vecs,

@@ -151,7 +151,9 @@ class PlanAuditSpec extends SparkSpec {
     // (k·dim values — algorithm-bounded); the fold stays codegen'd.
     "l40_kmeans" -> Set("WholeStageCodegen", "BroadcastHashJoin"),
     // Within-cluster pair join shuffles on cid — codegen'd, no cartesian.
-    "l41_semdedup" -> Set("WholeStageCodegen"))
+    "l41_semdedup" -> Set("WholeStageCodegen"),
+    // The reference-vocabulary dim must BROADCAST onto the doc counts.
+    "l42_clipped_precision" -> Set("WholeStageCodegen", "BroadcastHashJoin"))
 
   test("every audited gated query is cartesian-free with its required plan features") {
     // Keep the spec's coverage locked to the audit's default set — adding a
