@@ -646,6 +646,55 @@ object LlmQueries {
         .orderBy("lang")
     },
 
+    // L43 — INTRA-document repetition filter (the Gopher/MassiveText
+    // "repetition" quality gate, Rae et al. 2021 §A1.1): fraction of word
+    // trigram occurrences inside one document that are repeats of an
+    // earlier trigram in the SAME document. Complements l29/l35 (corpus-
+    // and window-level duplication) with the within-doc axis — degenerate
+    // boilerplate and keyboard-mash documents repeat themselves long
+    // before they collide with the rest of the corpus. Dataflow: the
+    // trigram explode is per-document (no cross-doc join at all), the
+    // (doc, gram) count is one hash aggregate keyed by doc — at 100 TB
+    // this is embarrassingly parallel, shuffle bounded by distinct grams
+    // per doc. Flag threshold: > 20% repeated occurrences (n_rep·5 >
+    // n_grams, integer-exact). Docs under 3 tokens have no trigrams and
+    // are excluded (both engines identically).
+    "l43_intra_doc_repetition" -> ((s, d) =>
+      TextAnalysis.intraDocRepetition(docs(s, d))),
+
+    // L44 — temperature-scaled mixture sampling (the multilingual/multi-
+    // source rebalancing rule of mBERT/XLM-R and every pretraining data
+    // recipe since: sample source s with probability ∝ n_s^α, α = 1/2).
+    // Where l21 applies HAND-PICKED per-stratum rates, l44 DERIVES them
+    // from the corpus itself: keep-rate_s = √(min_n / n_s), which
+    // down-samples over-represented languages toward the α-tempered
+    // distribution while keeping the rarest whole. Rates are computed on
+    // a per-lang count frame (5 rows), broadcast back onto the corpus —
+    // zero extra shuffle at any scale. Determinism: the rate is
+    // floor(1000·√(min/n)) — divide, sqrt, multiply are each IEEE
+    // correctly-rounded on both engines in the same order — and the
+    // per-doc keep decision reuses the l21 multiplicative-hash gate.
+    "l44_mixture_sample" -> { (s, d) =>
+      val counts = docs(s, d).groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_lang"))
+      val minN = counts.agg(min(col("n_lang")).as("min_n"))
+      val rates = counts.crossJoin(broadcast(minN))
+        .select(col("lang"),
+          floor(lit(1000.0) *
+            sqrt(col("min_n").cast("double") / col("n_lang").cast("double")))
+            .as("rate_permille"))
+      val h = (col("doc_id") % 999983L) * 2246822519L % 1000L
+      docs(s, d)
+        .join(broadcast(rates), Seq("lang"))
+        .withColumn("keep", h < col("rate_permille"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_total"),
+             min(col("rate_permille")).as("rate_permille"),
+             sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+             sum(when(col("keep"), col("n_chars"))).as("chars_kept"))
+        .orderBy("lang")
+    },
+
     // L40 — deterministic k-means over the embedding corpus
     // (SimilarityOps.kmeansFp: fp-quantized vectors, exact integer
     // distances, floor-division centroid means, 2 Lloyd rounds from the
@@ -1874,6 +1923,46 @@ object LlmQueries {
         |  CAST(SUM(c) AS BIGINT) AS sum_tokens,
         |  ${graft.Q.duckRound4Ratio("SUM(clipped)", "SUM(c)")} AS avg_precision
         |FROM cl GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "l43_intra_doc_repetition" ->
+      s"""WITH w AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split(text, ' '), t -> t != '') AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, source,
+        |    unnest(list_transform(range(1, len(ws) - 1),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gram
+        |  FROM w WHERE len(ws) >= 3),
+        |c AS (SELECT doc_id, source, gram, COUNT(*) AS cnt
+        |      FROM g GROUP BY 1, 2, 3),
+        |per AS (SELECT doc_id, source, SUM(cnt) AS n_grams,
+        |          SUM(cnt - 1) AS n_rep
+        |        FROM c GROUP BY 1, 2)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_grams) AS BIGINT) AS n_grams,
+        |  CAST(SUM(n_rep) AS BIGINT) AS n_rep,
+        |  ${graft.Q.duckRound4Ratio("SUM(n_rep)", "SUM(n_grams)")} AS rep_frac,
+        |  CAST(SUM(CASE WHEN n_rep * 5 > n_grams THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_flagged
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "l44_mixture_sample" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY 1),
+        |r AS (
+        |  SELECT lang,
+        |    CAST(FLOOR(1000.0 * SQRT(
+        |      CAST((SELECT MIN(n_lang) FROM c) AS DOUBLE) / n_lang))
+        |      AS BIGINT) AS rate_permille
+        |  FROM c),
+        |k AS (
+        |  SELECT d.lang, d.n_chars, r.rate_permille,
+        |    (d.doc_id % 999983) * 2246822519 % 1000 < r.rate_permille AS keep
+        |  FROM documents d JOIN r ON d.lang = r.lang)
+        |SELECT lang, COUNT(*) AS n_total, MIN(rate_permille) AS rate_permille,
+        |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN keep THEN n_chars END) AS BIGINT) AS chars_kept
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "l40_kmeans" ->
       s"""WITH $duckKmeans

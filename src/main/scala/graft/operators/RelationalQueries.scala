@@ -638,6 +638,72 @@ object RelationalQueries {
              min(col("cents")).as("min_cents"),
              max(col("cents")).as("max_cents"))
         .orderBy("bucket")
+    },
+
+    // R37 — inverse-distribution quartiles via ANSI `percentile_disc`
+    // (Spark's WITHIN GROUP surface): the discrete percentile RETURNS A
+    // VALUE PRESENT IN THE DATA (smallest v with cume_dist ≥ p), so unlike
+    // percentile_cont there is no interpolation arithmetic to disagree on —
+    // the gate exports exact 2-dec money values. The oracle does not trust
+    // DuckDB's quantile_disc indexing convention; it replays the ANSI
+    // definition literally (cume_dist window + MIN-over-threshold), so
+    // this gate pins Spark's implementation TO THE STANDARD, not to
+    // another engine's reading of it. At 100 TB: one sort-based aggregate
+    // per group — same shape as any exact-percentile job; the scale path
+    // is l13b's approx_percentile (declared there).
+    "r37_percentile_disc" -> { (s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice)")
+            .as("pd25"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)")
+            .as("pd50"),
+          expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY l_extendedprice)")
+            .as("pd75"),
+          count(lit(1)).as("n_rows"))
+        .select(col("l_returnflag"),
+                Q.dec2(col("pd25")).cast("double").as("p25"),
+                Q.dec2(col("pd50")).cast("double").as("p50"),
+                Q.dec2(col("pd75")).cast("double").as("p75"),
+                col("n_rows"))
+        .orderBy("l_returnflag")
+    },
+
+    // R38 — running DISTINCT count over a window, which Spark (like most
+    // engines) refuses natively (`COUNT(DISTINCT) OVER` is unsupported):
+    // the scalable emulation is first-occurrence flags (row_number = 1
+    // over (key, value)) summed over the running frame — O(1) state per
+    // row instead of a per-frame set, which is the ONLY shape that
+    // survives 100 TB windows (a set-per-frame materializes O(frame)
+    // memory per row). The gate reports, per returnflag, how deep into
+    // the shipdate-ordered stream one must read before every supplier has
+    // appeared (coverage saturation) — an incremental-ingest planning
+    // metric. Tie-safety: the order (shipdate, orderkey, linenumber) is a
+    // total order (PK suffix), so running sums are engine-independent.
+    "r38_running_distinct" -> { (s, d) =>
+      val order = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      val wOrd = Window.partitionBy(col("l_returnflag")).orderBy(order: _*)
+      val wFirst = Window.partitionBy(col("l_returnflag"), col("l_suppkey"))
+        .orderBy(order: _*)
+      val flagged = t(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_suppkey"), col("l_shipdate"),
+                col("l_orderkey"), col("l_linenumber"))
+        .withColumn("first_occ",
+          when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
+        .withColumn("rn", row_number().over(wOrd).cast("long"))
+        .withColumn("running_distinct",
+          sum(col("first_occ")).over(wOrd.rowsBetween(
+            Window.unboundedPreceding, Window.currentRow)))
+      flagged
+        .withColumn("n_supps",
+          max(col("running_distinct")).over(Window.partitionBy(col("l_returnflag"))))
+        .groupBy(col("l_returnflag"))
+        .agg(max(col("rn")).as("n_rows"),
+             max(col("n_supps")).as("n_supps"),
+             min(when(col("running_distinct") === col("n_supps"), col("rn")))
+               .as("saturation_row"))
+        .orderBy("l_returnflag")
     }
   )
 
@@ -958,6 +1024,47 @@ object RelationalQueries {
         |  COUNT(*) AS n_orders, CAST(SUM(cents) AS BIGINT) AS sum_cents,
         |  MIN(cents) AS min_cents, MAX(cents) AS max_cents
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    // ANSI definition replayed literally (NOT DuckDB's quantile_disc,
+    // whose indexing convention is its own): smallest value whose
+    // cume_dist reaches the fraction. cume_dist = rank/n is a correctly-
+    // rounded double on both engines and the thresholds 0.25/0.5/0.75 are
+    // exactly representable, so the comparison is engine-independent.
+    "r37_percentile_disc" ->
+      """WITH r AS (
+        |  SELECT l_returnflag, l_extendedprice AS v,
+        |         cume_dist() OVER (PARTITION BY l_returnflag
+        |                           ORDER BY l_extendedprice) AS cd
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |  CAST(CAST(MIN(CASE WHEN cd >= 0.25 THEN v END) AS DECIMAL(18,2)) AS DOUBLE) AS p25,
+        |  CAST(CAST(MIN(CASE WHEN cd >= 0.5  THEN v END) AS DECIMAL(18,2)) AS DOUBLE) AS p50,
+        |  CAST(CAST(MIN(CASE WHEN cd >= 0.75 THEN v END) AS DECIMAL(18,2)) AS DOUBLE) AS p75,
+        |  COUNT(*) AS n_rows
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    "r38_running_distinct" ->
+      """WITH f AS (
+        |  SELECT l_returnflag,
+        |    CASE WHEN row_number() OVER (PARTITION BY l_returnflag, l_suppkey
+        |           ORDER BY l_shipdate, l_orderkey, l_linenumber) = 1
+        |         THEN 1 ELSE 0 END AS first_occ,
+        |    row_number() OVER w AS rn
+        |  FROM lineitem
+        |  WINDOW w AS (PARTITION BY l_returnflag
+        |               ORDER BY l_shipdate, l_orderkey, l_linenumber)),
+        |r AS (
+        |  SELECT l_returnflag, rn,
+        |    SUM(first_occ) OVER (PARTITION BY l_returnflag ORDER BY rn
+        |                         ROWS UNBOUNDED PRECEDING) AS running_distinct
+        |  FROM f),
+        |m AS (
+        |  SELECT l_returnflag, rn, running_distinct,
+        |    MAX(running_distinct) OVER (PARTITION BY l_returnflag) AS n_supps
+        |  FROM r)
+        |SELECT l_returnflag, CAST(MAX(rn) AS BIGINT) AS n_rows,
+        |  CAST(MAX(n_supps) AS BIGINT) AS n_supps,
+        |  CAST(MIN(CASE WHEN running_distinct = n_supps THEN rn END) AS BIGINT)
+        |    AS saturation_row
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
     // The sketch estimate is engine-specific, so the oracle computes only
     // the deterministic half of the verdict row: the exact count, the
     // declared band, and the literal verdict the sketch must earn.

@@ -190,6 +190,40 @@ object SqlQueries {
     // (cents DESC, orderkey) order ⇒ deterministic running sums.
     "sql22_window_clause" -> ((s, d) => Engine.sql(s, d, WindowClauseSql)),
 
+    // SQL23 — gaps-and-islands sessionization in PURE batch SQL: the
+    // classic lag → break-flag → running-sum-of-breaks island id, here
+    // cutting each user's event stream at >10-minute silences. This is
+    // the BATCH twin of the streaming session gates (s3 window-based,
+    // s11/s13 state-based): same sessions, zero state machinery — two
+    // window passes and an aggregate, all shuffle-partitioned by user_id,
+    // so a 100 TB replay is N independent per-user sorted scans.
+    // Determinism: (ts, event_id) is a total order, durations are exact
+    // integer microseconds.
+    "sql23_gaps_islands" -> ((s, d) => Engine.sql(s, d,
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id,
+        |    unix_micros(ts) - LAG(unix_micros(ts)) OVER w AS gap_us
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |f AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN gap_us IS NULL OR gap_us > 600000000 THEN 1 ELSE 0 END
+        |      AS brk
+        |  FROM o),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM f),
+        |g AS (
+        |  SELECT user_id, sess, COUNT(*) AS n_events,
+        |    unix_micros(MAX(ts)) - unix_micros(MIN(ts)) AS dur_us
+        |  FROM s GROUP BY 1, 2)
+        |SELECT user_id, COUNT(*) AS n_sessions,
+        |  CAST(MAX(n_events) AS BIGINT) AS max_events,
+        |  CAST(SUM(dur_us) AS BIGINT) AS total_dur_us
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // SQL14 — named parameter markers: the statement is compiled with
     // `:status` / `:minprice` placeholders and the values bound at call
     // time (Spark 4 parameterized SQL) — the injection-safe templating
@@ -589,6 +623,30 @@ object SqlQueries {
 
     // Dialect-shared named WINDOW clause — identical statement.
     "sql22_window_clause" -> WindowClauseSql,
+    "sql23_gaps_islands" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id,
+        |    epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap_us
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |f AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN gap_us IS NULL OR gap_us > 600000000 THEN 1 ELSE 0 END
+        |      AS brk
+        |  FROM o),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM f),
+        |g AS (
+        |  SELECT user_id, sess, COUNT(*) AS n_events,
+        |    epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS dur_us
+        |  FROM s GROUP BY 1, 2)
+        |SELECT user_id, COUNT(*) AS n_sessions,
+        |  CAST(MAX(n_events) AS BIGINT) AS max_events,
+        |  CAST(SUM(dur_us) AS BIGINT) AS total_dur_us
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
     // Dialect-shared GROUP BY ALL — identical statement.
     "sql12_group_by_all" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,

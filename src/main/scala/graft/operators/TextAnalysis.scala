@@ -15,6 +15,33 @@ object TextAnalysis {
   /** Deterministic stopword set for the ratio feature. */
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to")
 
+  /** L43 core — per-source intra-document trigram repetition rollup (the
+    * Gopher within-doc repetition gate). Input needs (doc_id, source,
+    * text); docs with fewer than 3 tokens contribute no trigrams and drop
+    * out before the per-doc rollup. No cross-doc join anywhere: the
+    * explode is per-document and the (doc, gram) aggregate is one hash
+    * shuffle keyed by doc — embarrassingly parallel at any corpus size.
+    */
+  def intraDocRepetition(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("source"),
+              explode(graft.functions.TextFunctions.wordNgrams("text", 3))
+                .as("gram"))
+      .groupBy(col("doc_id"), col("source"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("cnt")).as("n_grams"),
+           sum(col("cnt") - 1).as("n_rep"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_grams")).as("n_grams"),
+           sum(col("n_rep")).as("n_rep"),
+           Q.round4Ratio(sum(col("n_rep")), sum(col("n_grams")))
+             .as("rep_frac"),
+           sum(when(col("n_rep") * 5 > col("n_grams"), 1L).otherwise(0L))
+             .as("n_flagged"))
+      .orderBy("source")
+
   /** Per-document quality features + composite flag:
     * n_tokens, total token chars, avg token length (ROUND 4, exact integer
     * formula), stopword ratio (ROUND 4), alpha-space purity ratio, and

@@ -161,4 +161,30 @@ class EngineSqlSpec extends SparkSpec {
       assert(n > 0)
     } finally spark.conf.set(key, "true")
   }
+
+  test("sql23 gaps-and-islands sessions match a brute-force per-user scan") {
+    val events = Tables.loadEvents(spark, sfDir)
+      .select("user_id", "ts", "event_id").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime * 1000 +
+                   r.getTimestamp(1).getNanos / 1000 % 1000, r.getLong(2)))
+    val expected = events.groupBy(_._1).map { case (u, es) =>
+      val ordered = es.sortBy(t => (t._2, t._3)).map(_._2)
+      val sessions = scala.collection.mutable.ArrayBuffer(
+        scala.collection.mutable.ArrayBuffer(ordered.head))
+      ordered.tail.foreach { ts =>
+        if (ts - sessions.last.last > 600000000L)
+          sessions += scala.collection.mutable.ArrayBuffer(ts)
+        else sessions.last += ts
+      }
+      u -> ((sessions.length.toLong, sessions.map(_.length).max.toLong,
+             sessions.map(s => s.last - s.head).sum))
+    }
+    val got = graft.operators.SqlQueries.queries("sql23_gaps_islands")(
+        spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == expected, s"first diff: ${
+      expected.collectFirst { case (u, e) if got.get(u) != Some(e) =>
+        (u, e, got.get(u)) }}")
+  }
 }

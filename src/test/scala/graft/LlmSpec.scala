@@ -541,4 +541,46 @@ class LlmSpec extends SparkSpec {
     }
     assert(got.map(_._2._1).sum == cid.size, "membership must partition the corpus")
   }
+
+  test("l43 intra-doc repetition: hand-computed trigram fractions on planted docs") {
+    // "a b c" × 3 → 7 trigrams: {abc:3, bca:2, cab:2} → n_rep = 2+1+1 = 4,
+    // rep_frac = round4(4/7), flagged (4·5 = 20 > 7). The clean doc has 2
+    // distinct trigrams (n_rep 0); the 2-token doc yields no trigrams and
+    // must drop out of n_docs entirely.
+    val planted = Seq(
+      (0L, "s1", "a b c a b c a b c"),
+      (1L, "s1", "one two three four"),
+      (2L, "s1", "x y"),
+      (3L, "s2", "p q r s")
+    ).toDF("doc_id", "source", "text")
+    val got = graft.operators.TextAnalysis.intraDocRepetition(planted)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getLong(5)))
+      .toMap
+    assert(got("s1") == ((2L, 9L, 4L, 0.4444, 1L)), s"s1 got ${got("s1")}")
+    assert(got("s2") == ((1L, 2L, 0L, 0.0, 0L)), s"s2 got ${got("s2")}")
+  }
+
+  test("l44 mixture sample: rates follow floor(1000·sqrt(min/n)) and the rarest lang keeps everything") {
+    val dir = "/root/testdata/sf0.001"
+    val counts = Tables.load(spark, dir, "documents")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val minN = counts.values.min
+    val got = graft.operators.LlmQueries.queries("l44_mixture_sample")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    counts.foreach { case (lang, n) =>
+      val expectRate = math.floor(1000.0 * math.sqrt(minN.toDouble / n.toDouble)).toLong
+      val (nTotal, rate, nKept) = got(lang)
+      assert(nTotal == n, s"$lang n_total")
+      assert(rate == expectRate, s"$lang rate=$rate expected $expectRate")
+      assert(nKept <= nTotal)
+      if (n == minN) assert(rate == 1000L, "rarest language must keep everything")
+    }
+    // Tempering is monotone: a more frequent language never keeps a
+    // HIGHER rate than a rarer one.
+    val byN = counts.toSeq.sortBy(_._2).map { case (l, _) => got(l)._2 }
+    assert(byN == byN.sorted.reverse, s"rates not monotone: $byN")
+  }
 }

@@ -165,4 +165,49 @@ class RelationalOpsSpec extends SparkSpec {
       s"$t.parquet" -> spark.read.parquet(s"$dir/$t.parquet").count()).toMap
     assert(got == expected)
   }
+
+  test("r37 percentile_disc picks the smallest value with cume_dist >= f (ANSI), planted groups") {
+    import spark.implicits._
+    // Group A n=4: cume_dist 0.25/0.5/0.75/1.0 lands EXACTLY on the
+    // thresholds — ANSI says >= takes the boundary value itself.
+    // Group B n=3: 1/3 < 0.5 < 2/3 → p25=1, p50=2, p75=3.
+    val planted = Seq(("A", 10.0), ("A", 20.0), ("A", 30.0), ("A", 40.0),
+                      ("B", 1.0), ("B", 2.0), ("B", 3.0)).toDF("g", "v")
+    val got = planted.groupBy($"g").agg(
+        org.apache.spark.sql.functions.expr(
+          "percentile_disc(0.25) WITHIN GROUP (ORDER BY v)").as("p25"),
+        org.apache.spark.sql.functions.expr(
+          "percentile_disc(0.5) WITHIN GROUP (ORDER BY v)").as("p50"),
+        org.apache.spark.sql.functions.expr(
+          "percentile_disc(0.75) WITHIN GROUP (ORDER BY v)").as("p75"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got("A") == ((10.0, 20.0, 30.0)), s"A got ${got("A")}")
+    assert(got("B") == ((1.0, 2.0, 3.0)), s"B got ${got("B")}")
+  }
+
+  test("r38 running-distinct emulation matches a brute-force prefix scan") {
+    val rows = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_returnflag", "l_suppkey", "l_shipdate", "l_orderkey",
+              "l_linenumber")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+                 r.get(2).toString, r.getLong(3), r.getInt(4)))
+    val expected = rows.groupBy(_._1).map { case (flag, rs) =>
+      val ordered = rs.sortBy(t => (t._3, t._4, t._5))
+      val seen = scala.collection.mutable.Set.empty[Long]
+      var saturation = -1L
+      ordered.zipWithIndex.foreach { case (t, i) =>
+        seen += t._2
+        if (saturation < 0 &&
+            seen.size == rs.map(_._2).distinct.length) saturation = i + 1L
+      }
+      flag -> ((ordered.length.toLong, seen.size.toLong, saturation))
+    }
+    val got = RelationalQueries.queries("r38_running_distinct")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == expected, s"got $got expected $expected")
+  }
 }
