@@ -61,6 +61,15 @@ object TextFunctions {
     * (acc < 2^20 and mult ≤ 43 keep the fold far from LONG overflow).
     */
   def tokenHash(tok: String, mult: Long = 31L): Column =
+    org.apache.spark.sql.functions.call_function("poly_token_hash",
+      expr(tok), org.apache.spark.sql.functions.lit(mult))
+
+  /** The HOF spelling of [[tokenHash]] — kept as the in-Spark oracle
+    * pinning the native [[PolyTokenHash]] codegen loop (Catalyst HOFs run
+    * their lambda interpreted per element, which is why the hot path
+    * moved to the native expression).
+    */
+  def tokenHashHof(tok: String, mult: Long = 31L): Column =
     expr(s"""aggregate(sequence(1, length($tok)), 0L,
              (acc, i) -> (acc * $mult + ascii(substring($tok, i, 1))) % 1000003)""")
 

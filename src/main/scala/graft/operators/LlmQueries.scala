@@ -662,6 +662,57 @@ object LlmQueries {
     "l43_intra_doc_repetition" -> ((s, d) =>
       TextAnalysis.intraDocRepetition(docs(s, d))),
 
+    // L45 — hashed-feature importance resampling (the DSIR shape, Xie et
+    // al. 2023): score every document by how much its token distribution
+    // resembles a TARGET subset relative to the raw corpus, then keep the
+    // top fifth per language. Where l44 rebalances BETWEEN strata by
+    // counts alone, l45 selects WITHIN them by content. Feature space is
+    // the l36 hashing trick (polynomial token hash mod 256 buckets —
+    // vocabulary-free, so the weight table is a FIXED 256 rows at any
+    // corpus size); per-bucket importance is the scaled frequency ratio
+    // w[b] = ⌊10⁴·(ct[b]·Nr)/(cr[b]·Nt)⌋ in exact DECIMAL-lifted integer
+    // arithmetic (DSIR's log-likelihood-ratio sum is replaced by a ratio
+    // sum: transcendental ln is not cross-engine-deterministic, and
+    // ranking only needs monotone per-bucket weights). Dataflow at 100
+    // TB: two bucket aggregates (256 groups), one broadcast of 256
+    // weights, one per-doc sum, one per-lang top-k window — no
+    // all-to-all anywhere. The target here is a deterministic seed
+    // subset (doc_id ≡ 0 mod 10) standing in for a curated corpus.
+    "l45_importance_resample" -> { (s, d) =>
+      val toks = docs(s, d)
+        .select(col("doc_id"), col("lang"),
+                explode(TextFunctions.tokens("text")).as("tok"))
+        .withColumn("b", TextFunctions.tokenHash("tok") % 256)
+      // One bucket aggregate carries BOTH distributions (corpus count +
+      // conditional target count) — one hash pass over the tokens, not two.
+      val bucketed = toks.groupBy(col("b"))
+        .agg(count(lit(1)).as("cr"),
+             sum(when(col("doc_id") % 10 === 0, 1L).otherwise(0L)).as("ct"))
+      val totals = bucketed.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
+      val weights = bucketed
+        .crossJoin(broadcast(totals))
+        .select(col("b"),
+          graft.Q.intDiv(col("ct") * col("nr") * 10000L,
+                         col("cr") * col("nt")).as("w"))
+      val scores = toks.join(broadcast(weights), "b")
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(sum(col("w")).as("score"))
+      val wl = Window.partitionBy(col("lang"))
+      val ranked = scores
+        .withColumn("rnk", row_number().over(
+          wl.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+        .withColumn("n_lang", count(lit(1)).over(wl))
+        .withColumn("kept",
+          col("rnk") <= greatest(lit(1L), graft.Q.intDiv(col("n_lang"), lit(5L))))
+      ranked.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_total"),
+             sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+             sum(when(col("kept"), col("score"))).as("sum_kept_score"),
+             max(col("score")).as("max_score"),
+             min(when(col("kept"), col("score"))).as("min_kept_score"))
+        .orderBy("lang")
+    },
+
     // L44 — temperature-scaled mixture sampling (the multilingual/multi-
     // source rebalancing rule of mBERT/XLM-R and every pretraining data
     // recipe since: sample source s with probability ∝ n_s^α, α = 1/2).
@@ -1946,6 +1997,46 @@ object LlmQueries {
         |  CAST(SUM(CASE WHEN n_rep * 5 > n_grams THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_flagged
         |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "l45_importance_resample" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_filter(string_split(text, ' '), t -> t != '')) AS tok
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, lang,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(range(1, length(tok) + 1),
+        |                       i -> CAST(ascii(substring(tok, i, 1)) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 1000003) % 256 AS b
+        |  FROM toks),
+        |corpus AS (SELECT b, COUNT(*) AS cr FROM h GROUP BY 1),
+        |target AS (SELECT b, COUNT(*) AS ct FROM h WHERE doc_id % 10 = 0
+        |           GROUP BY 1),
+        |tot AS (SELECT (SELECT SUM(cr) FROM corpus) AS nr,
+        |               (SELECT SUM(ct) FROM target) AS nt),
+        |wt AS (
+        |  SELECT c.b,
+        |    (CAST(COALESCE(t.ct, 0) AS HUGEINT) * nr * 10000)
+        |      // (CAST(c.cr AS HUGEINT) * nt) AS w
+        |  FROM corpus c LEFT JOIN target t ON c.b = t.b, tot),
+        |sc AS (SELECT h.doc_id, h.lang, CAST(SUM(w.w) AS BIGINT) AS score
+        |       FROM h JOIN wt w ON h.b = w.b GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT lang, doc_id, score,
+        |    row_number() OVER (PARTITION BY lang
+        |                       ORDER BY score DESC, doc_id ASC) AS rnk,
+        |    COUNT(*) OVER (PARTITION BY lang) AS n_lang
+        |  FROM sc),
+        |k AS (SELECT lang, score, rnk <= GREATEST(1, n_lang // 5) AS kept
+        |      FROM rk)
+        |SELECT lang, COUNT(*) AS n_total,
+        |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN kept THEN score END) AS BIGINT) AS sum_kept_score,
+        |  CAST(MAX(score) AS BIGINT) AS max_score,
+        |  CAST(MIN(CASE WHEN kept THEN score END) AS BIGINT) AS min_kept_score
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "l44_mixture_sample" ->
       """WITH c AS (SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY 1),

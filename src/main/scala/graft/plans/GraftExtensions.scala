@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{NfcNormalize, RollingMinHash, SortedIntersectCount, SrpBands, VecDot, WordNgramsGen, ZOrder2}
+import graft.functions.{NfcNormalize, PolyTokenHash, RollingMinHash, SortedIntersectCount, SrpBands, VecDot, WordNgramsGen, ZOrder2}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -70,6 +70,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"word_ngrams width must be an INT literal, got $other")
         }
         WordNgramsGen(children(0), n)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("poly_token_hash"),
+      new ExpressionInfo(classOf[PolyTokenHash].getName, "poly_token_hash"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "poly_token_hash expects exactly 2 arguments")
+        PolyTokenHash(children(0), children(1))
       }))
     ext.injectFunction((
       new FunctionIdentifier("srp_bands"),

@@ -542,6 +542,21 @@ class LlmSpec extends SparkSpec {
     assert(got.map(_._2._1).sum == cid.size, "membership must partition the corpus")
   }
 
+  test("poly_token_hash native codegen equals the HOF spelling, incl. non-ASCII") {
+    val toks = Seq("the", "a", "spark", "partition", "",
+                   "café", "中文token", "mixedßchars",
+                   "😀emoji")  // astral: codePoint iteration
+      .toDF("tok")
+    Seq(31L, 37L, 43L).foreach { m =>
+      val rows = toks.select(
+          TextFunctions.tokenHash("tok", m).as("native"),
+          TextFunctions.tokenHashHof("tok", m).as("hof"))
+        .collect()
+      rows.foreach(r => assert(r.getLong(0) == r.getLong(1),
+        s"mult $m: native ${r.getLong(0)} != hof ${r.getLong(1)}"))
+    }
+  }
+
   test("l43 intra-doc repetition: hand-computed trigram fractions on planted docs") {
     // "a b c" × 3 → 7 trigrams: {abc:3, bca:2, cab:2} → n_rep = 2+1+1 = 4,
     // rep_frac = round4(4/7), flagged (4·5 = 20 > 7). The clean doc has 2
