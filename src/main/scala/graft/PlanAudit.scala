@@ -45,7 +45,9 @@ object PlanAudit {
     "l38_lexical_diversity", "l39_vocab_overlap", "io20_csv_multiline",
     "m14_matrix_cos", "r36_histogram", "sql22_window_clause",
     "io21_glob_discovery", "l40_kmeans", "l41_semdedup",
-    "l42_clipped_precision")
+    "l42_clipped_precision",
+    "r37_percentile_disc", "r38_running_distinct", "sql23_gaps_islands",
+    "l43_intra_doc_repetition", "l44_mixture_sample", "l45_importance_resample")
 
   /** Execute `df` (noop traversal — AQE's final plan only exists after
     * execution) and compute the anti-pattern flags from the executed plan.

@@ -153,7 +153,19 @@ class PlanAuditSpec extends SparkSpec {
     // Within-cluster pair join shuffles on cid — codegen'd, no cartesian.
     "l41_semdedup" -> Set("WholeStageCodegen"),
     // The reference-vocabulary dim must BROADCAST onto the doc counts.
-    "l42_clipped_precision" -> Set("WholeStageCodegen", "BroadcastHashJoin"))
+    "l42_clipped_precision" -> Set("WholeStageCodegen", "BroadcastHashJoin"),
+    // One sort-based aggregate per group; scan + project stay codegen'd.
+    "r37_percentile_disc" -> Set("WholeStageCodegen"),
+    // Window chains (first-occurrence flag + running sum) — codegen'd
+    // projections between the Window nodes, no per-frame set state.
+    "r38_running_distinct" -> Set("WholeStageCodegen"),
+    "sql23_gaps_islands" -> Set("WholeStageCodegen"),
+    // Per-document generator + two hash aggregates — no cross-doc join.
+    "l43_intra_doc_repetition" -> Set("WholeStageCodegen"),
+    // The derived 5-row rate dim must BROADCAST onto the corpus.
+    "l44_mixture_sample" -> Set("WholeStageCodegen", "BroadcastHashJoin"),
+    // The 256-row weight table must BROADCAST into the scoring join.
+    "l45_importance_resample" -> Set("WholeStageCodegen", "BroadcastHashJoin"))
 
   test("every audited gated query is cartesian-free with its required plan features") {
     // Keep the spec's coverage locked to the audit's default set — adding a
