@@ -30,10 +30,21 @@ object ScaleProbe {
 
   // Min of 3 runs: the host has multi-minute CPU-starvation episodes
   // (see Bench scaladoc) that would otherwise fake superlinear scaling.
+  // A rep that dies (the 8x l2 rung once exhausted the host's ~80 GB of
+  // spill headroom) marks the op NaN — printed as a DNF — instead of
+  // killing the whole probe: the remaining ops' scaling columns are
+  // still the evidence the probe exists to produce.
   private def time[A](f: => A): Double =
-    (1 to 3).map { _ =>
-      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-    }.min
+    try
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }.min
+    catch {
+      case t: Throwable =>
+        System.err.println(s"[probe] op failed: ${t.getClass.getSimpleName}: " +
+          s"${String.valueOf(t.getMessage).take(200)}")
+        Double.NaN
+    }
 
   private def sink(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
