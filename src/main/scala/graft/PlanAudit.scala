@@ -47,7 +47,8 @@ object PlanAudit {
     "io21_glob_discovery", "l40_kmeans", "l41_semdedup",
     "l42_clipped_precision",
     "r37_percentile_disc", "r38_running_distinct", "sql23_gaps_islands",
-    "l43_intra_doc_repetition", "l44_mixture_sample", "l45_importance_resample")
+    "l43_intra_doc_repetition", "l44_mixture_sample", "l45_importance_resample",
+    "io22_rowgroup_stats")
 
   /** Execute `df` (noop traversal — AQE's final plan only exists after
     * execution) and compute the anti-pattern flags from the executed plan.

@@ -27,6 +27,24 @@ object IoQueries {
     s"${System.getProperty("java.io.tmpdir")}/graft-io/$kind-$tag"
   }
 
+  /** io22's layout write, shared with `LayoutSpec`'s footer assertions:
+    * date-sorted orders, one output file, `parquet.block.size` forced
+    * far below the 128 MB default (8 KB) so the file splits into many row groups
+    * with tight per-group date stats. Returns the scratch path.
+    */
+  def writeRowGrouped(s: SparkSession, d: String): String = {
+    val path = scratch("rowgroup", d)
+    Tables.load(s, d, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"),
+              (Q.dec2(col("o_totalprice")) * 100).cast("long").as("cents"))
+      .repartition(1)
+      .sortWithinPartitions("o_orderdate", "o_orderkey")
+      .write.mode("overwrite")
+      .option("parquet.block.size", 8 * 1024)
+      .parquet(path)
+    path
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // IO1 — CSV sink → CSV source (header, explicit schema) → aggregate.
@@ -262,6 +280,30 @@ object IoQueries {
     // its leading column). The hashed contract: the rewrite is lossless
     // and the z-values match the oracle's bit-for-bit; the locality
     // property itself is asserted in LayoutSpec.
+    // IO22 — row-group-sized SORTED layout, the parquet scan-skipping
+    // knob underneath io12's z-order (which places related rows in the
+    // same FILES; this places them in the same ROW GROUPS): orders sorted
+    // by date written with a deliberately small `parquet.block.size`, so
+    // each file holds many row groups whose date min/max footer stats are
+    // tight and non-overlapping — a range predicate then skips whole row
+    // groups at scan time (the vectorized reader evaluates pushed filters
+    // against footer stats before decoding a single page). At 100 TB the
+    // block size is THE lever trading scan granularity against metadata
+    // volume; `LayoutSpec` opens the written footers with parquet-hadoop
+    // and asserts the multi-row-group shape + tight stats + the pushed
+    // scan filter. The gate's own output pins value-neutrality: the
+    // monthly rollup through the layout must equal the direct aggregate.
+    "io22_rowgroup_stats" -> { (s, d) =>
+      val path = writeRowGrouped(s, d)
+      s.read.parquet(path)
+        .filter(col("o_orderdate") >= "1996-01-01" &&
+                col("o_orderdate") < "1997-01-01")
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("n_orders"),
+             sum(col("cents")).as("sum_cents"))
+        .orderBy("month")
+    },
+
     "io12_zorder_layout" -> { (s, d) =>
       val path = scratch("zorder", d)
       Tables.load(s, d, "lineitem")
@@ -663,6 +705,17 @@ object IoQueries {
         |  sha256(text) AS sha
         |FROM documents WHERE doc_id < 20 ORDER BY doc_id""".stripMargin,
     // Replays the Morton interleave as a 21-term bit-spread sum.
+    // The layout roundtrip is value-neutral: the oracle aggregates the
+    // source table directly with the same range predicate.
+    "io22_rowgroup_stats" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS sum_cents
+        |FROM orders
+        |WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "io12_zorder_layout" ->
       """WITH z AS (
         |  SELECT l_partkey, CAST(l_quantity AS DECIMAL(18,2)) AS qty,

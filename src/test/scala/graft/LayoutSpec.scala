@@ -233,4 +233,46 @@ class LayoutSpec extends SparkSpec {
         s"file box ($x0..$x1, $y0..$y1) spans both axes fully")
     }
   }
+
+  test("io22: sorted small-block layout yields many row groups with tight, ordered date stats") {
+    val path = IoQueries.writeRowGrouped(spark, dir)
+    val file = new java.io.File(path).listFiles
+      .filter(_.getName.endsWith(".parquet")).head
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file.getAbsolutePath),
+        spark.sparkContext.hadoopConfiguration))
+    try {
+      val blocks = reader.getFooter.getBlocks
+      assert(blocks.size >= 3,
+        s"expected many row groups from the 8 KB block size, got ${blocks.size}")
+      // Per-row-group o_orderdate stats (INT64 micros — the fixture ships
+      // dates as timestamps) must exist and, on a
+      // sorted single file, be NON-OVERLAPPING across groups — that is
+      // exactly the property that lets the reader skip whole groups on a
+      // date range predicate.
+      import scala.jdk.CollectionConverters._
+      val ranges = (0 until blocks.size).map { i =>
+        val colMeta = blocks.get(i).getColumns.asScala
+          .find(_.getPath.toDotString == "o_orderdate").get
+        val st = colMeta.getStatistics
+        assert(st != null && st.hasNonNullValue, s"row group $i lacks date stats")
+        (st.genericGetMin.asInstanceOf[Number].longValue,
+         st.genericGetMax.asInstanceOf[Number].longValue)
+      }
+      ranges.foreach { case (lo, hi) => assert(lo <= hi) }
+      (1 until ranges.length).foreach { i =>
+        assert(ranges(i - 1)._2 <= ranges(i)._1,
+          s"row-group date ranges overlap: $ranges — sort order broken")
+      }
+    } finally reader.close()
+    // The range predicate must reach the parquet scan as a pushed filter.
+    val df = IoQueries.queries("io22_rowgroup_stats")(spark, dir)
+    df.queryExecution.toRdd.foreach(_ => ())
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("PushedFilters: [") &&
+           plan.contains("o_orderdate"),
+      "date range filter not pushed to the row-grouped scan")
+  }
 }

@@ -165,7 +165,10 @@ class PlanAuditSpec extends SparkSpec {
     // The derived 5-row rate dim must BROADCAST onto the corpus.
     "l44_mixture_sample" -> Set("WholeStageCodegen", "BroadcastHashJoin"),
     // The 256-row weight table must BROADCAST into the scoring join.
-    "l45_importance_resample" -> Set("WholeStageCodegen", "BroadcastHashJoin"))
+    "l45_importance_resample" -> Set("WholeStageCodegen", "BroadcastHashJoin"),
+    // The date range must reach the row-grouped scan as a pushed filter
+    // (the footer-stat skipping LayoutSpec proves needs it there).
+    "io22_rowgroup_stats" -> Set("PushedFilters", "WholeStageCodegen"))
 
   test("every audited gated query is cartesian-free with its required plan features") {
     // Keep the spec's coverage locked to the audit's default set — adding a
