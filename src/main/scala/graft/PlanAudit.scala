@@ -48,7 +48,8 @@ object PlanAudit {
     "l42_clipped_precision",
     "r37_percentile_disc", "r38_running_distinct", "sql23_gaps_islands",
     "l43_intra_doc_repetition", "l44_mixture_sample", "l45_importance_resample",
-    "io22_rowgroup_stats")
+    "io22_rowgroup_stats", "l46_perplexity_buckets", "l47_collocation_lift",
+    "r39_trailing_window")
 
   /** Execute `df` (noop traversal — AQE's final plan only exists after
     * execution) and compute the anti-pattern flags from the executed plan.

@@ -24,7 +24,11 @@ import org.apache.spark.sql.functions._
   * drop below threshold instead of staying 1.0 — plain rescaling is
   * invisible to cosine and to sign-random projections).
   *
-  * Usage: `sbt "runMain graft.ScaleProbe [sfDir] [maxMultiple]"`.
+  * Usage: `sbt "runMain graft.ScaleProbe [sfDir] [maxMultiple] [onlyOps]
+  * [shufflePartitions]"` — `onlyOps` is a comma-separated op-name filter
+  * and `shufflePartitions` overrides the session's pinned 32 (the knob a
+  * real cluster scales with data volume; used to re-probe an op whose
+  * per-task memory ceiling a larger multiple crossed).
   */
 object ScaleProbe {
 
@@ -79,49 +83,61 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val maxX = if (args.length > 1) args(1).toInt else 4
-    val spark = Engine.local()
+    val only: Set[String] =
+      if (args.length > 2 && args(2).nonEmpty && args(2) != "all")
+        args(2).split(",").map(_.trim).toSet
+      else Set.empty
+    val spark =
+      if (args.length > 3) Engine.local(shufflePartitions = args(3).toInt)
+      else Engine.local()
+    def on(op: String): Boolean = only.isEmpty || only(op)
     spark.sparkContext.setLogLevel("ERROR")
     val docs = Tables.load(spark, sfDir, "documents")
     val emb = Tables.load(spark, sfDir, "embeddings")
 
     // Warm-up: JIT/codegen one-time costs out of the timings.
-    sink(DedupOps.prefixJaccardPairs(docsX(docs, 1), 0.8))
-    sink(SimilarityOps.cosinePairsLsh(embX(emb, 1), 0.9))
+    if (on("l2_prefix_jaccard") || on("l25_containment"))
+      sink(DedupOps.prefixJaccardPairs(docsX(docs, 1), 0.8))
+    if (on("l10_srp_lsh_pairs"))
+      sink(SimilarityOps.cosinePairsLsh(embX(emb, 1), 0.9))
 
     println(f"${"op"}%-22s ${"x"}%3s ${"rows_in"}%10s ${"sec"}%8s")
     Iterator.from(0).map(1 << _).takeWhile(_ <= maxX).foreach { x =>
       val d = docsX(docs, x)
       val e = embX(emb, x)
       val nD = d.count(); val nE = e.count()
-      val tL2 = time(sink(DedupOps.prefixJaccardPairs(d, 0.8)))
-      val tL2b = time(sink(DedupOps.clusteredMinhashPairs(d, 0.8)))
-      val tL7 = time(sink(DedupOps.simhash(d)))
-      val tL10 = time(sink(SimilarityOps.cosinePairsLsh(e, 0.9)))
-      val tL5 = time(sink(SimilarityOps.bruteTopK(e, e.filter(col("vec_id") <= 9), 5)))
-      val tL16 = time(sink(DedupOps.simhashComponents(d, 1)))
-      val tL14b = time(sink(DedupOps.simhashPairs(d, 3, bits = 64)))
-      val tL20 = time(sink(SimilarityOps.gramMatrix(e)))
-      val tL25 = time(sink(DedupOps.containmentPairs(d, 0.9)))
-      val tL29 = time(sink(DedupOps.dupShingleFraction(d)))
       // The GATED l33 path (class contraction); the generic doc-graph
       // GraphOps.triangleCounts pays clique-width wedge costs by design
       // and is equivalence-tested in GraphPropSpec, not probed here.
-      val tL33 = time(sink(DedupOps.simhashTriangleCounts(d, 1)))
-      val tL34 = time(sink(graft.operators.LlmQueries.lmScore(d)))
-      val tL35 = time(sink(DedupOps.dupWindowFraction(d)))
-      println(f"l2_prefix_jaccard      $x%3d $nD%10d $tL2%8.2f")
-      println(f"l2b_minhash_lsh        $x%3d $nD%10d $tL2b%8.2f")
-      println(f"l7_simhash             $x%3d $nD%10d $tL7%8.2f")
-      println(f"l10_srp_lsh_pairs      $x%3d $nE%10d $tL10%8.2f")
-      println(f"l5_brute_topk          $x%3d $nE%10d $tL5%8.2f")
-      println(f"l16_simhash_components $x%3d $nD%10d $tL16%8.2f")
-      println(f"l14b_simhash64_pairs   $x%3d $nD%10d $tL14b%8.2f")
-      println(f"l20_embedding_gram     $x%3d $nE%10d $tL20%8.2f")
-      println(f"l25_containment        $x%3d $nD%10d $tL25%8.2f")
-      println(f"l29_dup_shingle_frac   $x%3d $nD%10d $tL29%8.2f")
-      println(f"l33_triangle_count     $x%3d $nD%10d $tL33%8.2f")
-      println(f"l34_lm_score           $x%3d $nD%10d $tL34%8.2f")
-      println(f"l35_passage_dup        $x%3d $nD%10d $tL35%8.2f")
+      val ops: Seq[(String, Long, () => Unit)] = Seq(
+        ("l2_prefix_jaccard", nD,
+         () => sink(DedupOps.prefixJaccardPairs(d, 0.8))),
+        ("l2b_minhash_lsh", nD,
+         () => sink(DedupOps.clusteredMinhashPairs(d, 0.8))),
+        ("l7_simhash", nD, () => sink(DedupOps.simhash(d))),
+        ("l10_srp_lsh_pairs", nE,
+         () => sink(SimilarityOps.cosinePairsLsh(e, 0.9))),
+        ("l5_brute_topk", nE,
+         () => sink(SimilarityOps.bruteTopK(e, e.filter(col("vec_id") <= 9), 5))),
+        ("l16_simhash_components", nD,
+         () => sink(DedupOps.simhashComponents(d, 1))),
+        ("l14b_simhash64_pairs", nD,
+         () => sink(DedupOps.simhashPairs(d, 3, bits = 64))),
+        ("l20_embedding_gram", nE, () => sink(SimilarityOps.gramMatrix(e))),
+        ("l25_containment", nD,
+         () => sink(DedupOps.containmentPairs(d, 0.9))),
+        ("l29_dup_shingle_frac", nD,
+         () => sink(DedupOps.dupShingleFraction(d))),
+        ("l33_triangle_count", nD,
+         () => sink(DedupOps.simhashTriangleCounts(d, 1))),
+        ("l34_lm_score", nD,
+         () => sink(graft.operators.LlmQueries.lmScore(d))),
+        ("l35_passage_dup", nD,
+         () => sink(DedupOps.dupWindowFraction(d))))
+      ops.filter(o => on(o._1)).foreach { case (name, n, f) =>
+        val t = time(f())
+        println(f"$name%-22s $x%3d $n%10d $t%8.2f")
+      }
     }
     spark.stop()
   }

@@ -662,6 +662,73 @@ object LlmQueries {
     "l43_intra_doc_repetition" -> ((s, d) =>
       TextAnalysis.intraDocRepetition(docs(s, d))),
 
+    // L47 — collocation extraction by LIFT (PMI's ratio core without the
+    // log — exp is monotone, so ranking by lift ≡ ranking by PMI, and the
+    // transcendental that is not cross-engine-deterministic never enters):
+    // lift(a b) = P(ab)/(P(a)·P(b)) with P(ab) over the bigram space and
+    // P(·) over the token space, scaled to an exact integer
+    // ⌊10⁴·cab·n1²/(n2·ca·cb)⌋ in DECIMAL(38) arithmetic (the cab·n1²
+    // product overflows LONG at corpus scale — lifted BEFORE the
+    // multiply). Support floor cab ≥ 5 kills the hapax-pair noise PMI is
+    // notorious for; top-10 by (lift desc, bigram) via
+    // TakeOrderedAndProject. The tokenizer/phrase-mining primitive
+    // (word2vec's phrase pass, quality-signal "glued words" detection).
+    // Dataflow: two counting aggregates + one broadcast-scalar frame +
+    // two joins keyed on the bigram's words — no all-to-all.
+    "l47_collocation_lift" -> { (s, d) =>
+      val dd = docs(s, d)
+      val uni = dd.select(explode(TextFunctions.tokens("text")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cu"))
+      val big = dd.select(explode(TextFunctions.wordNgrams("text", 2)).as("bigram"))
+        .groupBy(col("bigram")).agg(count(lit(1)).as("cab"))
+        .filter(col("cab") >= 5)
+      val totals = dd.select(
+          explode(TextFunctions.tokens("text")).as("tok"))
+        .agg(count(lit(1)).as("n1"))
+        .crossJoin(dd.select(
+            explode(TextFunctions.wordNgrams("text", 2)).as("b"))
+          .agg(count(lit(1)).as("n2")))
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      big
+        .withColumn("wa", split(col("bigram"), " ").getItem(0))
+        .withColumn("wb", split(col("bigram"), " ").getItem(1))
+        .join(uni.select(col("tok").as("wa"), col("cu").as("ca")), "wa")
+        .join(uni.select(col("tok").as("wb"), col("cu").as("cb")), "wb")
+        .crossJoin(broadcast(totals))
+        .select(col("bigram"), col("cab"), col("ca"), col("cb"),
+          graft.Q.intDiv(
+            dec(col("cab")) * dec(col("n1")) * dec(col("n1")) * 10000L,
+            dec(col("n2")) * dec(col("ca")) * dec(col("cb"))).as("lift"))
+        .orderBy(col("lift").desc, col("bigram").asc)
+        .limit(10)
+    },
+
+    // L46 — per-language quality TERTILES over the l34 bigram-LM score
+    // (the CCNet split, Wenzek et al. 2020: rank every document by LM
+    // perplexity against a reference model, cut each language into
+    // head/middle/tail thirds, train on the head). The l34 score is
+    // already integer-exact and hash-gated; this gate adds the RANKED
+    // BUCKETING curation actually ships — ntile(3) over the (score desc,
+    // doc_id) total order, per-language — and rolls up each bucket's doc
+    // and char mass plus its score boundaries. At 100 TB the rank is a
+    // per-language sort (the same shuffle any global-ordering pass pays);
+    // ntile sizes are ANSI-determined (⌈n/3⌉/⌊n/3⌋), engine-independent
+    // given the total order.
+    "l46_perplexity_buckets" -> { (s, d) =>
+      val scored = lmScore(docs(s, d))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("lm_score").desc, col("doc_id").asc)
+      docs(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+        .join(scored, "doc_id")
+        .withColumn("bucket", ntile(3).over(w).cast("long"))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_chars")).as("sum_chars"),
+             max(col("lm_score")).as("max_score"),
+             min(col("lm_score")).as("min_score"))
+        .orderBy("lang", "bucket")
+    },
+
     // L45 — hashed-feature importance resampling (the DSIR shape, Xie et
     // al. 2023): score every document by how much its token distribution
     // resembles a TARGET subset relative to the raw corpus, then keep the
@@ -1997,6 +2064,71 @@ object LlmQueries {
         |  CAST(SUM(CASE WHEN n_rep * 5 > n_grams THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_flagged
         |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "l47_collocation_lift" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(string_split(text, ' '), t -> t != ''))
+        |    AS tok
+        |  FROM documents),
+        |tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), t -> t != '') AS ws
+        |  FROM documents),
+        |bi AS (
+        |  SELECT unnest(list_transform(range(1, len(ws)),
+        |                               i -> ws[i] || ' ' || ws[i+1])) AS bigram
+        |  FROM tk),
+        |uni AS (SELECT tok, COUNT(*) AS cu FROM toks GROUP BY 1),
+        |big AS (SELECT bigram, COUNT(*) AS cab FROM bi GROUP BY 1
+        |        HAVING COUNT(*) >= 5),
+        |tot AS (SELECT (SELECT COUNT(*) FROM toks) AS n1,
+        |               (SELECT COUNT(*) FROM bi) AS n2)
+        |SELECT b.bigram, b.cab, ua.cu AS ca, ub.cu AS cb,
+        |  CAST((CAST(b.cab AS HUGEINT) * n1 * n1 * 10000)
+        |    // (CAST(n2 AS HUGEINT) * ua.cu * ub.cu) AS BIGINT) AS lift
+        |FROM big b
+        |JOIN uni ua ON ua.tok = string_split(b.bigram, ' ')[1]
+        |JOIN uni ub ON ub.tok = string_split(b.bigram, ' ')[2], tot
+        |ORDER BY lift DESC, bigram ASC LIMIT 10""".stripMargin,
+
+    // Replays the full l34 model build, then the ANSI ntile cut.
+    "l46_perplexity_buckets" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split(text, ' '), t -> t != '') AS tk
+         |  FROM documents),
+         |bi AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, len(tk)),
+         |                          i -> tk[i] || ' ' || tk[i+1])) AS bigram
+         |  FROM toks),
+         |db AS (SELECT doc_id, bigram, COUNT(*) AS m FROM bi GROUP BY 1, 2),
+         |cb AS (SELECT bigram, CAST(SUM(m) AS BIGINT) AS cb FROM db GROUP BY 1),
+         |ca AS (
+         |  SELECT string_split(bigram, ' ')[1] AS pre, CAST(SUM(cb) AS BIGINT) AS ca
+         |  FROM cb GROUP BY 1),
+         |sc AS (
+         |  SELECT bigram, CAST((cb * 1000000) // ca AS BIGINT) AS sc
+         |  FROM cb JOIN ca ON string_split(bigram, ' ')[1] = ca.pre),
+         |ds AS (
+         |  SELECT db.doc_id, CAST(SUM(m) AS BIGINT) AS n_bigrams,
+         |    CAST(SUM(m * sc) AS BIGINT) AS st
+         |  FROM db JOIN sc USING (bigram) GROUP BY 1),
+         |sd AS (
+         |  SELECT d.doc_id, d.lang, d.n_chars,
+         |    CASE WHEN ds.doc_id IS NULL THEN 0.0
+         |         ELSE ${Q.duckRound4Ratio("st", "n_bigrams * 1000000")}
+         |    END AS lm_score
+         |  FROM documents d LEFT JOIN ds ON d.doc_id = ds.doc_id),
+         |bk AS (
+         |  SELECT lang, n_chars, lm_score,
+         |    ntile(3) OVER (PARTITION BY lang
+         |                   ORDER BY lm_score DESC, doc_id ASC) AS bucket
+         |  FROM sd)
+         |SELECT lang, CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         |  MAX(lm_score) AS max_score, MIN(lm_score) AS min_score
+         |FROM bk GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "l45_importance_resample" ->
       """WITH toks AS (

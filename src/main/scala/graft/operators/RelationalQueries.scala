@@ -670,6 +670,30 @@ object RelationalQueries {
         .orderBy("l_returnflag")
     },
 
+    // R39 — trailing TIME-RANGE window frame: per-customer revenue over a
+    // sliding 30-day horizon, `RANGE BETWEEN 29 PRECEDING AND CURRENT
+    // ROW` over an integer DAY column. r21 proves value-range frames on
+    // prices; this is the TEMPORAL range frame every retention/velocity
+    // metric runs on — and unlike a rows-frame it is tie-correct by
+    // construction (all orders on the same day share one frame, so the
+    // result is independent of intra-day row order; a ROWS frame would be
+    // nondeterministic here without a total order). Day numbers are exact
+    // integers on both engines (epoch days); sums are exact cents.
+    "r39_trailing_window" -> { (s, d) =>
+      val day = datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
+        .cast("long")
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
+        .rangeBetween(-29, Window.currentRow)
+      t(s, d, "orders")
+        .filter(col("o_custkey") % 20 === 0)
+        .select(col("o_custkey"), col("o_orderkey"), day.as("day"),
+                (Q.dec2(col("o_totalprice")) * 100).cast("long").as("cents"))
+        .select(col("o_custkey"), col("o_orderkey"), col("day"),
+                sum(col("cents")).over(w).as("cents_30d"),
+                count(lit(1)).over(w).as("n_30d"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
     // R38 — running DISTINCT count over a window, which Spark (like most
     // engines) refuses natively (`COUNT(DISTINCT) OVER` is unsupported):
     // the scalable emulation is first-occurrence flags (row_number = 1
@@ -1041,6 +1065,19 @@ object RelationalQueries {
         |  CAST(CAST(MIN(CASE WHEN cd >= 0.75 THEN v END) AS DECIMAL(18,2)) AS DOUBLE) AS p75,
         |  COUNT(*) AS n_rows
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    "r39_trailing_window" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS day,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders WHERE o_custkey % 20 = 0)
+        |SELECT o_custkey, o_orderkey, CAST(day AS BIGINT) AS day,
+        |  CAST(SUM(cents) OVER w AS BIGINT) AS cents_30d,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS n_30d
+        |FROM o
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+        |             RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "r38_running_distinct" ->
       """WITH f AS (
         |  SELECT l_returnflag,

@@ -576,6 +576,62 @@ class LlmSpec extends SparkSpec {
     assert(got("s2") == ((1L, 2L, 0L, 0.0, 0L)), s"s2 got ${got("s2")}")
   }
 
+  test("l46 tertiles are balanced per language and score-monotone across buckets") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.operators.LlmQueries.queries("l46_perplexity_buckets")(
+        spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+                 r.getDouble(4), r.getDouble(5)))  // lang, bucket, n, max, min
+    rows.groupBy(_._1).foreach { case (lang, bs) =>
+      val byBucket = bs.sortBy(_._2)
+      assert(byBucket.map(_._2).toSeq == (1L to byBucket.length).toSeq)
+      // ANSI ntile balance: sizes differ by at most one.
+      val sizes = byBucket.map(_._3)
+      assert(sizes.max - sizes.min <= 1, s"$lang unbalanced: ${sizes.toSeq}")
+      // Descending score order: bucket k's min >= bucket k+1's max.
+      byBucket.sliding(2).foreach { w =>
+        if (w.length == 2)
+          assert(w(0)._5 >= w(1)._4,
+            s"$lang buckets overlap: ${w.toSeq}")
+      }
+    }
+  }
+
+  test("l47 lift values match a brute-force count on the fixture corpus") {
+    val dir = "/root/testdata/sf0.001"
+    val texts = Tables.load(spark, dir, "documents")
+      .select("text").collect().map(_.getString(0))
+    val toks = texts.flatMap(_.split(" ").filter(_.nonEmpty))
+    val bigrams = texts.flatMap { t =>
+      val w = t.split(" ").filter(_.nonEmpty)
+      w.sliding(2).filter(_.length == 2).map(_.mkString(" "))
+    }
+    val cu = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val cb = bigrams.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val n1 = BigInt(toks.length); val n2 = BigInt(bigrams.length)
+    val got = graft.operators.LlmQueries.queries("l47_collocation_lift")(
+        spark, dir).collect()
+    assert(got.length == 10)
+    got.foreach { r =>
+      val Array(wa, wb) = r.getString(0).split(" ")
+      assert(r.getLong(1) == cb(r.getString(0)) && r.getLong(1) >= 5)
+      assert(r.getLong(2) == cu(wa) && r.getLong(3) == cu(wb))
+      val expect = (BigInt(r.getLong(1)) * n1 * n1 * 10000 /
+        (n2 * BigInt(r.getLong(2)) * BigInt(r.getLong(3)))).toLong
+      assert(r.getLong(4) == expect, s"${r.getString(0)} lift ${r.getLong(4)} != $expect")
+    }
+    // The returned 10 are the global maxima: no unreturned pair beats the
+    // weakest returned (lift, bigram) key.
+    val weakest = got.map(r => (r.getLong(4), r.getString(0))).min
+    cb.filter(_._2 >= 5).foreach { case (bg, c) =>
+      val Array(wa, wb) = bg.split(" ")
+      val lift = (BigInt(c) * n1 * n1 * 10000 / (n2 * BigInt(cu(wa)) * BigInt(cu(wb)))).toLong
+      if (!got.exists(_.getString(0) == bg))
+        assert((lift < weakest._1) || (lift == weakest._1 && bg > weakest._2),
+          s"$bg (lift $lift) should have made the top-10 over $weakest")
+    }
+  }
+
   test("l44 mixture sample: rates follow floor(1000·sqrt(min/n)) and the rarest lang keeps everything") {
     val dir = "/root/testdata/sf0.001"
     val counts = Tables.load(spark, dir, "documents")

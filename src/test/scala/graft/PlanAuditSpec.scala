@@ -168,7 +168,15 @@ class PlanAuditSpec extends SparkSpec {
     "l45_importance_resample" -> Set("WholeStageCodegen", "BroadcastHashJoin"),
     // The date range must reach the row-grouped scan as a pushed filter
     // (the footer-stat skipping LayoutSpec proves needs it there).
-    "io22_rowgroup_stats" -> Set("PushedFilters", "WholeStageCodegen"))
+    "io22_rowgroup_stats" -> Set("PushedFilters", "WholeStageCodegen"),
+    // The l34 model join + per-language ntile — codegen'd, no cartesian.
+    "l46_perplexity_buckets" -> Set("WholeStageCodegen"),
+    // Counting aggregates + word-keyed joins stay codegen'd; the scalar
+    // totals frame rides a broadcast, never a shuffle.
+    "l47_collocation_lift" -> Set("WholeStageCodegen"),
+    // The custkey filter must reach the scan; the range-frame Window's
+    // surrounding projection stages stay codegen'd.
+    "r39_trailing_window" -> Set("PushedFilters", "WholeStageCodegen"))
 
   test("every audited gated query is cartesian-free with its required plan features") {
     // Keep the spec's coverage locked to the audit's default set — adding a

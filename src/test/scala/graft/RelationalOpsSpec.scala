@@ -186,6 +186,29 @@ class RelationalOpsSpec extends SparkSpec {
     assert(got("B") == ((1.0, 2.0, 3.0)), s"B got ${got("B")}")
   }
 
+  test("r39 time-range frame is tie-correct: same-day rows share one frame") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // Two same-day rows (day 0), a row at the 30-day horizon edge (day 29
+    // — inside the frame of day 0 + 29), and one just past it (day 30).
+    val planted = Seq((1L, 0L, 100L), (1L, 0L, 200L),
+                      (1L, 29L, 300L), (1L, 30L, 400L))
+      .toDF("cust", "day", "cents")
+    val w = Window.partitionBy($"cust").orderBy($"day")
+      .rangeBetween(-29, Window.currentRow)
+    val got = planted
+      .select($"day", $"cents", sum($"cents").over(w).as("c30"),
+              count(lit(1)).over(w).as("n30"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    // BOTH day-0 rows see the identical day-0 frame (100+200) regardless
+    // of their relative order; day 29's frame reaches back to day 0;
+    // day 30's frame drops day 0 entirely.
+    assert(got.toSeq == Seq((0L, 100L, 300L, 2L), (0L, 200L, 300L, 2L),
+                            (29L, 300L, 600L, 3L), (30L, 400L, 700L, 2L)),
+      s"got ${got.toSeq}")
+  }
+
   test("r38 running-distinct emulation matches a brute-force prefix scan") {
     val rows = spark.read.parquet(s"$dir/lineitem.parquet")
       .select("l_returnflag", "l_suppkey", "l_shipdate", "l_orderkey",
