@@ -38,10 +38,23 @@ object AsOfJoin {
   /** Columns of `right` carried to the match: `on` and `tieBreak` always
     * travel (they define the match); `payload` adds more. The result is
     * `left.*` plus a struct column `asof` = the matched right row's
-    * `(on, tieBreak, payload...)`, or NULL when no right row precedes.
+    * `(on, tieBreak, payload...)`, or NULL when no right row matches.
+    *
+    * `direction` selects the pandas `merge_asof` family member:
+    *  - `"backward"` (default): greatest right `on` ≤ left `on`; ties on
+    *    `on` resolve to the GREATEST `tieBreak` (struct max).
+    *  - `"forward"`: smallest right `on` ≥ left `on`; ties resolve to the
+    *    SMALLEST `tieBreak` (struct min — the mirror convention).
+    *  - `"nearest"`: whichever of the two is closer in `on`; EQUAL
+    *    distance prefers backward (stated convention, deterministic).
+    *    Both candidates come from the same one-shuffle pass — two window
+    *    frames over one partition sort, still no candidate explosion.
     */
   def asOf(left: DataFrame, right: DataFrame, by: Seq[String], on: String,
-           tieBreak: String, payload: Seq[String] = Nil): DataFrame = {
+           tieBreak: String, payload: Seq[String] = Nil,
+           direction: String = "backward"): DataFrame = {
+    require(Set("backward", "forward", "nearest")(direction),
+      s"unknown as-of direction $direction")
     val carried = (on +: tieBreak +: payload).distinct
     val rStruct = struct(carried.map(col): _*)
     val r = right.select(by.map(col) :+ col(on) :+ rStruct.as("__asof_r"): _*)
@@ -50,12 +63,41 @@ object AsOfJoin {
     // unionByName fills the columns each side lacks with NULLs — left rows
     // get a NULL __asof_r, right rows NULL left-payload columns.
     val unioned = l.unionByName(r, allowMissingColumns = true)
-    // RANGE frame over `on`: peers (equal `on`) are in-frame regardless of
-    // physical order, so tie handling is purely the struct max's.
-    val w = Window.partitionBy(by.map(col): _*).orderBy(col(on))
-      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-    unioned
-      .withColumn("asof", max(col("__asof_r")).over(w))
+    // RANGE frames over `on`: peers (equal `on`) are in-frame regardless
+    // of physical order, so tie handling is purely the struct extremum's.
+    val base = Window.partitionBy(by.map(col): _*).orderBy(col(on))
+    val wb = base.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = base.rangeBetween(Window.currentRow, Window.unboundedFollowing)
+    val withPick = direction match {
+      case "backward" =>
+        unioned.withColumn("asof", max(col("__asof_r")).over(wb))
+      case "forward" =>
+        unioned.withColumn("asof", min(col("__asof_r")).over(wf))
+      case "nearest" =>
+        // Distances compare in an exact integer domain: micros for
+        // timestamps, the raw value for numerics (cast to double only as
+        // a common orderable type for mixed ints).
+        val toNum: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+          left.schema(on).dataType match {
+            case _: org.apache.spark.sql.types.TimestampType => unix_micros
+            case _: org.apache.spark.sql.types.TimestampNTZType =>
+              c => unix_micros(c.cast("timestamp"))
+            case _ => _.cast("double")
+          }
+        val b = max(col("__asof_r")).over(wb)
+        val f = min(col("__asof_r")).over(wf)
+        unioned
+          .withColumn("__b", b).withColumn("__f", f)
+          .withColumn("asof",
+            when(col("__b").isNull, col("__f"))
+              .when(col("__f").isNull, col("__b"))
+              .when(toNum(col("__f").getField(on)) - toNum(col(on)) <
+                    toNum(col(on)) - toNum(col("__b").getField(on)),
+                    col("__f"))
+              .otherwise(col("__b")))
+          .drop("__b", "__f")
+    }
+    withPick
       .filter(col("__side") === 1)
       .drop("__asof_r", "__side")
   }

@@ -452,6 +452,32 @@ object EventQueries {
         .orderBy("event_id")
     },
 
+    // S7b — the remaining merge_asof directions: FORWARD (earliest view at
+    // or after each click — the "next state" lookup: next checkpoint,
+    // next quote, next sensor reading) and NEAREST (closer of the two,
+    // equal distance preferring backward — the stated deterministic
+    // convention). Same one-shuffle merge formulation as s7: nearest costs
+    // one partition sort carrying TWO window frames, never a range
+    // explosion. The oracle replays both frames over the raw events table
+    // and the identical distance arithmetic in exact micros.
+    "s7b_asof_directions" -> { (s, d) =>
+      val e = ev(s, d)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id").as("view_event_id"))
+      val fwd = AsOfJoin.asOf(clicks, views, Seq("user_id"), "ts",
+          "view_event_id", direction = "forward")
+        .select(col("event_id"), col("user_id"), Q.micros(col("ts")).as("ts_us"),
+                Q.micros(col("asof").getField("ts")).as("fwd_view_ts_us"),
+                col("asof").getField("view_event_id").as("fwd_view_event_id"))
+      val near = AsOfJoin.asOf(clicks, views, Seq("user_id"), "ts",
+          "view_event_id", direction = "nearest")
+        .select(col("event_id"),
+                col("asof").getField("view_event_id").as("near_view_event_id"))
+      fwd.join(near, "event_id").orderBy("event_id")
+    },
+
     // S8 — stream-static join: the event stream joined to a broadcast
     // static dimension derived from the batch table (per-type cents total
     // + count), aggregated per type in complete mode. Exercises the
@@ -864,6 +890,24 @@ object EventQueries {
         | AND epoch_us(v.ts) BETWEEN epoch_us(c.ts) - 3600000000 AND epoch_us(c.ts)
         |ORDER BY click_id, view_id""".stripMargin,
     "s7_asof_join" -> asofOracle,
+    "s7b_asof_directions" ->
+      """WITH u AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+        |    MAX(CASE WHEN event_type = 'view'
+        |             THEN struct_pack(ts_us := epoch_us(ts), id := event_id) END)
+        |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |            RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS b,
+        |    MIN(CASE WHEN event_type = 'view'
+        |             THEN struct_pack(ts_us := epoch_us(ts), id := event_id) END)
+        |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |            RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS f
+        |  FROM events)
+        |SELECT event_id, user_id, ts_us,
+        |  f.ts_us AS fwd_view_ts_us, f.id AS fwd_view_event_id,
+        |  CASE WHEN b IS NULL THEN f.id WHEN f IS NULL THEN b.id
+        |       WHEN (f.ts_us - ts_us) < (ts_us - b.ts_us) THEN f.id
+        |       ELSE b.id END AS near_view_event_id
+        |FROM u WHERE event_type = 'click' ORDER BY event_id""".stripMargin,
     "s17_join_window" -> s17Oracle,
     "s17_join_stream" -> s17Oracle,
     // The state store holds exactly the complete-mode aggregate.

@@ -41,6 +41,39 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out == 11L)  // inclusive as-of; equal-ts tie -> greatest rid
   }
 
+  test("asOf forward picks the earliest right row at or after; min tieBreak on ties") {
+    val left = Seq((1L, 100L, ts(1000)), (1L, 101L, ts(3000)),
+                   (2L, 102L, ts(500))).toDF("uid", "lid", "t")
+    val right = Seq((1L, 10L, ts(900)), (1L, 11L, ts(2500)),
+                    (1L, 12L, ts(3000)), (1L, 13L, ts(3000)),
+                    (2L, 14L, ts(400))).toDF("uid", "rid", "t")
+    val out = AsOfJoin.asOf(left, right, Seq("uid"), "t", "rid",
+        direction = "forward")
+      .select(col("lid"), col("asof").getField("rid").as("rid"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    assert(out(100L) == 11L)  // earliest at/after 1000 is 2500
+    assert(out(101L) == 12L)  // equal-ts (3000,3000) tie -> SMALLEST rid
+    assert(out(102L) == -1L)  // nothing at/after 500 for uid 2
+  }
+
+  test("asOf nearest picks the closer side; equal distance prefers backward") {
+    val left = Seq((1L, 100L, ts(2000)),   // b@1000 (d=1000) vs f@2500 (d=500) -> f
+                   (1L, 101L, ts(3500)),   // b@2500 (d=1000) vs f@4500 (d=1000) -> b (tie)
+                   (1L, 102L, ts(600)),    // only f exists upstream of 1000
+                   (2L, 103L, ts(9000)))   // only b exists
+      .toDF("uid", "lid", "t")
+    val right = Seq((1L, 10L, ts(1000)), (1L, 11L, ts(2500)),
+                    (1L, 12L, ts(4500)), (2L, 13L, ts(100)))
+      .toDF("uid", "rid", "t")
+    val out = AsOfJoin.asOf(left, right, Seq("uid"), "t", "rid",
+        direction = "nearest")
+      .select(col("lid"), col("asof").getField("rid").as("rid"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(100L -> 11L, 101L -> 11L, 102L -> 10L, 103L -> 13L),
+      s"got $out")
+  }
+
   test("saltedJoin equals the plain equi-join under heavy key skew") {
     // 1000 rows of one hot key + a tail; right side is a small dim.
     val left = ((1 to 1000).map(i => (1L, i.toLong)) ++
