@@ -49,7 +49,8 @@ object PlanAudit {
     "r37_percentile_disc", "r38_running_distinct", "sql23_gaps_islands",
     "l43_intra_doc_repetition", "l44_mixture_sample", "l45_importance_resample",
     "io22_rowgroup_stats", "l46_perplexity_buckets", "l47_collocation_lift",
-    "r39_trailing_window", "l48_ngram_novelty")
+    "r39_trailing_window", "l48_ngram_novelty", "r40_var_stddev",
+    "l49_mix_independence")
 
   /** Execute `df` (noop traversal — AQE's final plan only exists after
     * execution) and compute the anti-pattern flags from the executed plan.

@@ -662,6 +662,36 @@ object LlmQueries {
     "l43_intra_doc_repetition" -> ((s, d) =>
       TextAnalysis.intraDocRepetition(docs(s, d))),
 
+    // L49 — corpus-composition independence report: every (source, lang)
+    // cell's observed count against the independence expectation
+    // row·col/N, exported as the signed relative deviation
+    // (obs·N − row·col)/(row·col) in exact half-up ROUND(4) — the
+    // chi-square contingency residual's ratio core, kept transcendental-
+    // free. This is the mixture-drift diagnostic a curation pipeline
+    // watches across ingest batches: a cell far from 0 means a source's
+    // language mix shifted (scraper drift, a feed gone monolingual) —
+    // the composition axis l44/l45 rebalance but don't MONITOR.
+    // Dataflow: three tiny aggregates (cells, row margins, col margins)
+    // + broadcast joins — margins are dimension-sized at any corpus.
+    "l49_mix_independence" -> { (s, d) =>
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val dd = docs(s, d)
+      val cells = dd.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("obs"))
+      val rowM = dd.groupBy(col("source")).agg(count(lit(1)).as("rn"))
+      val colM = dd.groupBy(col("lang")).agg(count(lit(1)).as("cn"))
+      val total = dd.agg(count(lit(1)).as("n"))
+      cells
+        .join(broadcast(rowM), "source")
+        .join(broadcast(colM), "lang")
+        .crossJoin(broadcast(total))
+        .select(col("source"), col("lang"), col("obs"), col("rn"), col("cn"),
+          graft.Q.round4RatioSigned(
+            dec(col("obs")) * dec(col("n")) - dec(col("rn")) * dec(col("cn")),
+            dec(col("rn")) * dec(col("cn"))).as("deviation"))
+        .orderBy("source", "lang")
+    },
+
     // L48 — n-gram NOVELTY under accretive ingest (the gram-granular
     // memorization lens of Lee et al. 2022's dedup-eval: how much of a
     // document is text the corpus has already seen?): a doc's distinct
@@ -2098,6 +2128,19 @@ object LlmQueries {
         |  CAST(SUM(CASE WHEN n_rep * 5 > n_grams THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_flagged
         |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "l49_mix_independence" ->
+      s"""WITH cells AS (
+        |  SELECT source, lang, COUNT(*) AS obs FROM documents GROUP BY 1, 2),
+        |rm AS (SELECT source, COUNT(*) AS rn FROM documents GROUP BY 1),
+        |cm AS (SELECT lang, COUNT(*) AS cn FROM documents GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS n FROM documents)
+        |SELECT c.source, c.lang, c.obs, rm.rn, cm.cn,
+        |  ${graft.Q.duckRound4RatioSigned(
+               "CAST(c.obs AS HUGEINT) * n - CAST(rm.rn AS HUGEINT) * cm.cn",
+               "CAST(rm.rn AS HUGEINT) * cm.cn")} AS deviation
+        |FROM cells c JOIN rm USING (source) JOIN cm USING (lang), tot
+        |ORDER BY 1, 2""".stripMargin,
 
     "l48_ngram_novelty" ->
       s"""WITH w AS (

@@ -670,6 +670,33 @@ object RelationalQueries {
         .orderBy("l_returnflag")
     },
 
+    // R40 — variance / standard deviation via EXACT integer moments (the
+    // r34 discipline applied to the dispersion aggregates): Spark's
+    // var_samp/stddev_samp fold doubles in partition order — engine- and
+    // partitioning-dependent in the last bits — so the gate sums cents
+    // and squared cents exactly (DECIMAL-lifted: n·Σx² reaches ~9·10^18
+    // at sf0.1, already past LONG), forms the textbook rational
+    // (n·Σx² − (Σx)²)/(n(n−1)) with one half-up ROUND(4), and takes
+    // stddev as sqrt of that now-identical double (IEEE sqrt is
+    // correctly rounded — bit-identical on both engines given the same
+    // input). Moments merge associatively — the same at-scale shape as
+    // any partial-aggregate rollup.
+    "r40_var_stddev" -> { (s, d) =>
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val cents = (Q.dec2(col("l_quantity")) * 100).cast("long")
+      t(s, d, "lineitem")
+        .select(col("l_returnflag"), cents.as("c"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("sx"),
+             sum(col("c") * col("c")).as("sx2"))
+        .select(col("l_returnflag"), col("n"), col("sx"), col("sx2"),
+          Q.round4Ratio(
+            dec(col("n")) * dec(col("sx2")) - dec(col("sx")) * dec(col("sx")),
+            dec(col("n")) * dec(col("n") - 1)).as("var_cents2"))
+        .withColumn("stddev_cents", sqrt(col("var_cents2")))
+        .orderBy("l_returnflag")
+    },
+
     // R39 — trailing TIME-RANGE window frame: per-customer revenue over a
     // sliding 30-day horizon, `RANGE BETWEEN 29 PRECEDING AND CURRENT
     // ROW` over an integer DAY column. r21 proves value-range frames on
@@ -1065,6 +1092,23 @@ object RelationalQueries {
         |  CAST(CAST(MIN(CASE WHEN cd >= 0.75 THEN v END) AS DECIMAL(18,2)) AS DOUBLE) AS p75,
         |  COUNT(*) AS n_rows
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    "r40_var_stddev" ->
+      """WITH c AS (
+        |  SELECT l_returnflag,
+        |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(SUM(c) AS BIGINT) AS sx, CAST(SUM(c * c) AS BIGINT) AS sx2
+        |  FROM c GROUP BY 1)
+        |SELECT l_returnflag, n, sx, sx2,
+        |  ((20000 * (CAST(n AS HUGEINT) * sx2 - CAST(sx AS HUGEINT) * sx)
+        |    + CAST(n AS HUGEINT) * (n - 1))
+        |   // (2 * CAST(n AS HUGEINT) * (n - 1))) / 10000.0 AS var_cents2,
+        |  SQRT(((20000 * (CAST(n AS HUGEINT) * sx2 - CAST(sx AS HUGEINT) * sx)
+        |    + CAST(n AS HUGEINT) * (n - 1))
+        |   // (2 * CAST(n AS HUGEINT) * (n - 1))) / 10000.0) AS stddev_cents
+        |FROM m ORDER BY 1""".stripMargin,
     "r39_trailing_window" ->
       """WITH o AS (
         |  SELECT o_custkey, o_orderkey,

@@ -576,6 +576,31 @@ class LlmSpec extends SparkSpec {
     assert(got("s2") == ((1L, 2L, 0L, 0.0, 0L)), s"s2 got ${got("s2")}")
   }
 
+  test("l49 deviation cells reproduce the independence formula from raw counts") {
+    val dir = "/root/testdata/sf0.001"
+    val dd = Tables.load(spark, dir, "documents")
+      .select("source", "lang").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val n = BigInt(dd.length)
+    val rm = dd.groupBy(_._1).view.mapValues(v => BigInt(v.length)).toMap
+    val cm = dd.groupBy(_._2).view.mapValues(v => BigInt(v.length)).toMap
+    val obs = dd.groupBy(identity).view.mapValues(v => BigInt(v.length)).toMap
+    def round4(p: BigInt, q: BigInt): Double = {
+      val r = (BigInt(20000) * p.abs + q) / (q * 2)
+      (if (p < 0) -r else r).toDouble / 10000.0
+    }
+    val got = graft.operators.LlmQueries.queries("l49_mix_independence")(
+        spark, dir).collect()
+    assert(got.length == obs.size)
+    got.foreach { r =>
+      val key = (r.getString(0), r.getString(1))
+      val expect = round4(obs(key) * n - rm(key._1) * cm(key._2),
+                          rm(key._1) * cm(key._2))
+      assert(math.abs(r.getDouble(5) - expect) < 1e-12,
+        s"$key: ${r.getDouble(5)} != $expect")
+    }
+  }
+
   test("l48 novelty fractions are hand-computable on a planted accretive corpus") {
     // doc0: 2 grams, both novel. doc1: exact copy -> 0/2 novel, flagged.
     // doc2: one leading copied gram, 5 fresh -> 5/6, not flagged.

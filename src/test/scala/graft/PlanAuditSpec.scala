@@ -178,7 +178,11 @@ class PlanAuditSpec extends SparkSpec {
     // surrounding projection stages stay codegen'd.
     "r39_trailing_window" -> Set("PushedFilters", "WholeStageCodegen"),
     // First-occurrence aggregate + gram-keyed join — codegen'd, linear.
-    "l48_ngram_novelty" -> Set("WholeStageCodegen"))
+    "l48_ngram_novelty" -> Set("WholeStageCodegen"),
+    // One narrow projection + one hash aggregate of exact moments.
+    "r40_var_stddev" -> Set("WholeStageCodegen"),
+    // The margin dims must BROADCAST onto the cells.
+    "l49_mix_independence" -> Set("WholeStageCodegen", "BroadcastHashJoin"))
 
   test("every audited gated query is cartesian-free with its required plan features") {
     // Keep the spec's coverage locked to the audit's default set — adding a

@@ -186,6 +186,22 @@ class RelationalOpsSpec extends SparkSpec {
     assert(got("B") == ((1.0, 2.0, 3.0)), s"B got ${got("B")}")
   }
 
+  test("r40 exact-moment variance equals Spark's var_samp within float tolerance") {
+    val gate = RelationalQueries.queries("r40_var_stddev")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    val ref = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_returnflag"),
+        (col("l_quantity").cast("decimal(18,2)") * 100).cast("long")
+          .cast("double").as("c"))
+      .groupBy("l_returnflag")
+      .agg(var_samp(col("c")).as("v"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    gate.foreach { case (flag, v) =>
+      assert(math.abs(v - ref(flag)) / ref(flag) < 1e-6,
+        s"$flag: exact $v vs var_samp ${ref(flag)}")
+    }
+  }
+
   test("r39 time-range frame is tie-correct: same-day rows share one frame") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
