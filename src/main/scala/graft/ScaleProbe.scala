@@ -133,7 +133,35 @@ object ScaleProbe {
         ("l34_lm_score", nD,
          () => sink(graft.operators.LlmQueries.lmScore(d))),
         ("l35_passage_dup", nD,
-         () => sink(DedupOps.dupWindowFraction(d))))
+         () => sink(DedupOps.dupWindowFraction(d))),
+        // Round-8 additions: the new heavy pipelines, probed with the
+        // same corpus-multiplication scheme.
+        ("l41_semdedup_pairs", nE, () => {
+          val (_, assign, _) = SimilarityOps.kmeansFp(e, 8, 2)
+          val withC = e.join(assign, "vec_id")
+          val a = withC.select(col("cid"), col("vec_id").as("va"),
+                               col("embedding").as("ea"))
+          val b = withC.select(col("cid").as("cidb"), col("vec_id").as("vb"),
+                               col("embedding").as("eb"))
+          sink(a.join(b, col("cid") === col("cidb") && col("va") < col("vb"))
+            .filter(graft.functions.VectorFunctions.cosine(col("ea"), col("eb")) >= 0.9)
+            .select(col("cid"), col("vb")).distinct())
+        }),
+        ("l45_importance", nD,
+         () => sink(graft.operators.TextAnalysis.importanceResample(d))),
+        ("l46_lm_tertiles", nD, () => {
+          val scored = graft.operators.LlmQueries.lmScore(d)
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("lang"))
+            .orderBy(col("lm_score").desc, col("doc_id").asc)
+          sink(d.select(col("doc_id"), col("lang"), col("n_chars"))
+            .join(scored, "doc_id")
+            .withColumn("bucket", ntile(3).over(w))
+            .groupBy(col("lang"), col("bucket"))
+            .agg(count(lit(1)), sum(col("n_chars"))))
+        }),
+        ("l48_ngram_novelty", nD,
+         () => sink(graft.operators.TextAnalysis.ngramNovelty(d))))
       ops.filter(o => on(o._1)).foreach { case (name, n, f) =>
         val t = time(f())
         println(f"$name%-22s $x%3d $n%10d $t%8.2f")

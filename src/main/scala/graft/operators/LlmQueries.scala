@@ -703,28 +703,8 @@ object LlmQueries {
     // near dedup both miss. Dataflow: one (gram → min doc_id) aggregate +
     // one gram-keyed join back — the l29 document-frequency shape, no
     // all-to-all, shuffle bounded by distinct grams.
-    "l48_ngram_novelty" -> { (s, d) =>
-      val grams = docs(s, d)
-        .select(col("doc_id"), col("source"),
-                explode(TextFunctions.wordNgrams("text", 5)).as("gram"))
-        .select(col("doc_id"), col("source"), col("gram")).distinct()
-      val first = grams.groupBy(col("gram"))
-        .agg(min(col("doc_id")).as("first_doc"))
-      grams.join(first, "gram")
-        .groupBy(col("doc_id"), col("source"))
-        .agg(count(lit(1)).as("n_grams"),
-             sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
-               .as("n_novel"))
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"),
-             sum(col("n_grams")).as("n_grams"),
-             sum(col("n_novel")).as("n_novel"),
-             graft.Q.round4Ratio(sum(col("n_novel")), sum(col("n_grams")))
-               .as("novelty_frac"),
-             sum(when(col("n_novel") * 2 < col("n_grams"), 1L).otherwise(0L))
-               .as("n_mostly_copied"))
-        .orderBy("source")
-    },
+    "l48_ngram_novelty" -> ((s, d) =>
+      TextAnalysis.ngramNovelty(docs(s, d))),
 
     // L47 — collocation extraction by LIFT (PMI's ratio core without the
     // log — exp is monotone, so ranking by lift ≡ ranking by PMI, and the
@@ -809,40 +789,8 @@ object LlmQueries {
     // weights, one per-doc sum, one per-lang top-k window — no
     // all-to-all anywhere. The target here is a deterministic seed
     // subset (doc_id ≡ 0 mod 10) standing in for a curated corpus.
-    "l45_importance_resample" -> { (s, d) =>
-      val toks = docs(s, d)
-        .select(col("doc_id"), col("lang"),
-                explode(TextFunctions.tokens("text")).as("tok"))
-        .withColumn("b", TextFunctions.tokenHash("tok") % 256)
-      // One bucket aggregate carries BOTH distributions (corpus count +
-      // conditional target count) — one hash pass over the tokens, not two.
-      val bucketed = toks.groupBy(col("b"))
-        .agg(count(lit(1)).as("cr"),
-             sum(when(col("doc_id") % 10 === 0, 1L).otherwise(0L)).as("ct"))
-      val totals = bucketed.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
-      val weights = bucketed
-        .crossJoin(broadcast(totals))
-        .select(col("b"),
-          graft.Q.intDiv(col("ct") * col("nr") * 10000L,
-                         col("cr") * col("nt")).as("w"))
-      val scores = toks.join(broadcast(weights), "b")
-        .groupBy(col("doc_id"), col("lang"))
-        .agg(sum(col("w")).as("score"))
-      val wl = Window.partitionBy(col("lang"))
-      val ranked = scores
-        .withColumn("rnk", row_number().over(
-          wl.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
-        .withColumn("n_lang", count(lit(1)).over(wl))
-        .withColumn("kept",
-          col("rnk") <= greatest(lit(1L), graft.Q.intDiv(col("n_lang"), lit(5L))))
-      ranked.groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_total"),
-             sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
-             sum(when(col("kept"), col("score"))).as("sum_kept_score"),
-             max(col("score")).as("max_score"),
-             min(when(col("kept"), col("score"))).as("min_kept_score"))
-        .orderBy("lang")
-    },
+    "l45_importance_resample" -> ((s, d) =>
+      TextAnalysis.importanceResample(docs(s, d))),
 
     // L44 — temperature-scaled mixture sampling (the multilingual/multi-
     // source rebalancing rule of mBERT/XLM-R and every pretraining data

@@ -42,6 +42,75 @@ object TextAnalysis {
              .as("n_flagged"))
       .orderBy("source")
 
+  /** L45 core — DSIR-shaped importance resampling (scaladoc at the gate):
+    * hashed-token frequency-ratio scores against a target subset
+    * (doc_id ≡ 0 mod 10), top fifth kept per language. Shared with
+    * `ScaleProbe` so the scaling column measures the gate's own dataflow.
+    */
+  def importanceResample(docsDf: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions
+    val toks = docsDf
+      .select(col("doc_id"), col("lang"),
+              explode(TextFunctions.tokens("text")).as("tok"))
+      .withColumn("b", TextFunctions.tokenHash("tok") % 256)
+    // One bucket aggregate carries BOTH distributions (corpus count +
+    // conditional target count) — one hash pass over the tokens, not two.
+    val bucketed = toks.groupBy(col("b"))
+      .agg(count(lit(1)).as("cr"),
+           sum(when(col("doc_id") % 10 === 0, 1L).otherwise(0L)).as("ct"))
+    val totals = bucketed.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
+    val weights = bucketed
+      .crossJoin(broadcast(totals))
+      .select(col("b"),
+        Q.intDiv(col("ct") * col("nr") * 10000L,
+                 col("cr") * col("nt")).as("w"))
+    val scores = toks.join(broadcast(weights), "b")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("w")).as("score"))
+    val wl = Window.partitionBy(col("lang"))
+    val ranked = scores
+      .withColumn("rnk", row_number().over(
+        wl.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+      .withColumn("n_lang", count(lit(1)).over(wl))
+      .withColumn("kept",
+        col("rnk") <= greatest(lit(1L), Q.intDiv(col("n_lang"), lit(5L))))
+    ranked.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_total"),
+           sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+           sum(when(col("kept"), col("score"))).as("sum_kept_score"),
+           max(col("score")).as("max_score"),
+           min(when(col("kept"), col("score"))).as("min_kept_score"))
+      .orderBy("lang")
+  }
+
+  /** L48 core — accretive n-gram novelty (scaladoc at the gate): distinct
+    * word 5-grams novel iff first seen in this doc; per-source rollup.
+    * Shared with `ScaleProbe`.
+    */
+  def ngramNovelty(docsDf: DataFrame): DataFrame = {
+    val grams = docsDf
+      .select(col("doc_id"), col("source"),
+              explode(graft.functions.TextFunctions.wordNgrams("text", 5))
+                .as("gram"))
+      .select(col("doc_id"), col("source"), col("gram")).distinct()
+    val first = grams.groupBy(col("gram"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    grams.join(first, "gram")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_grams"),
+           sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+             .as("n_novel"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_grams")).as("n_grams"),
+           sum(col("n_novel")).as("n_novel"),
+           Q.round4Ratio(sum(col("n_novel")), sum(col("n_grams")))
+             .as("novelty_frac"),
+           sum(when(col("n_novel") * 2 < col("n_grams"), 1L).otherwise(0L))
+             .as("n_mostly_copied"))
+      .orderBy("source")
+  }
+
   /** Per-document quality features + composite flag:
     * n_tokens, total token chars, avg token length (ROUND 4, exact integer
     * formula), stopword ratio (ROUND 4), alpha-space purity ratio, and
