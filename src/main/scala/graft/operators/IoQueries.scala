@@ -270,6 +270,54 @@ object IoQueries {
         .orderBy("doc_id")
     },
 
+    // IO23 — the line-oriented `text` source: the rawest ingest boundary
+    // (log shipping, crawl dumps, one-record-per-line exports arrive as
+    // plain text long before anyone agrees on a schema). One file per
+    // language is materialized from the documents table (driver-side
+    // TEST-INPUT write, io13's pattern — 40 rows), each line
+    // `doc_id\ttext`; the gate reads the directory back through
+    // `spark.read.text` — one row per LINE, not per file (vs io13's
+    // whole-file rows) — recovers the language from the hidden
+    // `_metadata` file name, splits each line at the FIRST tab
+    // (limit 2 — a tab inside the payload must stay in the payload),
+    // and aggregates per language. Byte lengths (octet_length, DuckDB
+    // strlen) rather than char counts so the zh corpus hashes
+    // identically on both engines. At 100 TB a plain-text file splits
+    // on line boundaries across tasks (unlike io20's multiLine CSV,
+    // which is one task per file), so the scan parallelizes freely;
+    // the per-row split is the schema-on-read cost columnar formats
+    // amortize away — which is why this boundary feeds a parquet
+    // landing table rather than serving queries directly.
+    "io23_text_source" -> { (s, d) =>
+      val path = scratch("textfiles", d)
+      val dir = java.nio.file.Paths.get(path)
+      java.nio.file.Files.createDirectories(dir)
+      Tables.load(s, d, "documents").filter(col("doc_id") < 40)
+        .select(col("lang"), col("doc_id"), col("text")).collect()
+        .groupBy(_.getString(0))
+        .foreach { case (lang, rows) =>
+          val lines = rows.sortBy(_.getLong(1))
+            .map(r => s"${r.getLong(1)}\t${r.getString(2)}")
+            .mkString("", "\n", "\n")
+          java.nio.file.Files.write(
+            dir.resolve(s"$lang.txt"),
+            lines.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+      val parts = split(col("value"), "\t", 2)
+      s.read.text(path)
+        .select(
+          regexp_extract(col("_metadata.file_name"), "^(.+)\\.txt$", 1)
+            .as("lang"),
+          element_at(parts, 1).cast("long").as("doc_id"),
+          element_at(parts, 2).as("text"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(octet_length(col("text"))).cast("long").as("bytes"),
+             min(col("doc_id")).as("min_id"),
+             max(col("doc_id")).as("max_id"))
+        .orderBy("lang")
+    },
+
     // IO12 — Z-ORDER clustered layout: lineitem rewritten range-
     // partitioned + sorted on the Morton interleave of (l_partkey,
     // l_suppkey) ([[graft.functions.ZOrder2]]), then scanned back with a
@@ -704,6 +752,15 @@ object IoQueries {
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS length,
         |  sha256(text) AS sha
         |FROM documents WHERE doc_id < 20 ORDER BY doc_id""".stripMargin,
+    // The text-source roundtrip is value-neutral: the oracle aggregates
+    // the same 40 documents straight from parquet. strlen = UTF-8 byte
+    // length, matching the gate's octet_length.
+    "io23_text_source" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(strlen(text)) AS BIGINT) AS bytes,
+        |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        |FROM documents WHERE doc_id < 40
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // Replays the Morton interleave as a 21-term bit-spread sum.
     // The layout roundtrip is value-neutral: the oracle aggregates the
     // source table directly with the same range predicate.
