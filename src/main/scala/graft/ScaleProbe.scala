@@ -38,14 +38,30 @@ object ScaleProbe {
   // spill headroom) marks the op NaN — printed as a DNF — instead of
   // killing the whole probe: the remaining ops' scaling columns are
   // still the evidence the probe exists to produce.
+  // After a fatal JVM error (OutOfMemoryError and kin) the local session
+  // may be wedged — later DNF lines would then be cascade, not
+  // independent op failures — so the flag annotates every subsequent DNF
+  // (r8 ADVICE: a bare `catch Throwable` hid that distinction).
+  private var sessionSawFatal = false
+
   private def time[A](f: => A): Double =
     try
       (1 to 3).map { _ =>
         val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
       }.min
     catch {
-      case t: Throwable =>
-        System.err.println(s"[probe] op failed: ${t.getClass.getSimpleName}: " +
+      // NonFatal plus the one fatal the probe EXPECTS to survive and
+      // report (memory-ceiling probing is its job); anything else fatal
+      // (LinkageError, ThreadDeath...) still propagates and kills the
+      // probe loudly.
+      case t if scala.util.control.NonFatal(t) ||
+                t.isInstanceOf[OutOfMemoryError] ||
+                t.isInstanceOf[org.apache.spark.memory.SparkOutOfMemoryError] =>
+        val cascade =
+          if (sessionSawFatal) " (session previously saw a fatal error — possible cascade)"
+          else ""
+        if (t.isInstanceOf[OutOfMemoryError]) sessionSawFatal = true
+        System.err.println(s"[probe] op failed$cascade: ${t.getClass.getSimpleName}: " +
           s"${String.valueOf(t.getMessage).take(200)}")
         Double.NaN
     }

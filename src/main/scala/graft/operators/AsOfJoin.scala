@@ -74,16 +74,24 @@ object AsOfJoin {
       case "forward" =>
         unioned.withColumn("asof", min(col("__asof_r")).over(wf))
       case "nearest" =>
-        // Distances compare in an exact integer domain: micros for
-        // timestamps, the raw value for numerics (cast to double only as
-        // a common orderable type for mixed ints).
-        val toNum: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        // Distances compare in an exact domain per `on` type (r8 ADVICE:
+        // a blanket double cast loses integer precision past 2^53, so
+        // near-ties on a wide BIGINT key could resolve to the wrong
+        // side, and a DATE key failed the cast outright): micros for
+        // timestamps, epoch days for dates, LONG for integrals, native
+        // decimal for decimals (exact subtraction); double only for
+        // genuine float inputs.
+        val toNum: org.apache.spark.sql.Column => org.apache.spark.sql.Column = {
+          import org.apache.spark.sql.types._
           left.schema(on).dataType match {
-            case _: org.apache.spark.sql.types.TimestampType => unix_micros
-            case _: org.apache.spark.sql.types.TimestampNTZType =>
-              c => unix_micros(c.cast("timestamp"))
+            case _: TimestampType => unix_micros
+            case _: TimestampNTZType => c => unix_micros(c.cast("timestamp"))
+            case _: DateType => unix_date(_).cast("long")
+            case ByteType | ShortType | IntegerType | LongType => _.cast("long")
+            case _: DecimalType => identity
             case _ => _.cast("double")
           }
+        }
         val b = max(col("__asof_r")).over(wb)
         val f = min(col("__asof_r")).over(wf)
         unioned

@@ -296,6 +296,16 @@ object IoQueries {
         .select(col("lang"), col("doc_id"), col("text")).collect()
         .groupBy(_.getString(0))
         .foreach { case (lang, rows) =>
+          // Line-oriented writes CORRUPT silently if a payload ever
+          // carries a line break (extra lines become NULL-doc_id rows
+          // downstream, skewing the aggregate vs the parquet oracle) —
+          // fail loudly at write time instead (r8 ADVICE). A production
+          // line writer escapes \n/\r; the fixture contract forbids them.
+          rows.foreach { r =>
+            require(!r.getString(2).exists(c => c == '\n' || c == '\r'),
+              s"io23 line writer: doc ${r.getLong(1)} text contains a " +
+                "line break — would corrupt the line-per-record format")
+          }
           val lines = rows.sortBy(_.getLong(1))
             .map(r => s"${r.getLong(1)}\t${r.getString(2)}")
             .mkString("", "\n", "\n")

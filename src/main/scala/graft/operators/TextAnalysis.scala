@@ -59,11 +59,16 @@ object TextAnalysis {
       .agg(count(lit(1)).as("cr"),
            sum(when(col("doc_id") % 10 === 0, 1L).otherwise(0L)).as("ct"))
     val totals = bucketed.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
+    // DECIMAL-lifted BEFORE the multiply (the l47 pattern; r8 ADVICE):
+    // ct·nr·10^4 in LONG wraps past 2^63 at large corpora while the
+    // DuckDB oracle lifts to HUGEINT first — lift both operand products
+    // so the engines stay aligned at any scale.
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
     val weights = bucketed
       .crossJoin(broadcast(totals))
       .select(col("b"),
-        Q.intDiv(col("ct") * col("nr") * 10000L,
-                 col("cr") * col("nt")).as("w"))
+        Q.intDiv(dec(col("ct")) * dec(col("nr")) * 10000L,
+                 dec(col("cr")) * dec(col("nt"))).as("w"))
     val scores = toks.join(broadcast(weights), "b")
       .groupBy(col("doc_id"), col("lang"))
       .agg(sum(col("w")).as("score"))
