@@ -153,7 +153,11 @@ object ScaleProbe {
         // Round-8 additions: the new heavy pipelines, probed with the
         // same corpus-multiplication scheme.
         ("l41_semdedup_pairs", nE, () => {
-          val (_, assign, _) = SimilarityOps.kmeansFp(e, 8, 2)
+          // k derived from the corpus as the gate does (k = max(8, ⌊√N⌋))
+          // — the r8 probe pinned k = 8 to make the fixed-k quadratic
+          // cluster growth visible; the rule is now the operator.
+          val (_, assign, _) =
+            SimilarityOps.kmeansFp(e, SimilarityOps.semdedupK(nE), 2)
           val withC = e.join(assign, "vec_id")
           val a = withC.select(col("cid"), col("vec_id").as("va"),
                                col("embedding").as("ea"))

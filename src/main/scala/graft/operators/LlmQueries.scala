@@ -854,15 +854,21 @@ object LlmQueries {
     // L41 — SemDeDup-shaped cluster-scoped embedding dedup (Abbas et al.
     // 2023, public): k-means first, then exact cosine near-dup pairs
     // ONLY WITHIN each cluster — the clustering bounds the pair space
-    // (corpus² → Σ cluster²; production picks k ~ √N so expected cluster
-    // width is √N and total pair work is ~linear·√N, vs l10's LSH route —
-    // two scale paths, one pairs contract). Members with a smaller-id
-    // in-cluster neighbor at cosine ≥ 0.9 are "dropped"; the gate
-    // accounts kept/dropped per cluster. The within-cluster join
-    // shuffles on cid, so pair generation parallelizes across clusters.
+    // (corpus² → Σ cluster²). k is DERIVED from the corpus, k = max(8,
+    // ⌊√N⌋) ([[SimilarityOps.semdedupK]]; the r8 verdict's one open
+    // scale-killer — k pinned at 8 made per-cluster pair work quadratic
+    // per doubling), so expected cluster width stays ~√N and total pair
+    // work ~N·√N — vs l10's LSH route: two scale paths, one pairs
+    // contract. Members with a smaller-id in-cluster neighbor at cosine
+    // ≥ 0.9 are "dropped"; the gate accounts kept/dropped per cluster.
+    // The within-cluster join shuffles on cid, so pair generation
+    // parallelizes across clusters. The oracle replays the SAME derived
+    // k from the same COUNT(*) — the rule is part of the declared
+    // semantics, not a tuning knob.
     "l41_semdedup" -> { (s, d) =>
       val e = emb(s, d)
-      val (_, assign, _) = SimilarityOps.kmeansFp(e, 8, 2)
+      val k = SimilarityOps.semdedupK(e.count())
+      val (_, assign, _) = SimilarityOps.kmeansFp(e, k, 2)
       val withC = e.join(assign, "vec_id")
       val a = withC.select(col("cid"), col("vec_id").as("va"),
                            col("embedding").as("ea"))
@@ -1107,15 +1113,18 @@ object LlmQueries {
     * k-smallest-id seeds, exact integer distances (list lambdas), floor-
     * division means, (dist, cid) argmin windows — step-for-step the
     * arithmetic of [[SimilarityOps.kmeansFp]]. `a3` is the final
-    * assignment, `c2` the final centroids.
+    * assignment, `c2` the final centroids. `kSql` is the cluster count as
+    * a SQL expression — a literal for l40's pinned k = 8, the derived
+    * GREATEST(8, ⌊√N⌋) scalar subquery for l41
+    * ([[SimilarityOps.semdedupK]]).
     */
-  private val duckKmeans: String =
-    """fp AS (
+  private def duckKmeans(kSql: String): String =
+    s"""fp AS (
       |  SELECT vec_id,
       |    list_transform(embedding,
       |      x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS v
       |  FROM embeddings),
-      |c0 AS (SELECT vec_id AS cid, v AS c FROM fp WHERE vec_id < 8),
+      |c0 AS (SELECT vec_id AS cid, v AS c FROM fp WHERE vec_id < ($kSql)),
       |d1 AS (
       |  SELECT f.vec_id, c.cid,
       |    CAST(list_sum(list_transform(list_zip(f.v, c.c),
@@ -2239,7 +2248,7 @@ object LlmQueries {
         |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "l40_kmeans" ->
-      s"""WITH $duckKmeans
+      s"""WITH ${duckKmeans("8")}
         |SELECT c2.cid, CAST(COUNT(a3.vec_id) AS BIGINT) AS n_vecs,
         |  CAST(COALESCE(SUM(f.v[1]), 0) AS BIGINT) AS sum_fp0,
         |  c2.c[1] AS centroid_fp0
@@ -2249,7 +2258,8 @@ object LlmQueries {
         |GROUP BY c2.cid, c2.c[1] ORDER BY c2.cid""".stripMargin,
 
     "l41_semdedup" ->
-      s"""WITH $duckKmeans,
+      s"""WITH ${duckKmeans(
+        "SELECT GREATEST(8, CAST(floor(sqrt(COUNT(*))) AS BIGINT)) FROM embeddings")},
         |e AS (SELECT vec_id,
         |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS a
         |      FROM embeddings),

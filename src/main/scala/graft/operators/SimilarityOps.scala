@@ -322,6 +322,19 @@ object SimilarityOps {
     * the assignment's lineage otherwise re-runs `iters` crossJoin rounds
     * per reference.
     */
+  /** SemDeDup cluster count derived from the corpus size: k = max(8, ⌊√N⌋)
+    * (Abbas et al. 2023 pick k ~ √N). With k fixed while the corpus grows,
+    * expected cluster width grows ∝ N/k and the within-cluster pair work
+    * Σ cluster² grows ∝ N²/k — quadratic per doubling (the r8 probe
+    * measured ~2×/doubling at k = 8). Deriving k = ⌊√N⌋ keeps expected
+    * width at √N, so Σ cluster² ≈ N^1.5/√N·√N = N·√N total pair work —
+    * ~1.4×/doubling. Deterministic and engine-replayable: N is an exact
+    * integer, sqrt is one correctly-rounded IEEE op, floor is exact —
+    * DuckDB derives the identical k from the same COUNT(*).
+    */
+  def semdedupK(n: Long): Int =
+    math.max(8, math.floor(math.sqrt(n.toDouble)).toInt)
+
   def kmeansFp(corpus: DataFrame, k: Int, iters: Int)
       : (DataFrame, DataFrame, Seq[(Long, Seq[Long])]) = {
     val s = corpus.sparkSession

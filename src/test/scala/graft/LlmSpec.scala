@@ -523,7 +523,12 @@ class LlmSpec extends SparkSpec {
   test("l41 semdedup drops exactly the higher-id member of every in-cluster cosine pair") {
     val dir = "/root/testdata/sf0.001"
     val e = Tables.load(spark, dir, "embeddings")
-    val (_, assign, _) = SimilarityOps.kmeansFp(e, 8, 2)
+    // The gate derives k = max(8, ⌊√N⌋) — the spec's oracle must cluster
+    // with the identical k or the dropped sets diverge trivially.
+    val k = SimilarityOps.semdedupK(e.count())
+    assert(k == SimilarityOps.semdedupK(500) && k == 22,
+      s"sf0.001 has 500 vectors, semdedupK must be 22; got $k")
+    val (_, assign, _) = SimilarityOps.kmeansFp(e, k, 2)
     val cid = assign.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // Quadratic in-Spark oracle: ALL cosine pairs, then restrict to
     // same-cluster — the dropped set must match the gate's accounting.
