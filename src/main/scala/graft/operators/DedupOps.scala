@@ -137,8 +137,10 @@ object DedupOps {
     * thresholds; high-threshold dedup (t = 0.8) wants r = 4, which also
     * collapses the bucket join cost by ~j_background^2 per band.
     */
-  def lshCandidates(sigs: DataFrame, rowsPerBand: Int = 2): DataFrame = {
+  def lshCandidates(sigs: DataFrame, rowsPerBand: Int = 2,
+                    nBandRows: Long = -1L): DataFrame = {
     require(rowsPerBand >= 1 && rowsPerBand <= 4, "sig weight caps r at 4")
+    val spark = sigs.sparkSession
     val weight = pow(lit(32.0), (col("hk") % rowsPerBand).cast("double"))
       .cast("long")
     val banded = sigs
@@ -157,13 +159,75 @@ object DedupOps {
       // the exchange; round-robin left 80% of the fan-out for the
       // shuffle (measured 18 s of cumulative shuffle write). Hot buckets
       // don't skew this: a bucket's rows carry distinct doc_ids.
-      .repartition(sigs.sparkSession.sparkContext.defaultParallelism,
-                   col("doc_id"))
+      //
+      // TWO-LAYOUT SPLIT (r8 probe finding, SURVEY §5.2): this banding /
+      // partial-distinct stage wants FEW, LARGE partitions — the
+      // map-side collapse needs a pair's per-band duplicate rows in the
+      // same task, so over-partitioning trades away exactly the collapse
+      // (measured: the 8× rung DEGRADED 119 → 236 s at 256 session
+      // shuffle partitions). The layout is therefore PINNED to the
+      // coarse core count here, session-independent; the pipeline runs
+      // under [[withWideAqe]], so every downstream planner-inserted
+      // exchange sizes itself from measured bytes instead. The collapse
+      // itself depends on the build
+      // side broadcasting (a broadcast join preserves the streamed
+      // side's doc_id partitioning), which Catalyst cannot decide itself
+      // — aggregate stats are unknown — so the operator decides from the
+      // EXACT row count (every doc carries every band, nBandRows =
+      // |docs|·bands, pure arithmetic: no action, the pipeline stays
+      // fused); past the threshold the fallback shuffled join lets AQE
+      // own the bucket-join layout (collapse lost, scale kept).
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
     val a = banded.select(col("doc_id").as("da"), col("band"), col("sig"))
     val b = banded.select(col("doc_id").as("db"), col("band"), col("sig"))
-    a.join(b, Seq("band", "sig"))
-      .filter(col("da") < col("db"))
+    val joined =
+      if (nBandRows >= 0 && nBandRows * 48L <= broadcastThreshold(spark))
+        a.join(broadcast(b), Seq("band", "sig"))
+      else a.join(b, Seq("band", "sig"))
+    joined.filter(col("da") < col("db"))
       .select("da", "db").distinct()
+  }
+
+  /** The session's auto-broadcast threshold in bytes (the same knob
+    * Catalyst uses), for operators that make exact-arithmetic broadcast
+    * decisions on frames whose statistics Catalyst cannot see through
+    * (aggregates).
+    */
+  private def broadcastThreshold(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+      .map(_.replace("b", "").replace("B", ""))
+      .flatMap(s => scala.util.Try(s.toLong).toOption)
+      .getOrElse(10L * 1024 * 1024)
+
+  /** Run `body` — which must EXECUTE its heavy work before returning
+    * (every near-dup pipeline here ends in an eager [[materialize]]) —
+    * with AQE's INITIAL shuffle width raised to 256, so byte-aware
+    * coalescing OWNS every planner-inserted exchange instead of
+    * inheriting the session's pinned width.
+    *
+    * This is the r8 verdict's l25 fix, generalized: per-task memory is
+    * fixed while candidate volume grows superlinearly with the corpus,
+    * so any exchange pinned at the session width is a latent OOM — the
+    * 8× probe rung died with SparkOutOfMemory sorting the array-attached
+    * verify stream through 32 partitions, and l2's 8× rung ran 2.7×
+    * faster at 256. Raising `initialPartitionNum` (not the session
+    * width) lets AQE start fine-grained and coalesce DOWN by measured
+    * bytes — at 1× every exchange lands at the same ~32 partitions as
+    * before (parallelismFirst targets the core count), at 8× the
+    * byte-heavy exchanges keep the width they need. User-specified
+    * repartitions (the pinned-coarse banding layout, the verify spread)
+    * are untouched by AQE, so the two-layout split survives. Set/restore
+    * is session-scoped and exception-safe.
+    */
+  private def withWideAqe[A](spark: org.apache.spark.sql.SparkSession)(body: => A): A = {
+    val key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "256")
+    try body
+    finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
   }
 
   /** Exact-Jaccard verification. With `allCandidates=true` computes all
@@ -205,16 +269,13 @@ object DedupOps {
             .as("jaccard"))
     }
     val spark = sh.sparkSession
-    val nParts = spark.sparkContext.defaultParallelism
     val sets = sh.groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("code"))).as("codes"))
       .persist()
     // Measured (not estimated) broadcast decision: 8 bytes per code plus
     // per-row overhead, against the session's broadcast threshold. The two
     // driver actions run over the now-cached sets frame.
-    val bcThreshold = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
-      .map(_.replace("b", "").replace("B", "")).flatMap(s => scala.util.Try(s.toLong).toOption)
-      .getOrElse(10L * 1024 * 1024)
+    val bcThreshold = broadcastThreshold(spark)
     val Array(nDocs, nCodes) = sets
       .agg(count(lit(1)), sum(size(col("codes")))).head().toSeq
       .map(v => Option(v).fold(0L)(_.toString.toLong)).toArray
@@ -235,7 +296,16 @@ object DedupOps {
     val sizesDf = sets.select(col("doc_id"), size(col("codes")).cast("long").as("nsh"))
     val attachSz: DataFrame => DataFrame =
       if (nDocs * 24L <= bcThreshold) broadcast else identity
-    val repartitioned = candidates.repartition(nParts, col("da"))
+    // The CPU-heavy verify spread: the candidate rows are tiny in bytes,
+    // so AQE's byte-aware coalescing would squash them into a few tasks —
+    // the explicit da repartition pins full-CPU width for the intersects.
+    // Memory safety at scale comes from the CALLERS running under
+    // [[withWideAqe]]: every planner-inserted exchange downstream (the
+    // shuffled-attach joins whose array-attached rows ARE byte-heavy)
+    // starts fine-grained and coalesces by measured bytes instead of
+    // inheriting a pinned session width (the r8 l25 OOM).
+    val repartitioned = candidates
+      .repartition(spark.sparkContext.defaultParallelism, col("da"))
     val lenFiltered = if (!lengthFilter) repartitioned else repartitioned
       .join(attachSz(sizesDf.select(col("doc_id").as("da"), col("nsh").as("na"))), "da")
       .join(attachSz(sizesDf.select(col("doc_id").as("db"), col("nsh").as("nb"))), "db")
@@ -303,7 +373,14 @@ object DedupOps {
       .withColumn("r", row_number().over(byRarity))
       .withColumn("nsh", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
       .persist()
-    try {
+    // withWideAqe (the r8 verdict's l25 fix): the candidate join and the
+    // array-attached verify exchanges inherit NO pinned width — volumes
+    // here grow superlinearly with the corpus (the 8× probe rung DNF'd
+    // with SparkOutOfMemory sorting through the session's 32 partitions,
+    // completed at 256), so every planner-inserted exchange starts
+    // fine-grained and AQE coalesces it to the width its MEASURED bytes
+    // need; at 1× that lands on the same ~core-count layout as before.
+    try withWideAqe(docs.sparkSession) {
       val prefix = ranked
         .filter(col("r") <=
           col("nsh") - expr(s"(nsh * ${T}L + 999999L) div 1000000L") + 1)
@@ -344,8 +421,13 @@ object DedupOps {
                    n: Int = 3, numHashes: Int = 64,
                    rowsPerBand: Int = 2): DataFrame = {
     val sh = shingles(docs, n).persist()
-    try {
-      val cand = lshCandidates(minhashSignatures(sh, numHashes), rowsPerBand)
+    try withWideAqe(docs.sparkSession) {
+      // Exact banded-frame size by arithmetic (every doc carries every
+      // band) — drives lshCandidates' broadcast decision without an
+      // action; the doc count itself is a metadata-cheap scan.
+      val nBandRows = docs.count() * (numHashes / rowsPerBand)
+      val cand = lshCandidates(minhashSignatures(sh, numHashes), rowsPerBand,
+                               nBandRows)
       // verifyJaccard materializes its (tiny) output eagerly — nothing
       // downstream re-executes the candidate join.
       verifyJaccard(sh, allCandidates = false, candidates = cand,
@@ -504,9 +586,17 @@ object DedupOps {
     // lengthFilter off: the PPJoin length bound above already pruned the
     // candidate stream at generation — re-checking it in the verify stage
     // would pay two size joins to discard nothing.
-    try verifyJaccard(sh, allCandidates = false, candidates = cand,
-                      threshold = threshold, lengthFilter = false)
-    finally {
+    //
+    // withWideAqe: the candidate self-join's volume grows superlinearly
+    // with the corpus (the 8× probe measured 244 s at the pinned session
+    // width vs ~90 s at 256) — AQE's byte-aware coalescing from a
+    // fine-grained start gives every planner-inserted exchange the width
+    // its measured volume needs, at 1× landing on the same ~core-count
+    // layout as before.
+    try withWideAqe(docs.sparkSession) {
+      verifyJaccard(sh, allCandidates = false, candidates = cand,
+                    threshold = threshold, lengthFilter = false)
+    } finally {
       prefix.unpersist(blocking = false)
       sh.unpersist(blocking = false)
     }
