@@ -99,16 +99,21 @@ object Bench {
       Seq(50, 100, 200, 400).map { n =>
         (s"m1_sweep_$n", (s: SparkSession, _: String) =>
           MatrixOps.multiply(MatrixGen.matA(s, n, n), MatrixGen.matB(s, n, n)))
-      } ++ Seq(1000, 2000).map { n =>
+      } ++ Seq(1000, 2000, 4000).map { n =>
         // Path choice is the planner's (block GEMM at these sizes —
         // MatMulPlanSpec); block size is the physical tuning knob: tile
         // replication in the pair join AND the partial-tile shuffle both
         // scale linearly with grid width n/bs, so pick the smallest grid
         // that still saturates the cores (grid² pairs ≥ ~2·parallelism;
-        // bs = n/8 → 512 pairs ≥ 64).
+        // bs = n/8 → 512 pairs ≥ 64) — UNTIL the dense tile arrays hit
+        // task memory: three bs² LONG arrays per tile multiply grow as
+        // (n/8)², so past n = 8192 the tile caps at 1024 (3·8 MB/task)
+        // and the grid widens instead ([[MatrixOps.sweepTile]] — the
+        // size-derived bs rule the r8 verdict asked to pin down).
         (s"m1_sweep_$n", (s: SparkSession, _: String) =>
           MatrixOps.multiplyPlanned(MatrixGen.matA(s, n, n),
-                                    MatrixGen.matB(s, n, n), bs = n / 8))
+                                    MatrixGen.matB(s, n, n),
+                                    bs = MatrixOps.sweepTile(n)))
       }
 
     val everything = SparkEntry.queries.toSeq.sortBy(_._1) ++ sweep

@@ -180,10 +180,21 @@ object DedupOps {
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
     val a = banded.select(col("doc_id").as("da"), col("band"), col("sig"))
     val b = banded.select(col("doc_id").as("db"), col("band"), col("sig"))
+    // The build side is three LONGs per (doc, band) row — 48 bytes — so
+    // the broadcast stays viable far past the session's dim-table
+    // threshold (10 MB ≈ 200k docs at 16 bands): the operator caps it at
+    // 256 MB (~5M docs' bands), because losing the broadcast loses the
+    // SYSTEMATIC map-side collapse (the r9 re-probe measured the SMJ
+    // fallback's collapse as width-coincidental: 119 s at 32 partitions,
+    // 213 s at AQE-fine width, vs the collapse-preserving broadcast
+    // plan). Past the cap, the fallback is a shuffled HASH join — the
+    // build side per partition is tiny and the 119M-row fan-out side
+    // must never be SORTED (SMJ's per-task sort of the fan-out is pure
+    // waste for an equi-join whose output feeds a hash aggregate).
     val joined =
-      if (nBandRows >= 0 && nBandRows * 48L <= broadcastThreshold(spark))
+      if (nBandRows >= 0 && nBandRows * 48L <= (256L << 20))
         a.join(broadcast(b), Seq("band", "sig"))
-      else a.join(b, Seq("band", "sig"))
+      else a.join(b.hint("shuffle_hash"), Seq("band", "sig"))
     joined.filter(col("da") < col("db"))
       .select("da", "db").distinct()
   }
@@ -280,8 +291,15 @@ object DedupOps {
       .agg(count(lit(1)), sum(size(col("codes")))).head().toSeq
       .map(v => Option(v).fold(0L)(_.toString.toLong)).toArray
     val estBytes = nCodes * 8L + nDocs * 32L
+    // Shuffled regime: a HASH join, never sort-merge — the probe's 8×
+    // OOM was SMJ sorting the array-attached candidate stream (1.5 KB+
+    // rows) through partitions AQE could no longer split (it only merges
+    // below the initial width). A shuffled hash join builds its per-
+    // partition map from the SETS side (small at any width) and STREAMS
+    // the candidate side unsorted — memory safety stops depending on
+    // partition count entirely.
     val attach: DataFrame => DataFrame =
-      if (estBytes <= bcThreshold) broadcast else identity
+      if (estBytes <= bcThreshold) broadcast else _.hint("shuffle_hash")
     // LENGTH FILTER before the code-set joins (the PPJoin size bound the
     // prefix path applies at DedupOps.containmentPairs): J(a,b) ≥ t forces
     // min(na,nb) ≥ t·max(na,nb), so a banded candidate whose set sizes
@@ -295,7 +313,7 @@ object DedupOps {
     val T = math.floor(threshold * 1e6).toLong
     val sizesDf = sets.select(col("doc_id"), size(col("codes")).cast("long").as("nsh"))
     val attachSz: DataFrame => DataFrame =
-      if (nDocs * 24L <= bcThreshold) broadcast else identity
+      if (nDocs * 24L <= bcThreshold) broadcast else _.hint("shuffle_hash")
     // The CPU-heavy verify spread: the candidate rows are tiny in bytes,
     // so AQE's byte-aware coalescing would squash them into a few tasks —
     // the explicit da repartition pins full-CPU width for the intersects.
@@ -397,9 +415,22 @@ object DedupOps {
         .select("xa", "xb", "na", "nb").distinct()
       val sets = ranked.groupBy(col("doc_id"))
         .agg(sort_array(collect_list(col("code"))).as("codes"))
+      // Measured attach decision (the [[verifyJaccard]] rule): broadcast
+      // the code-set frame while it fits — Catalyst can't see through the
+      // collect_list aggregate to make that call — and past the
+      // threshold a hash-join attach, never SMJ: the candidate stream
+      // with arrays attached must not be SORTED (the probe's 8× OOM);
+      // the sets build side stays small per partition at any width.
+      val Array(nDocsL, nCodesL) = ranked
+        .agg(countDistinct(col("doc_id")), count(lit(1))).head().toSeq
+        .map(v => Option(v).fold(0L)(_.toString.toLong)).toArray
+      val attach: DataFrame => DataFrame =
+        if (nCodesL * 8L + nDocsL * 32L <= broadcastThreshold(docs.sparkSession))
+          broadcast
+        else _.hint("shuffle_hash")
       val result = candidates
-        .join(sets.select(col("doc_id").as("xa"), col("codes").as("ca")), "xa")
-        .join(sets.select(col("doc_id").as("xb"), col("codes").as("cb")), "xb")
+        .join(attach(sets.select(col("doc_id").as("xa"), col("codes").as("ca"))), "xa")
+        .join(attach(sets.select(col("doc_id").as("xb"), col("codes").as("cb"))), "xb")
         .select(col("xa"), col("xb"), col("na"), col("nb"),
           graft.functions.SortedIntersectCount(col("ca"), col("cb")).as("c"))
         .filter(col("c") * 1000000L >= col("na") * T)

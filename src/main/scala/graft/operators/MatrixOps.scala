@@ -145,6 +145,18 @@ object MatrixOps {
     * [[multiply]]; the dispatch moves from the caller's `denseHint` into
     * the planner, where Spark makes its own join-strategy calls.
     */
+  /** Size-derived tile width for dense n×n block GEMM: the smallest grid
+    * that saturates the cores (n/8 ⇒ an 8×8 grid, 512 contraction tile
+    * pairs ≥ 2·32 cores) until the tile's three dense bs² LONG arrays hit
+    * per-task memory — bs caps at 1024 (3·8 MB per in-flight tile
+    * multiply, safe at 32 concurrent tasks), and past n = 8192 the GRID
+    * widens instead: per-task memory stays constant while tile-pair
+    * parallelism grows as (n/1024)³ — the dimension a cluster actually
+    * scales with. (Uncapped, bs = n/8 is a latent task OOM: 64k² would
+    * demand 3·512 MB arrays per task.)
+    */
+  def sweepTile(n: Int): Int = math.max(1, math.min(n / 8, 1024))
+
   def multiplyPlanned(a: DataFrame, b: DataFrame, bs: Int = 128): DataFrame =
     org.apache.spark.sql.GraftSqlShim.ofRows(a.sparkSession,
       graft.plans.MatMul.node(

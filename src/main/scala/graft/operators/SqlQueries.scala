@@ -379,6 +379,23 @@ object SqlQueries {
       finally prev.fold(s.conf.unset(key))(s.conf.set(key, _))
     },
 
+    // SQL24 — STATISTICS-DRIVEN PLANNING (the r8 verdict's last
+    // first-order 100 TB lever with no gate): `ANALYZE TABLE ... COMPUTE
+    // STATISTICS FOR COLUMNS` + `spark.sql.cbo.enabled` +
+    // `spark.sql.cbo.joinReorder.enabled` re-ORDER a deliberately
+    // mis-written star join. The statement joins the fact to orders
+    // first — left-deep (lineitem ⋈ orders) ⋈ customer — while the
+    // 'BUILDING' filter makes orders ⋈ customer the small pair; with row
+    // counts and column stats in the catalog, Catalyst's
+    // CostBasedJoinReorder rewrites to the cheap order, and without CBO
+    // the written order stands (both plans asserted by EngineSqlSpec).
+    // The 100 TB story: hints (sql20) are the escape hatch when stats
+    // are stale, ANALYZE + CBO is the steady state — statistics are how
+    // the planner sees a selective dim filter BEFORE paying the fact
+    // shuffle. The result is plan-invariant — the hash gate pins it to
+    // the plain-join oracle; only the plan moves.
+    "sql24_cbo_reorder" -> { (s, d) => cboReorder(s, d) },
+
     // SQL17 — PIVOT through the parser (r20 proves the DataFrame route;
     // the SQL clause is the warehouse-report spelling). Explicit value
     // list with aliases ⇒ one conditional-aggregate pass, no
@@ -585,6 +602,19 @@ object SqlQueries {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // The CTAS copies are verbatim column projections of the fixture
+    // tables, so the oracle is the plain star join on the originals —
+    // statistics change the PLAN, never the result.
+    "sql24_cbo_reorder" ->
+      """SELECT o.o_orderstatus AS status, COUNT(*) AS n,
+        |  CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100
+        |                AS BIGINT)) AS BIGINT) AS cents
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // Replays the pivot as conditional aggregation — SUM over zero rows
     // is NULL on both engines, matching PIVOT's missing-cell contract.
     "sql17_pivot" ->
@@ -701,6 +731,67 @@ object SqlQueries {
     * always DROP on the way out. `body` must materialize its result
     * (localCheckpoint) — the table is gone when it returns.
     */
+  /** The sql24 dataflow, parameterized so EngineSqlSpec can run it with
+    * and without CBO and inspect the (pre-checkpoint) plan via `inspect`.
+    * Three scratch catalog tables are CTAS'd from the fixture views
+    * (temp views cannot carry catalog statistics — ANALYZE needs real
+    * tables), column-projected to what the query touches, ANALYZE'd with
+    * column stats on the join keys and the filter column, then the star
+    * query runs under query-scoped CBO confs. Tables and confs are
+    * restored on every path.
+    */
+  def cboReorder(s: SparkSession, d: String, cbo: Boolean = true,
+                 inspect: DataFrame => Unit = _ => ()): DataFrame = {
+    graft.Engine.registerViews(s, d)
+    val tag = java.lang.Integer.toHexString(d.hashCode & 0x7fffffff) +
+      "p" + java.lang.Long.toHexString(ProcessHandle.current().pid())
+    val tmp = System.getProperty("java.io.tmpdir")
+    val tables = Seq(
+      ("graft_cbo_l_" + tag,
+       "SELECT l_orderkey, l_extendedprice FROM lineitem"),
+      ("graft_cbo_o_" + tag,
+       "SELECT o_orderkey, o_custkey, o_orderstatus FROM orders"),
+      ("graft_cbo_c_" + tag,
+       "SELECT c_custkey, c_mktsegment FROM customer"))
+    val analyzeCols = Map(
+      0 -> "l_orderkey", 1 -> "o_orderkey, o_custkey",
+      2 -> "c_custkey, c_mktsegment")
+    def drop(): Unit = tables.foreach { case (t, _) =>
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      graft.streaming.EventStreams.deleteRecursively(
+        java.nio.file.Paths.get(s"$tmp/$t"))
+    }
+    drop()
+    try {
+      tables.zipWithIndex.foreach { case ((t, sel), i) =>
+        s.sql(s"CREATE TABLE $t USING parquet LOCATION '$tmp/$t' AS $sel")
+        // FOR COLUMNS computes table stats (rowCount/sizeInBytes) AND the
+        // per-column NDV/min/max the filter-selectivity estimator needs.
+        s.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR COLUMNS ${analyzeCols(i)}")
+      }
+      val Seq(lt, ot, ct) = tables.map(_._1)
+      val confs = Seq("spark.sql.cbo.enabled" -> cbo.toString,
+                      "spark.sql.cbo.joinReorder.enabled" -> cbo.toString)
+      val prior = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        val df = s.sql(
+          s"""SELECT o.o_orderstatus AS status, COUNT(*) AS n,
+             |  CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100
+             |                AS BIGINT)) AS BIGINT) AS cents
+             |FROM $lt l
+             |JOIN $ot o ON l.l_orderkey = o.o_orderkey
+             |JOIN $ct c ON o.o_custkey = c.c_custkey
+             |WHERE c.c_mktsegment = 'BUILDING'
+             |GROUP BY 1 ORDER BY 1""".stripMargin)
+        inspect(df)
+        df.localCheckpoint(true)
+      } finally prior.foreach { case (k, v) =>
+        v.fold(s.conf.unset(k))(s.conf.set(k, _))
+      }
+    } finally drop()
+  }
+
   private def withScratchTable(
       s: SparkSession, d: String, prefix: String)(
       body: (String, String) => DataFrame): DataFrame = {

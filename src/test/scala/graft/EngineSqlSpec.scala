@@ -78,6 +78,34 @@ class EngineSqlSpec extends SparkSpec {
     } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
   }
 
+  test("sql24: ANALYZE + CBO reorders the mis-written star join; without CBO the written order stands") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    // The innermost Join of the optimized plan names the pair Catalyst
+    // chose to evaluate first. Written order is (lineitem ⋈ orders) ⋈
+    // customer; with catalog stats + CBO the cheap pair is the filtered
+    // orders ⋈ customer.
+    def bottomPair(df: org.apache.spark.sql.DataFrame): (Boolean, Boolean, Boolean) = {
+      val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+      assert(joins.nonEmpty, s"no joins in\n${df.queryExecution.optimizedPlan}")
+      val s = joins.last.toString  // pre-order collect → last = innermost
+      (s.contains("graft_cbo_l_"), s.contains("graft_cbo_o_"),
+       s.contains("graft_cbo_c_"))
+    }
+    var withCbo: (Boolean, Boolean, Boolean) = null
+    var withoutCbo: (Boolean, Boolean, Boolean) = null
+    val on = graft.operators.SqlQueries
+      .cboReorder(spark, sfDir, cbo = true, inspect = df => withCbo = bottomPair(df))
+    val off = graft.operators.SqlQueries
+      .cboReorder(spark, sfDir, cbo = false, inspect = df => withoutCbo = bottomPair(df))
+    assert(withCbo == ((false, true, true)),
+           s"CBO must join orders ⋈ customer first, got $withCbo")
+    assert(withoutCbo == ((true, true, false)),
+           s"without CBO the written (lineitem ⋈ orders) order must stand, got $withoutCbo")
+    // Plan-invariance: both runs produce identical rows (the hash gate's
+    // contract — statistics move the plan, never the result).
+    assert(on.collect().toSeq == off.collect().toSeq)
+  }
+
   test("registerViews: one statement per view returns rows") {
     Engine.registerViews(spark, sfDir)
     Tables.names.foreach { n =>

@@ -49,6 +49,38 @@ class GraphPropSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("connectedComponents walks CYCLIC graphs (the sql8 recursion boundary)") {
+    // sql8's WITH RECURSIVE is UNION ALL-only in the pinned Spark (the
+    // 4.1.2 parser raises UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE), so a
+    // cyclic-graph walk through SQL recursion would never terminate —
+    // the DataFrame fixpoint (pointer-jumping CC) is the engine's
+    // declared path for cyclic closures (PageRank-style walks, BOM
+    // explosion with cycles). This pins the boundary with the canonical
+    // cyclic shapes SQL recursion cannot take: a pure ring, two rings
+    // bridged by one edge, and a ring with a chord (multiple cycles
+    // through one node).
+    val cases = Seq(
+      // 6-ring: one component, every node labeled 0.
+      (6L, (0L until 6L).map(i => (math.min(i, (i + 1) % 6),
+                                   math.max(i, (i + 1) % 6)))),
+      // Two 4-rings 0-3 and 4-7 bridged by (3,4): one component.
+      (8L, ((0L until 4L).map(i => (math.min(i, (i + 1) % 4),
+                                    math.max(i, (i + 1) % 4))) ++
+            (0L until 4L).map(i => (math.min(4 + i, 4 + (i + 1) % 4),
+                                    math.max(4 + i, 4 + (i + 1) % 4))) :+
+            (3L, 4L)).distinct),
+      // 5-ring with a chord (1,3) plus an isolated node 5.
+      (6L, ((0L until 5L).map(i => (math.min(i, (i + 1) % 5),
+                                    math.max(i, (i + 1) % 5))) :+
+            (1L, 3L)).distinct))
+    cases.foreach { case (n, edges) =>
+      val nodes = (0L until n).map(i => (i, "")).toDF("doc_id", "text")
+      val got = DedupOps.connectedComponents(nodes, edges.toDF("da", "db"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == unionFind(n, edges), s"cyclic case n=$n edges=$edges")
+    }
+  }
+
   /** Reference triangle participation: brute-force over all node triples. */
   private def naiveTriangles(edges: Seq[(Long, Long)]): Map[Long, Long] = {
     val es = edges.toSet
