@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
-import graft.functions.ZOrder2
+import graft.functions.{Hilbert2, ZOrder2}
 import graft.sources.LayoutOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -378,6 +378,37 @@ object IoQueries {
              sum(col("qty")).cast("double").as("sum_qty"),
              max(col("zv")).as("max_zv"))
         .orderBy("l_partkey")
+    },
+
+    // IO24 — HILBERT-curve clustered layout (round 9): io12's multi-
+    // dimensional clustering with the curve production layouts
+    // (Iceberg/Delta) prefer for RANGE predicates — consecutive Hilbert
+    // distances are always grid neighbors (unit steps, no Morton seams
+    // where the curve jumps across the keyspace), so equal-size files
+    // carry tighter (partkey, suppkey) bounding boxes than the z-sort
+    // and range scans on EITHER key touch fewer files (LayoutSpec
+    // asserts the boxes and the curve's bijective unit-step property).
+    // The hashed contract: the rewrite is lossless and the native
+    // `hilbert2` distances ([[graft.functions.Hilbert2]], codegen'd
+    // per-bit quadrant walk) match the oracle's 16-step recursive-CTE
+    // replay bit-for-bit. Filter on the SECOND key — the axis a
+    // single-column sort cannot serve.
+    "io24_hilbert_layout" -> { (s, d) =>
+      val path = scratch("hilbert", d)
+      Tables.load(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+                col("l_suppkey"), Q.dec2(col("l_quantity")).as("qty"))
+        .withColumn("hv", Hilbert2(col("l_partkey"), col("l_suppkey")))
+        .repartitionByRange(8, col("hv"))
+        .sortWithinPartitions("hv")
+        .write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
+        .filter(col("l_suppkey") < 40)
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("qty")).cast("double").as("sum_qty"),
+             max(col("hv")).as("max_hv"))
+        .orderBy("l_suppkey")
     },
 
     // IO11 — the `_metadata` hidden file-source column: per-source-file
@@ -794,6 +825,43 @@ object IoQueries {
         |  CAST(SUM(qty) AS DOUBLE) AS sum_qty,
         |  MAX(zv) AS max_zv
         |FROM z WHERE l_partkey < 100
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // 16-step recursive-CTE replay of Hilbert2Util.xy2d: per distinct
+    // key pair, each step examines bit plane s = 2^(15-step), adds
+    // s²·((3·rx) XOR ry), and reflects(65535−·)/transposes the frame
+    // when ry = 0 — every intermediate a plain non-negative BIGINT, so
+    // the arithmetic is identical on both engines.
+    "io24_hilbert_layout" ->
+      """WITH RECURSIVE pts AS (
+        |  SELECT DISTINCT CAST(l_partkey AS BIGINT) & 65535 AS px,
+        |                  CAST(l_suppkey AS BIGINT) & 65535 AS py
+        |  FROM lineitem WHERE l_suppkey < 40),
+        |hsteps(px, py, step, x, y, d) AS (
+        |  SELECT px, py, 0, px, py, CAST(0 AS BIGINT) FROM pts
+        |  UNION ALL
+        |  SELECT px, py, step + 1,
+        |    CASE WHEN (y & (CAST(1 AS BIGINT) << CAST(15 - step AS INTEGER))) > 0 THEN x
+        |         WHEN (x & (CAST(1 AS BIGINT) << CAST(15 - step AS INTEGER))) > 0 THEN 65535 - y
+        |         ELSE y END,
+        |    CASE WHEN (y & (CAST(1 AS BIGINT) << CAST(15 - step AS INTEGER))) > 0 THEN y
+        |         WHEN (x & (CAST(1 AS BIGINT) << CAST(15 - step AS INTEGER))) > 0 THEN 65535 - x
+        |         ELSE x END,
+        |    d + (CAST(1 AS BIGINT) << CAST(15 - step AS INTEGER))
+        |      * (CAST(1 AS BIGINT) << CAST(15 - step AS INTEGER))
+        |      * xor(CASE WHEN (x & (CAST(1 AS BIGINT) << CAST(15 - step AS INTEGER))) > 0
+        |                 THEN CAST(3 AS BIGINT) ELSE 0 END,
+        |            CASE WHEN (y & (CAST(1 AS BIGINT) << CAST(15 - step AS INTEGER))) > 0
+        |                 THEN CAST(1 AS BIGINT) ELSE 0 END)
+        |  FROM hsteps WHERE step < 16),
+        |hv AS (SELECT px, py, d AS hv FROM hsteps WHERE step = 16)
+        |SELECT l.l_suppkey, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  MAX(hv.hv) AS max_hv
+        |FROM lineitem l
+        |JOIN hv ON (CAST(l.l_partkey AS BIGINT) & 65535) = hv.px
+        |       AND (CAST(l.l_suppkey AS BIGINT) & 65535) = hv.py
+        |WHERE l.l_suppkey < 40
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "io11_file_metadata" ->
       """SELECT 'orders.parquet' AS file_name, COUNT(*) AS n_rows FROM orders

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{NfcNormalize, PolyTokenHash, RollingMinHash, SortedIntersectCount, SrpBands, VecDot, WordNgramsGen, ZOrder2}
+import graft.functions.{Hilbert2, NfcNormalize, PolyTokenHash, RollingMinHash, SortedIntersectCount, SrpBands, VecDot, WordNgramsGen, ZOrder2}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -31,6 +31,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "z_order2 expects exactly 2 arguments")
         ZOrder2(children(0), children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("hilbert2"),
+      new ExpressionInfo(classOf[Hilbert2].getName, "hilbert2"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "hilbert2 expects exactly 2 arguments")
+        Hilbert2(children(0), children(1))
       }))
     ext.injectFunction((
       new FunctionIdentifier("nfc_normalize"),

@@ -234,6 +234,57 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("io24: hilbert2 is a bijective unit-step curve; the layout bounds BOTH dims per file") {
+    import graft.functions.{Hilbert2, Hilbert2Util}
+    // Pinned distances of the order-16 curve (cross-checked against an
+    // independent Python implementation of the same per-bit walk).
+    val cases = Seq((0L, 0L, 0L), (1L, 0L, 1L), (1L, 1L, 2L), (0L, 1L, 3L),
+                    (13L, 7L, 206L), (63L, 63L, 2730L),
+                    (65535L, 65535L, 2863311530L),
+                    (65535L, 0L, 4294967295L), (0L, 65535L, 1431655765L))
+    cases.foreach { case (a, b, h) =>
+      assert(Hilbert2Util.xy2d(a, b) == h, s"h($a,$b)")
+    }
+    // The [0,64)² corner of the order-16 curve is its FIRST segment:
+    // bijective onto [0,4096) and every consecutive pair of distances is
+    // a grid NEIGHBOR (|dx|+|dy| = 1) — the locality property Morton
+    // order lacks (z-curves jump across the keyspace at quadrant seams).
+    val corner = (for (x <- 0 until 64; y <- 0 until 64)
+      yield Hilbert2Util.xy2d(x, y) -> (x, y)).toMap
+    assert(corner.keySet == (0 until 4096).map(_.toLong).toSet,
+           "corner must be bijective onto [0, 4096)")
+    (0L until 4095L).foreach { i =>
+      val (x0, y0) = corner(i); val (x1, y1) = corner(i + 1)
+      assert(math.abs(x0 - x1) + math.abs(y0 - y1) == 1,
+             s"step $i -> ${i + 1} is not a unit move")
+    }
+    // Unit-step locality ⇒ every hv-range file covers a CONNECTED curve
+    // segment of ~512 cells, whose bounding box in (x, y) is small —
+    // range predicates on either key skip most files.
+    import spark.implicits._
+    val grid = spark.range(64 * 64)
+      .select(($"id" % 64).as("x"), ($"id" / 64).cast("long").as("y"))
+    val out = java.nio.file.Files.createTempDirectory("graft-hilbert").toString
+    grid.withColumn("hv", Hilbert2($"x", $"y"))
+      .repartitionByRange(8, $"hv").sortWithinPartitions("hv")
+      .write.mode("overwrite").parquet(out)
+    val boxes = spark.read.parquet(out)
+      .groupBy(col("_metadata.file_name").as("f"))
+      .agg(min("x").as("x0"), max("x").as("x1"),
+           min("y").as("y0"), max("y").as("y1"))
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(boxes.length == 8)
+    boxes.foreach { case (x0, x1, y0, y1) =>
+      // A contiguous 512-cell Hilbert segment fits in a box no larger
+      // than 32×48 on a 64-grid; assert the conservative bound that both
+      // extents stay at or under half+16 of the axis — far tighter than
+      // a single-column sort (which spans a full axis in every file).
+      assert(x1 - x0 <= 48 && y1 - y0 <= 48,
+        s"hilbert file box ($x0..$x1, $y0..$y1) is not locality-bounded")
+    }
+  }
+
   test("io22: sorted small-block layout yields many row groups with tight, ordered date stats") {
     val path = IoQueries.writeRowGrouped(spark, dir)
     val file = new java.io.File(path).listFiles
