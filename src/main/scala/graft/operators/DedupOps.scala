@@ -199,6 +199,13 @@ object DedupOps {
       .select("da", "db").distinct()
   }
 
+  /** Operator-level broadcast cap for per-doc code-set frames in the
+    * verify stages (8 B/code): shipping the candidate stream with arrays
+    * attached costs ~50× the sets frame, so the break-even sits far past
+    * the session's dim-table threshold.
+    */
+  private val AttachBroadcastCap: Long = 512L << 20
+
   /** The session's auto-broadcast threshold in bytes (the same knob
     * Catalyst uses), for operators that make exact-arithmetic broadcast
     * decisions on frames whose statistics Catalyst cannot see through
@@ -291,15 +298,24 @@ object DedupOps {
       .agg(count(lit(1)), sum(size(col("codes")))).head().toSeq
       .map(v => Option(v).fold(0L)(_.toString.toLong)).toArray
     val estBytes = nCodes * 8L + nDocs * 32L
-    // Shuffled regime: a HASH join, never sort-merge — the probe's 8×
-    // OOM was SMJ sorting the array-attached candidate stream (1.5 KB+
-    // rows) through partitions AQE could no longer split (it only merges
-    // below the initial width). A shuffled hash join builds its per-
-    // partition map from the SETS side (small at any width) and STREAMS
-    // the candidate side unsorted — memory safety stops depending on
-    // partition count entirely.
+    // The attach broadcasts up to an OPERATOR cap of 512 MB — far past
+    // the session's 10 MB dim threshold — because the alternative ships
+    // the candidate stream WITH ARRAYS ATTACHED (1.5 KB+ per row, ~50×
+    // the sets frame) through an exchange: the r9 probe measured the
+    // shuffled-attach 8× rung disk-bound at ~24 GB of spill (431 s)
+    // while the sets frame it was avoiding broadcasting was 61 MB.
+    // Per-doc code sets are 8 B/code, so the cap covers ~300M corpus
+    // shingle codes; past it, the fallback is a shuffled HASH join,
+    // never sort-merge — SMJ sorting the array-attached stream through
+    // partitions AQE could no longer split (it only merges below the
+    // initial width) was the 8× OOM. The hash join builds its per-
+    // partition map from the sets side (small at any width) and STREAMS
+    // the candidate side unsorted — memory-safe at any partition count,
+    // disk-bandwidth-bound by the attached stream (the honest 100 TB
+    // cost once per-doc sets outgrow cluster broadcast).
     val attach: DataFrame => DataFrame =
-      if (estBytes <= bcThreshold) broadcast else _.hint("shuffle_hash")
+      if (estBytes <= math.max(bcThreshold, AttachBroadcastCap)) broadcast
+      else _.hint("shuffle_hash")
     // LENGTH FILTER before the code-set joins (the PPJoin size bound the
     // prefix path applies at DedupOps.containmentPairs): J(a,b) ≥ t forces
     // min(na,nb) ≥ t·max(na,nb), so a banded candidate whose set sizes
@@ -415,17 +431,20 @@ object DedupOps {
         .select("xa", "xb", "na", "nb").distinct()
       val sets = ranked.groupBy(col("doc_id"))
         .agg(sort_array(collect_list(col("code"))).as("codes"))
-      // Measured attach decision (the [[verifyJaccard]] rule): broadcast
-      // the code-set frame while it fits — Catalyst can't see through the
-      // collect_list aggregate to make that call — and past the
-      // threshold a hash-join attach, never SMJ: the candidate stream
-      // with arrays attached must not be SORTED (the probe's 8× OOM);
-      // the sets build side stays small per partition at any width.
+      // Measured attach decision (the [[verifyJaccard]] rule, same
+      // 512 MB operator cap and the same rationale: shipping the
+      // candidate stream with arrays attached costs ~50× broadcasting
+      // the sets frame — the r9 probe's disk-bound 8× rung): broadcast
+      // while the code sets fit — Catalyst can't see through the
+      // collect_list aggregate to make that call — else a hash-join
+      // attach, never SMJ (the array-attached stream must not be
+      // sorted; the sets build side stays small per partition).
       val Array(nDocsL, nCodesL) = ranked
         .agg(countDistinct(col("doc_id")), count(lit(1))).head().toSeq
         .map(v => Option(v).fold(0L)(_.toString.toLong)).toArray
       val attach: DataFrame => DataFrame =
-        if (nCodesL * 8L + nDocsL * 32L <= broadcastThreshold(docs.sparkSession))
+        if (nCodesL * 8L + nDocsL * 32L <=
+              math.max(broadcastThreshold(docs.sparkSession), AttachBroadcastCap))
           broadcast
         else _.hint("shuffle_hash")
       val result = candidates
