@@ -708,6 +708,26 @@ object EventQueries {
           .orderBy("click_id", "view_id")
       }),
 
+    // S25 — FULL OUTER stream-stream interval join (round 9): unmatched
+    // rows from BOTH sides emit on watermark expiry — the reconciliation
+    // join neither s6 (inner) nor s12 (left outer) expresses. The total
+    // export order runs over NULL-proof coalesced keys: Spark sorts ASC
+    // NULLS FIRST while DuckDB defaults NULLS LAST, so a raw (click_id,
+    // view_id) order would shuffle the unmatched-view block across
+    // engines; COALESCE(·, -1) pins one order both engines share (real
+    // ids are ≥ 0, and within the null-click block view_ids are
+    // distinct). Sentinels on both types close the books; their rows
+    // (user −1 on either surviving side) are filtered.
+    "s25_interval_full_stream" -> ((s, d) =>
+      sentinelStream(s, d, Seq("click", "view")) { stream =>
+        EventStreams.runToCompletion(
+            s, EventStreams.intervalJoinFull(stream, stream),
+            "s25_sink", mode = "append")
+          .filter(col("user_id") >= 0)
+          .orderBy(coalesce(col("click_id"), lit(-1L)),
+                   coalesce(col("view_id"), lit(-1L)))
+      }),
+
     // S10 — foreachBatch ETL: the stream lands in a parquet table via the
     // foreachBatch sink (each micro-batch written with the BATCH writer —
     // the production API for sinks streaming has no native writer for),
@@ -889,6 +909,16 @@ object EventQueries {
         |  ON c.user_id = v.user_id
         | AND epoch_us(v.ts) BETWEEN epoch_us(c.ts) - 3600000000 AND epoch_us(c.ts)
         |ORDER BY click_id, view_id""".stripMargin,
+
+    "s25_interval_full_stream" ->
+      """SELECT c.event_id AS click_id, v.event_id AS view_id,
+        |       COALESCE(c.user_id, v.user_id) AS user_id,
+        |       epoch_us(c.ts) AS c_ts_us, epoch_us(v.ts) AS v_ts_us
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |FULL JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON c.user_id = v.user_id
+        | AND epoch_us(v.ts) BETWEEN epoch_us(c.ts) - 3600000000 AND epoch_us(c.ts)
+        |ORDER BY COALESCE(c.event_id, -1), COALESCE(v.event_id, -1)""".stripMargin,
     "s7_asof_join" -> asofOracle,
     "s7b_asof_directions" ->
       """WITH u AS (

@@ -135,6 +135,29 @@ object EventStreams {
   def intervalJoinOuter(clicks: DataFrame, views: DataFrame): DataFrame =
     intervalJoinImpl(clicks, views, "leftOuter")
 
+  /** S25 — FULL OUTER stream-stream interval join, completing the
+    * stream-stream join semantics matrix (inner s6 = once per match,
+    * left outer s12 = unmatched CLICKS too, semi s15 = match existence,
+    * full outer = unmatched rows from BOTH sides): an unmatched click
+    * emits its null-view row AND an unmatched view emits its null-click
+    * row, each exactly once, when the watermark proves no partner can
+    * arrive — the reconciliation shape (impression-vs-click audit, both
+    * feeds authoritative) that left-outer alone cannot express. Same
+    * bounded state as the inner join: the time-range condition bounds
+    * each side's buffer relative to the other's watermark; the null side
+    * of an expiry row never re-matches, so at 100 TB state stays
+    * watermark-bounded on both sides. `user_id` must COALESCE across
+    * sides — unmatched view rows carry a NULL click user.
+    */
+  def intervalJoinFull(clicks: DataFrame, views: DataFrame): DataFrame = {
+    val (c, v, cond) = intervalJoinSides(clicks, views)
+    c.join(v, cond, "full_outer")
+      .select(col("click_id"), col("view_id"),
+              coalesce(col("c_user"), col("v_user")).as("user_id"),
+              unix_micros(col("c_ts")).as("c_ts_us"),
+              unix_micros(col("v_ts")).as("v_ts_us"))
+  }
+
   /** S15 — LEFT SEMI stream-stream join: each click emits AT MOST ONCE,
     * exactly when at least one same-user view exists in its preceding
     * hour — the streaming EXISTS. Distinct state semantics from both the

@@ -502,6 +502,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("full outer interval join: BOTH sides' unmatched rows emit once on watermark proof") {
+    implicit val sq = spark.sqlContext
+    val cs = MemoryStream[Ev]
+    val vs = MemoryStream[Ev]
+    val q = EventStreams.intervalJoinFull(cs.toDF(), vs.toDF()).writeStream
+      .format("memory").queryName("t_fjoin").outputMode("append")
+      .start()
+    def rows() = spark.table("t_fjoin")
+      .select("click_id", "view_id").collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+                 if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    try {
+      // A matched pair, a click that will never match, and a view that
+      // will never match (no user-3 click follows within the hour).
+      cs.addData(Seq(Ev(1, t(100), 1, "click", 0),
+                     Ev(2, t(120), 7, "click", 0)))
+      vs.addData(Seq(Ev(20, t(60), 1, "view", 0),
+                     Ev(30, t(80), 3, "view", 0)))
+      q.processAllAvailable()
+      assert(rows() == Set((1L, 20L)),
+        "only the inner match may emit before watermark proof")
+      // Far-future rows on BOTH sides push both watermarks past every
+      // window: the unmatched click emits its null-view row AND the
+      // unmatched view emits its null-click row — each exactly once, and
+      // the matched pair does not re-emit.
+      cs.addData(Seq(Ev(90, t(5000), 99, "click", 0)))
+      vs.addData(Seq(Ev(91, t(5000), 99, "view", 0)))
+      q.processAllAvailable()
+      assert(rows() == Set((1L, 20L), (2L, -1L), (-1L, 30L), (90L, 91L)),
+        s"full outer must surface unmatched rows from BOTH sides, got ${rows()}")
+    } finally q.stop()
+  }
+
   test("stream-static join enriches each micro-batch against the static dim") {
     // Static dim: per-type exact cents total + count (what s8 derives from
     // the batch table). Type 'a': values 1.0, 3.0 → vc=400 cents, vn=2;
