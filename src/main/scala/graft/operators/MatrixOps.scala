@@ -147,15 +147,19 @@ object MatrixOps {
     */
   /** Size-derived tile width for dense n×n block GEMM: the smallest grid
     * that saturates the cores (n/8 ⇒ an 8×8 grid, 512 contraction tile
-    * pairs ≥ 2·32 cores) until the tile's three dense bs² LONG arrays hit
-    * per-task memory — bs caps at 1024 (3·8 MB per in-flight tile
-    * multiply, safe at 32 concurrent tasks), and past n = 8192 the GRID
-    * widens instead: per-task memory stays constant while tile-pair
-    * parallelism grows as (n/1024)³ — the dimension a cluster actually
-    * scales with. (Uncapped, bs = n/8 is a latent task OOM: 64k² would
-    * demand 3·512 MB arrays per task.)
+    * pairs ≥ 2·32 cores) until the tile's dense structures hit per-task
+    * memory — bs caps at 512, and past n = 4096 the GRID widens instead:
+    * per-task memory stays constant while tile-pair parallelism grows as
+    * (n/512)³ — the dimension a cluster actually scales with. The cap is
+    * MEASURED, not guessed: at bs = 1000 the per-task footprint is not
+    * just the three bs² LONG arrays (3·8 MB) but the collect_list tile
+    * rows feeding them (~24 MB of boxed struct entries per block build,
+    * ×32 concurrent tasks), and the 4000² rung died with a heap OOM in
+    * the tile-build UnsafeWriter under an 8 GB executor envelope; bs=512
+    * keeps every tile structure under ~8 MB/task. (Uncapped, bs = n/8 is
+    * the same latent OOM at 64k²: 3·512 MB arrays per task.)
     */
-  def sweepTile(n: Int): Int = math.max(1, math.min(n / 8, 1024))
+  def sweepTile(n: Int): Int = math.max(1, math.min(n / 8, 512))
 
   def multiplyPlanned(a: DataFrame, b: DataFrame, bs: Int = 128): DataFrame =
     org.apache.spark.sql.GraftSqlShim.ofRows(a.sparkSession,
