@@ -411,6 +411,36 @@ object IoQueries {
         .orderBy("l_suppkey")
     },
 
+    // IO25 — parquet AGGREGATE pushdown (round 9): a bare
+    // MIN/MAX/COUNT(*) answers from ROW-GROUP FOOTER STATISTICS without
+    // decoding a single data page — the scan-level lever that turns a
+    // 100 TB "how many rows / what's the key range" audit query from a
+    // full scan into a metadata read (the same footer stats io22 sizes
+    // for range SKIPPING serve whole-query ANSWERING here). Needs the
+    // DSv2 parquet scan (the v1 path has no aggregate pushdown), so the
+    // gate scopes parquet out of `spark.sql.sources.useV1SourceList` and
+    // sets `spark.sql.parquet.aggregatePushdown`; LayoutSpec asserts the
+    // plan carries `PushedAggregation: [COUNT(*), MIN(...), MAX(...)]`
+    // and that the pushed and unpushed plans agree row-for-row. The
+    // contract's boundary is honest: a data filter or a non-key group-by
+    // disables the pushdown (stats can't answer those), which is why
+    // the gate is the bare-audit shape.
+    "io25_agg_pushdown" -> { (s, d) =>
+      val confs = Seq(
+        "spark.sql.sources.useV1SourceList" -> "avro,csv,json,kafka,orc,text",
+        "spark.sql.parquet.aggregatePushdown" -> "true")
+      val prior = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      try s.read.parquet(s"$d/orders.parquet")
+        .agg(count(lit(1)).as("n"),
+             min(col("o_orderkey")).as("min_key"),
+             max(col("o_orderkey")).as("max_key"))
+        .localCheckpoint(true)
+      finally prior.foreach { case (k, v) =>
+        v.fold(s.conf.unset(k))(s.conf.set(k, _))
+      }
+    },
+
     // IO11 — the `_metadata` hidden file-source column: per-source-file
     // row counts across three fixture tables through one projected scan
     // each. At 100 TB this is the lineage/audit primitive — which file
@@ -813,6 +843,11 @@ object IoQueries {
         |FROM orders
         |WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "io25_agg_pushdown" ->
+      """SELECT COUNT(*) AS n, MIN(o_orderkey) AS min_key,
+        |  MAX(o_orderkey) AS max_key
+        |FROM orders""".stripMargin,
 
     "io12_zorder_layout" ->
       """WITH z AS (

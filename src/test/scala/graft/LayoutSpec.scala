@@ -285,6 +285,33 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("io25: MIN/MAX/COUNT push down to the parquet v2 scan's footer stats") {
+    val confs = Seq(
+      "spark.sql.sources.useV1SourceList" -> "avro,csv,json,kafka,orc,text",
+      "spark.sql.parquet.aggregatePushdown" -> "true")
+    val prior = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val df = spark.read.parquet(s"$dir/orders.parquet")
+        .agg(count(lit(1)).as("n"),
+             min(col("o_orderkey")).as("min_key"),
+             max(col("o_orderkey")).as("max_key"))
+      val pushed = df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedAggregation") &&
+             plan.contains("COUNT(*)") && plan.contains("MIN(o_orderkey)"),
+             s"aggregate must reach the scan's footer stats:\n$plan")
+      // The stats-answered result must equal the data-scanned one.
+      spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")
+      val scanned = spark.read.parquet(s"$dir/orders.parquet")
+        .agg(count(lit(1)), min(col("o_orderkey")), max(col("o_orderkey")))
+        .collect()
+      assert(pushed.map(_.toSeq).toSeq == scanned.map(_.toSeq).toSeq)
+    } finally prior.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("io22: sorted small-block layout yields many row groups with tight, ordered date stats") {
     val path = IoQueries.writeRowGrouped(spark, dir)
     val file = new java.io.File(path).listFiles
