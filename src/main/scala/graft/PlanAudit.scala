@@ -32,6 +32,7 @@ object PlanAudit {
     "l21_stratified_sample", "l22_bigram_freq", "s14_chained_window",
     "l5c_pq_topk",
     "r25_grouping_sets", "sql11_lateral", "io12_zorder_layout",
+    "io24_hilbert_layout",
     "l26_knn_classify", "l27_normalize", "l28_redact", "j4_map_hof",
     "r28_full_outer", "l29_dup_shingle_frac",
     "l30_chunks", "l31_pack", "l32_decontaminate", "io17_merge_upsert",

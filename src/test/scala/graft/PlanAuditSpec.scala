@@ -80,6 +80,7 @@ class PlanAuditSpec extends SparkSpec {
     "sql11_lateral" -> Set("BroadcastHashJoin", "WholeStageCodegen"),
     // The single-key predicate must reach the z-ordered parquet scan.
     "io12_zorder_layout" -> Set("PushedFilters", "WholeStageCodegen"),
+    "io24_hilbert_layout" -> Set("PushedFilters", "WholeStageCodegen"),
     // The queries·k neighbor list must BROADCAST to the corpus-label join.
     "l26_knn_classify" -> Set("BroadcastHashJoin", "PushedFilters",
                               "WholeStageCodegen"),
