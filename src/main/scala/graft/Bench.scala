@@ -107,9 +107,9 @@ object Bench {
         // that still saturates the cores (grid² pairs ≥ ~2·parallelism;
         // bs = n/8 → 512 pairs ≥ 64) — UNTIL the dense tile arrays hit
         // task memory: three bs² LONG arrays per tile multiply grow as
-        // (n/8)², so past n = 8192 the tile caps at 1024 (3·8 MB/task)
-        // and the grid widens instead ([[MatrixOps.sweepTile]] — the
-        // size-derived bs rule the r8 verdict asked to pin down).
+        // (n/8)², so past n = 4096 the tile caps at 512 (3·2 MB arrays
+        // per task) and the grid widens instead ([[MatrixOps.sweepTile]]
+        // — the size-derived bs rule the r8 verdict asked to pin down).
         (s"m1_sweep_$n", (s: SparkSession, _: String) =>
           MatrixOps.multiplyPlanned(MatrixGen.matA(s, n, n),
                                     MatrixGen.matB(s, n, n),

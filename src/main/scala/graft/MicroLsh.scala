@@ -32,7 +32,8 @@ object MicroLsh {
       .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("csize"))
     val reps = h.join(clusters.select(col("rep_id")), col("doc_id") === col("rep_id"))
       .select(col("doc_id"), col("text"))
-    time("reps.count")(println(s"  reps=${reps.count()}"))
+    var nReps = 0L
+    time("reps.count") { nReps = reps.count(); println(s"  reps=$nReps") }
 
     val sh = DedupOps.shingles(reps, 3).persist()
     time("shingles")(println(s"  shingles=${sh.count()}"))
@@ -40,7 +41,11 @@ object MicroLsh {
     val sigs = DedupOps.minhashSignatures(sh, 64).persist()
     time("signatures")(println(s"  sig_rows=${sigs.count()}"))
 
-    val cand = DedupOps.lshCandidates(sigs, rowsPerBand = 4).persist()
+    // Pass the exact banded-row count (|reps|·bands — already counted
+    // above) so the broadcast decision is arithmetic, matching the gated
+    // pipeline's plan rather than the unknown-count estimate path.
+    val cand = DedupOps.lshCandidates(sigs, rowsPerBand = 4,
+                                      nBandRows = nReps * (64 / 4)).persist()
     time("candidates r=4")(println(s"  candidates=${cand.count()}"))
 
     time("verify")(sink(

