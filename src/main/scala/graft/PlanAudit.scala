@@ -30,7 +30,7 @@ object PlanAudit {
     "l14b_simhash64_pairs", "l17_tfidf", "l18_array_hof", "l19_pipeline",
     "l20_embedding_gram", "sql5_correlated", "sql7_exists",
     "l21_stratified_sample", "l22_bigram_freq", "s14_chained_window",
-    "l5c_pq_topk",
+    "l5c_pq_topk", "l5d_ivfpq_topk",
     "r25_grouping_sets", "sql11_lateral", "io12_zorder_layout",
     "io24_hilbert_layout",
     "l26_knn_classify", "l27_normalize", "l28_redact", "j4_map_hof",

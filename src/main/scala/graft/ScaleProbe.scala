@@ -107,6 +107,15 @@ object ScaleProbe {
       if (args.length > 3) Engine.local(shufflePartitions = args(3).toInt)
       else Engine.local()
     def on(op: String): Boolean = only.isEmpty || only(op)
+    // SPARK_GRAFT_CONF="k=v,k=v" applies session-conf overrides before
+    // probing — how the past-cap shuffled-hash fallbacks (e.g.
+    // spark.graft.dedup.attachBroadcastCap=0) get a run at probe scale,
+    // not just at DedupFallbackSpec's unit scale (r9 verdict finding 2).
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").foreach { kv =>
+      val Array(k, v) = kv.trim.split("=", 2)
+      println(s"[probe] conf override: $k=$v")
+      spark.conf.set(k, v)
+    })
     spark.sparkContext.setLogLevel("ERROR")
     val docs = Tables.load(spark, sfDir, "documents")
     val emb = Tables.load(spark, sfDir, "embeddings")

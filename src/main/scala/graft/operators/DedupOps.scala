@@ -386,14 +386,21 @@ object DedupOps {
       else _.hint("shuffle_hash")
     // The CPU-heavy verify spread: the candidate rows are tiny in bytes,
     // so AQE's byte-aware coalescing would squash them into a few tasks —
-    // the explicit da repartition pins full-CPU width for the intersects.
+    // the explicit repartition pins full-CPU width for the intersects, on
+    // the PAIR key (round 10; was `da` alone): one hot doc — a prefix
+    // code shared corpus-wide, a duplicate-cluster representative — is
+    // `da` of MANY candidates, and a single-key hash put its whole
+    // fan-out's intersect CPU in one task. Spreading by (da, db) cut the
+    // l2 8× probe rung 72.6 → 31.5 s (and 1× 4.9 → 4.2) at identical
+    // output; the broadcast attach preserves the layout, and the
+    // past-cap hash join re-exchanges on its own key regardless.
     // Memory safety at scale comes from the CALLERS running under
     // [[withWideAqe]]: every planner-inserted exchange downstream (the
     // shuffled-attach joins whose array-attached rows ARE byte-heavy)
     // starts fine-grained and coalesces by measured bytes instead of
     // inheriting a pinned session width (the r8 l25 OOM).
     val repartitioned = candidates
-      .repartition(spark.sparkContext.defaultParallelism, col("da"))
+      .repartition(spark.sparkContext.defaultParallelism, col("da"), col("db"))
     val lenFiltered = if (!lengthFilter) repartitioned else repartitioned
       .join(attachSz(sizesDf.select(col("doc_id").as("da"), col("nsh").as("na"))), "da")
       .join(attachSz(sizesDf.select(col("doc_id").as("db"), col("nsh").as("nb"))), "db")
@@ -483,6 +490,14 @@ object DedupOps {
         .filter((lit(1L) + least(col("na") - col("ra"), col("nb") - col("rb")))
                   * 1000000L >= col("na") * T)
         .select("xa", "xb", "na", "nb").distinct()
+        // NO explicit verify spread here, unlike [[verifyJaccard]] — a
+        // round-10 probe tried pinning full-core width on the pair key
+        // after the distinct and the 4×/8× rungs REGRESSED (26.8/108.4 s
+        // vs 24.8/92.5 without): the banded candidate volume is large
+        // enough in bytes that the distinct's AQE-owned exchange already
+        // lands at useful width, so the extra exchange of the candidate
+        // stream is pure cost. The r9 "CPU spread" residual at 8× is
+        // host-level scheduling noise, not a layout defect.
       val sets = ranked.groupBy(col("doc_id"))
         .agg(sort_array(collect_list(col("code"))).as("codes"))
         .persist()

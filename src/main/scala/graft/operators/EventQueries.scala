@@ -365,6 +365,62 @@ object EventQueries {
       }
     },
 
+    // S26 — s19's restart-recovery contract on ROCKSDB state with
+    // CHANGELOG CHECKPOINTING: instead of uploading a full state-store
+    // snapshot per micro-batch commit, the store ships only the batch's
+    // change set and snapshots in the background — the recovery-cost
+    // lever for large stateful jobs (commit cost ∝ changes, not state
+    // size; the 100 TB regime has sessionization state far larger than
+    // any one batch's delta). The two-incarnation run proves a restart
+    // RECOVERS from changelog replay (incarnation 2 reconstructs its
+    // state from snapshot + changelogs before adding the odd half);
+    // the oracle is the same batch twin as s19 — one contract, third
+    // state backend configuration (default HDFS ckpt → RocksDB →
+    // RocksDB+changelog).
+    "s26_changelog_restart" -> { (s, d) =>
+      val raw = Tables.loadEventsRaw(s, d)
+      val dir = java.nio.file.Files.createTempDirectory("graft-chlog-")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-chlog-tmp-")
+      val confs = Seq(
+        "spark.sql.streaming.stateStore.providerClass" ->
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+          "true")
+      val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        def addHalf(m: Int): Unit = {
+          val out = tmp.resolve(s"half$m").toString
+          raw.filter(col("event_id") % 2 === m).coalesce(1).write.parquet(out)
+          val part = new java.io.File(out).listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          java.nio.file.Files.copy(part.toPath, dir.resolve(s"half$m.parquet"))
+        }
+        def run(): DataFrame = {
+          val stream = Tables.withEventTime(
+            s.readStream.schema(raw.schema).parquet(dir.toString))
+          val q = EventStreams.tumblingCounts(stream).writeStream
+            .format("memory").queryName("s26_sink").outputMode("complete")
+            .option("checkpointLocation", tmp.resolve("ckpt").toString)
+            .start()
+          try q.processAllAvailable() finally q.stop()
+          s.table("s26_sink")
+        }
+        addHalf(0)
+        run()                              // incarnation 1: evens only
+        addHalf(1)
+        run()                              // incarnation 2: changelog replay + odds
+          .orderBy("ws", "event_type").localCheckpoint(true)
+      } finally {
+        prev.foreach {
+          case (k, Some(v)) => s.conf.set(k, v)
+          case (k, None)    => s.conf.unset(k)
+        }
+        EventStreams.deleteRecursively(dir)
+        EventStreams.deleteRecursively(tmp)
+      }
+    },
+
     // J5 — JSON GENERATION roundtrip: typed struct → `to_json` string →
     // `from_json` back to the struct, aggregated. J1/J2/J3 prove the
     // read side of semi-structured; this proves the WRITE side is its
@@ -1118,6 +1174,7 @@ object EventQueries {
     "s23_available_now" -> s1Oracle,
     // The resumed query's final table equals the whole-input aggregate.
     "s19_restart_recovery" -> s1Oracle,
+    "s26_changelog_restart" -> s1Oracle,
     "s2_sliding_stream" -> slidingOracle,
     "s3_session_stream" -> sessionOracle,
     "s5_dedup_stream" -> dedupOracle,

@@ -61,6 +61,28 @@ object SimilarityOps {
       .select("query_id", "rank", "neighbor_id", "sim")
   }
 
+  /** Nearest-coarse-centroid assignment `(vec_id, embedding, cid)` as a
+    * map-side-collapsible hash aggregate — the kmeansFp argmin shape:
+    * `min(struct(-csim, cid, …))` replays the (csim desc, cid asc) total
+    * order exactly (negating the ROUNDED sim is exact), where a
+    * row_number window would shuffle AND sort all |corpus|·|cents| rows
+    * WITH the 256-byte embedding attached (WindowExec has no partial
+    * aggregation). The broadcast crossJoin co-locates each vector's cell
+    * rows, so the partial min collapses them to one row per vector before
+    * any exchange. The embedding rides the struct as a trailing field:
+    * (−csim, cid) is unique within a group (one row per cid), so struct
+    * comparison never reaches it.
+    */
+  private def nearestCell(corpus: DataFrame, cents: DataFrame): DataFrame =
+    corpus.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("cid"),
+              sim("embedding", "cent").as("csim"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct((-col("csim")).as("nsim"), col("cid"),
+                      col("embedding").as("e"))).as("best"))
+      .select(col("vec_id"), col("best.e").as("embedding"),
+              col("best.cid").as("cid"))
+
   /** IVF: deterministic centroid subset, nearest-centroid assignment,
     * probe-limited search.
     */
@@ -69,14 +91,9 @@ object SimilarityOps {
     val cents = corpus.filter(col("vec_id") % centroidStride === 0)
       .select(col("vec_id").as("cid"), col("embedding").as("cent"))
 
-    // Inverted file: every vector → nearest centroid (rounded sim, id tie-break).
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("csim").desc, col("cid").asc)
-    val assigned = corpus.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("cid"),
-              sim("embedding", "cent").as("csim"))
-      .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") === 1)
+    // Inverted file: every vector → nearest centroid (rounded sim, id
+    // tie-break), via [[nearestCell]]'s map-side-collapsible aggregate.
+    val assigned = nearestCell(corpus, cents)
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
               col("cid").as("ncid"))
 
@@ -206,13 +223,17 @@ object SimilarityOps {
     val diff = zip_with(
       VectorFunctions.asDouble(col("sv")), VectorFunctions.asDouble(col("cent")),
       (x, y) => x - y)
-    val wEnc = Window.partitionBy(col("vec_id"), col("j"))
-      .orderBy(col("d2").asc, col("cid").asc)
+    // Subspace argmin as the min(struct) hash aggregate (the kmeansFp /
+    // nearestCell shape): the encode frame is |corpus|·m·|codebook| rows
+    // — the heaviest frame in the pipeline — and the broadcast join
+    // co-locates each (vec_id, j) group, so the partial min collapses it
+    // map-side where the former row_number window shuffled and sorted it
+    // whole. Same (d2 asc, cid asc) order, hash-identical codes.
     val codes = vecsub.join(broadcast(cents), "j")
       .withColumn("d2", round(call_function("vec_dot", diff, diff), 4))
-      .withColumn("ern", row_number().over(wEnc))
-      .filter(col("ern") === 1)
-      .select("vec_id", "j", "cid")
+      .groupBy(col("vec_id"), col("j"))
+      .agg(min(struct(col("d2"), col("cid"))).as("best"))
+      .select(col("vec_id"), col("j"), col("best.cid").as("cid"))
 
     val recon = codes.join(broadcast(cents), Seq("j", "cid"))
       .groupBy(col("vec_id"))
@@ -233,6 +254,98 @@ object SimilarityOps {
       .filter(col("srn") <= k * shortlistFactor)
       .select("query_id", "qe", "neighbor_id")
 
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    shortlist
+      .join(corpus.select(col("vec_id").as("neighbor_id"),
+                          col("embedding").as("ce")), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), sim("qe", "ce").as("sim"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sim")
+  }
+
+  /** IVF-PQ: the composed billion-scale ANN rung (brute → IVF → PQ →
+    * IVF-PQ; Jégou et al., "Product Quantization for Nearest Neighbor
+    * Search", TPAMI 2011): a coarse quantizer restricts each query's
+    * search to its `nprobe` cells (the IVF stage — at 100 TB the corpus
+    * is PARTITIONED by cell id, so a probe touches only its cells'
+    * partitions instead of every shard), and ranking inside those cells
+    * runs against the PQ codes' reconstructions instead of raw vectors
+    * (the ADC stage — m bytes/vector instead of 256, the ratio that
+    * lets a shard hold its cells' index in RAM). A final exact re-rank
+    * of the shortlist restores full-precision ordering, so the
+    * approximation bounds RECALL, never the reported distances.
+    *
+    * Deterministic by the ladder's shared conventions — coarse centroids
+    * AND codebook donors are the vec_id ≡ 0 (mod stride) subset; every
+    * argmin/top-k orders by (rounded value, id) — so the DuckDB oracle
+    * replays all four stages bit-for-bit. The coarse assignment is the
+    * [[nearestCell]] map-side-collapsible aggregate, the subspace encode
+    * the same min(struct) shape as [[pqTopK]]'s.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                m: Int = 8, centroidStride: Long = 50, nprobe: Int = 2,
+                shortlistFactor: Int = 4): DataFrame = {
+    val dim = 64; val sub = dim / m
+    val subspace = explode(sequence(lit(0), lit(m - 1))).as("j")
+
+    // Coarse stage (IVF): full-vector centroids, inverted-file assignment.
+    val coarse = corpus.filter(col("vec_id") % centroidStride === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cent"))
+    val assigned = nearestCell(corpus, coarse)
+      .select(col("vec_id"), col("cid").as("ncid"))
+
+    // Fine stage (PQ): per-subspace codebooks from the same donor subset,
+    // encode via the min(struct) subspace argmin, reconstruct.
+    val cents = corpus.filter(col("vec_id") % centroidStride === 0)
+      .select(col("vec_id").as("cid"), subspace, col("embedding"))
+      .withColumn("cent", slice(col("embedding"), col("j") * sub + 1, lit(sub)))
+      .select("j", "cid", "cent")
+    val vecsub = corpus.select(col("vec_id"), subspace, col("embedding"))
+      .withColumn("sv", slice(col("embedding"), col("j") * sub + 1, lit(sub)))
+      .select("vec_id", "j", "sv")
+    val diff = zip_with(
+      VectorFunctions.asDouble(col("sv")), VectorFunctions.asDouble(col("cent")),
+      (x, y) => x - y)
+    val codes = vecsub.join(broadcast(cents), "j")
+      .withColumn("d2", round(call_function("vec_dot", diff, diff), 4))
+      .groupBy(col("vec_id"), col("j"))
+      .agg(min(struct(col("d2"), col("cid"))).as("best"))
+      .select(col("vec_id"), col("j"), col("best.cid").as("cid"))
+    val recon = codes.join(broadcast(cents), Seq("j", "cid"))
+      .groupBy(col("vec_id"))
+      .agg(flatten(transform(
+        sort_array(collect_list(struct(col("j"), col("cent")))),
+        s => s.getField("cent"))).as("re"))
+
+    // Probe list: nprobe closest coarse cells per query.
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("qsim").desc, col("cid").asc)
+    val probes = q.crossJoin(broadcast(coarse))
+      .select(col("query_id"), col("qe"), col("cid"),
+              sim("qe", "cent").as("qsim"))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= nprobe)
+      .select(col("query_id"), col("qe"), col("cid"))
+
+    // ADC inside probed cells only: the cell equi-join replaces pqTopK's
+    // corpus-wide crossJoin — the IVF pruning IS this join (each vector
+    // lives in exactly one cell, so no per-query dedup is needed).
+    val cellRecon = assigned.join(recon, "vec_id")
+      .select(col("vec_id").as("neighbor_id"), col("ncid"), col("re"))
+    val wShort = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim_adc").desc, col("neighbor_id").asc)
+    val shortlist = probes.join(cellRecon, col("cid") === col("ncid"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("qe"), col("neighbor_id"),
+              sim("qe", "re").as("sim_adc"))
+      .withColumn("srn", row_number().over(wShort))
+      .filter(col("srn") <= k * shortlistFactor)
+      .select("query_id", "qe", "neighbor_id")
+
+    // Exact re-rank of the shortlist against the raw vectors.
     val wRank = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     shortlist

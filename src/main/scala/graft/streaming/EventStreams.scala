@@ -629,26 +629,41 @@ object EventStreams {
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
     } catch { case _: Throwable => () }
 
+  /** batchId-keyed idempotent landing for a foreachBatch sink: each
+    * micro-batch OVERWRITES its own `batch=<id>` directory, so a
+    * REPLAYED batch (engine failure between the sink write and the
+    * checkpoint commit — foreachBatch's documented at-least-once
+    * window) rewrites the same bytes instead of appending a duplicate.
+    * The batchId is the key precisely because Spark guarantees a
+    * restarted query re-runs the SAME batchId over the SAME offsets —
+    * the replay lands where the original did. A plain `mode("append")`
+    * writer double-counts every replayed batch; StreamingSpec simulates
+    * the failure by deleting the last checkpoint commit marker and
+    * restarting.
+    */
+  def idempotentBatchWrite(outDir: String)(batch: DataFrame,
+                                           batchId: Long): Unit =
+    batch.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+
   /** Streaming ETL through the `foreachBatch` sink — the production API
     * for sinks Structured Streaming has no native writer for (JDBC,
     * object stores with custom layout, multi-sink fan-out): each
     * micro-batch arrives as a plain DataFrame and is written with the
-    * BATCH writer (here: parquet append). Returns the re-read final
-    * dataset. The per-batch write is idempotence-by-path in production
-    * (batchId-keyed overwrite); a bounded gate run has no retries, so a
-    * plain append is exact.
+    * BATCH writer via [[idempotentBatchWrite]] (batchId-keyed overwrite
+    * — foreachBatch is at-least-once, so the writer, not the engine,
+    * owns replay dedup). Returns the re-read final dataset; the
+    * `batch=<id>` key surfaces as a discovered partition column and is
+    * dropped — it is sink bookkeeping, not data.
     */
   def foreachBatchEtl(spark: SparkSession, stream: DataFrame,
                       outDir: String): DataFrame = {
     withScratchCheckpoint("fb") { ckpt =>
       stream.writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          batch.write.mode("append").parquet(outDir)
-        }
+        .foreachBatch(idempotentBatchWrite(outDir) _)
         .option("checkpointLocation", ckpt)
         .start()
     }
-    spark.read.parquet(outDir)
+    spark.read.parquet(outDir).drop("batch")
   }
 
   /** Land the stream through Spark's NATIVE parquet FILE SINK — the

@@ -137,6 +137,43 @@ class LayoutSpec extends SparkSpec {
     assert(!rewritePlan.contains("Exchange"), rewritePlan)
   }
 
+  test("scan split sizing: task count tracks bytes/maxPartitionBytes on a multi-file table") {
+    // The remaining 100 TB scan-granularity lever after io9 (file sizing)
+    // and io22 (row-group skipping): `spark.sql.files.maxPartitionBytes`
+    // decides how many bytes one scan TASK owns. Halving it must roughly
+    // double the measured task count — the knob a cluster turns to match
+    // scan parallelism to executor count without rewriting the table.
+    // Both settings sit BELOW bytesPerCore (total/defaultParallelism,
+    // ~2.7 MB here), because maxSplitBytes = min(maxPartitionBytes,
+    // max(openCost, bytesPerCore)) — above that point the knob is
+    // intentionally inert and task count is core-bound instead.
+    val base = System.getProperty("java.io.tmpdir") + "/graft-layout-spec/split"
+    spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+      .repartition(8).write.mode("overwrite").parquet(base)
+    val confs = Seq("spark.sql.files.maxPartitionBytes",
+                    "spark.sql.files.openCostInBytes")
+    val prev = confs.map(k => k -> spark.conf.getOption(k))
+    def tasksAt(maxPartitionBytes: Long): Int = {
+      spark.conf.set("spark.sql.files.maxPartitionBytes",
+                     maxPartitionBytes.toString)
+      // openCost=0 isolates the byte arithmetic from the per-file seek
+      // padding (which would blur the 2x ratio on 8 small files).
+      spark.conf.set("spark.sql.files.openCostInBytes", "0")
+      spark.read.parquet(base).rdd.getNumPartitions
+    }
+    try {
+      val fine = tasksAt(512 * 1024)
+      val coarse = tasksAt(1024 * 1024)
+      assert(fine > coarse,
+        s"fine(512KB)=$fine tasks must exceed coarse(1MB)=$coarse")
+      val ratio = fine.toDouble / coarse
+      assert(ratio > 1.5 && ratio < 2.6,
+        s"halving maxPartitionBytes: $coarse tasks @1MB -> $fine tasks " +
+          s"@512KB (ratio $ratio, expected ~2x)")
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   test("io10: dynamic overwrite replaces only the written partition's files") {
     val base = System.getProperty("java.io.tmpdir") + "/graft-layout-spec/dynover"
     val orders = spark.read.parquet(s"$dir/orders.parquet")

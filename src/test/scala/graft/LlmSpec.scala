@@ -432,6 +432,22 @@ class LlmSpec extends SparkSpec {
     assert(pq == brute)
   }
 
+  test("ivfPqTopK equals pure IVF at a saturating shortlist") {
+    // With a shortlist wide enough to pass every probed-cell member to
+    // the exact re-rank, the PQ/ADC stage can no longer affect recall
+    // (it only ORDERS the shortlist, and the re-rank re-orders exactly),
+    // so IVF-PQ must equal plain IVF at the same nprobe — this pins the
+    // cell restriction (assignment join), the encode/reconstruct
+    // plumbing, and the re-rank independent of quantization error.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") <= 4)
+    val ivfpq = SimilarityOps.ivfPqTopK(emb, q, 5, shortlistFactor = 1000000)
+      .orderBy("query_id", "rank").collect().toSeq
+    val ivf = SimilarityOps.ivfTopK(emb, q, 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(ivfpq.nonEmpty && ivfpq == ivf)
+  }
+
   test("cosinePairsLsh equals the exact quadratic baseline on planted near-dups") {
     // Deterministic corpus: 40 pseudo-random near-orthogonal vectors, plus
     // 3 planted near-duplicates (base + small perturbation → cosine ≈ 0.99).

@@ -72,6 +72,10 @@ class PlanAuditSpec extends SparkSpec {
     // Codebooks must BROADCAST into the encode join (they are KBs at any
     // corpus size); the ADC + re-rank chain stays codegen'd.
     "l5c_pq_topk" -> Set("BroadcastHashJoin", "WholeStageCodegen"),
+    // IVF-PQ: coarse centroids, codebooks, and the probe list must all
+    // broadcast (algorithm-parameter-sized frames), the distance lambdas
+    // stay codegen'd.
+    "l5d_ivfpq_topk" -> Set("BroadcastHashJoin", "WholeStageCodegen"),
     // One Expand + hash aggregate, fully codegen'd — three grouping levels
     // from a single scan.
     "r25_grouping_sets" -> Set("WholeStageCodegen"),

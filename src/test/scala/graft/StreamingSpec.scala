@@ -179,6 +179,108 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty && got.toSeq == want.toSeq)
   }
 
+  test("s26 changelog restart equals the whole-input batch") {
+    val d = "/root/testdata/sf0.001"
+    val got = graft.operators.EventQueries.queries("s26_changelog_restart")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val want = graft.operators.EventQueries.queries("s1_tumbling_window")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty && got.toSeq == want.toSeq)
+  }
+
+  test("changelog checkpointing writes per-batch .changelog files (the lever engaged)") {
+    // Without this check a conf typo would silently fall back to full
+    // per-commit snapshots — same answers, none of the recovery-cost win
+    // the s26 gate exists to exercise.
+    implicit val sq = spark.sqlContext
+    val confs = Seq(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+        "true")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    val ckpt = java.nio.file.Files.createTempDirectory("t-chlog-")
+    try {
+      val ms = MemoryStream[Ev]
+      val q = EventStreams.tumblingCounts(ms.toDF()).writeStream
+        .format("memory").queryName("t_s26c").outputMode("complete")
+        .option("checkpointLocation", ckpt.toString).start()
+      try {
+        ms.addData(Seq(Ev(1, t(10), 1, "a", 1.0)))
+        q.processAllAvailable()
+        ms.addData(Seq(Ev(2, t(70), 1, "b", 2.0)))
+        q.processAllAvailable()
+      } finally q.stop()
+      val changelogs = java.nio.file.Files.walk(ckpt)
+        .filter((p: java.nio.file.Path) => p.toString.endsWith(".changelog"))
+        .count()
+      assert(changelogs > 0,
+        "RocksDB changelog checkpointing produced no .changelog files")
+    } finally {
+      prev.foreach { case (k, v) =>
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+      EventStreams.deleteRecursively(ckpt)
+    }
+  }
+
+  test("s10 replayed micro-batch lands idempotently (batchId-keyed overwrite)") {
+    // foreachBatch is AT-LEAST-ONCE: a crash between the sink write and
+    // the checkpoint commit re-runs the batch with the SAME batchId on
+    // restart. The batchId-keyed overwrite writer must land the replay on
+    // top of the original instead of appending a duplicate. Simulated
+    // here by deleting the last checkpoint commit marker after a clean
+    // run — the restart then re-delivers the final batch.
+    val src = java.nio.file.Files.createTempDirectory("t-fb-src-")
+    val out = java.nio.file.Files.createTempDirectory("t-fb-out-")
+    val ckpt = java.nio.file.Files.createTempDirectory("t-fb-ck-")
+    val half0 = Seq(Ev(1, t(10), 1, "a", 1.0), Ev(2, t(70), 1, "b", 2.0))
+    val half1 = Seq(Ev(3, t(130), 2, "c", 3.0), Ev(4, t(20), 2, "d", 4.0))
+    val calls = new java.util.concurrent.atomic.AtomicInteger
+    try {
+      def addFiles(rows: Seq[Ev]): Unit =
+        rows.toDF().coalesce(1).write.mode("append").parquet(src.toString)
+      def run(): Unit = {
+        val stream = spark.readStream.schema(half0.toDF().schema)
+          .parquet(src.toString)
+        val q = stream.writeStream
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+            calls.incrementAndGet()
+            EventStreams.idempotentBatchWrite(out.toString)(b, id)
+          }
+          .option("checkpointLocation", ckpt.toString)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      addFiles(half0); run()          // batch 0
+      addFiles(half1); run()          // batch 1
+      def landedIds(): Seq[Long] = spark.read.parquet(out.toString)
+        .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(landedIds() == Seq(1L, 2L, 3L, 4L))
+      // Simulate the failure window: batch 1's sink write survived, its
+      // commit marker did not.
+      val commits = java.nio.file.Files.list(ckpt.resolve("commits"))
+      val last = scala.jdk.CollectionConverters.IteratorHasAsScala(
+          commits.iterator()).asScala.toSeq
+        .filter(_.getFileName.toString.forall(_.isDigit))
+        .maxBy(_.getFileName.toString.toLong)
+      commits.close()
+      java.nio.file.Files.delete(last)
+      // The local checkpoint FS is checksummed — the marker's .crc
+      // sidecar must go with it or the replayed commit's rename fails.
+      java.nio.file.Files.deleteIfExists(
+        last.resolveSibling(s".${last.getFileName}.crc"))
+      run()                           // restart replays batch 1
+      assert(calls.get() == 3, s"expected a replayed third batch, got ${calls.get()}")
+      assert(landedIds() == Seq(1L, 2L, 3L, 4L),
+        "replayed batch must overwrite its own directory, not append duplicates")
+    } finally {
+      EventStreams.deleteRecursively(src)
+      EventStreams.deleteRecursively(out)
+      EventStreams.deleteRecursively(ckpt)
+    }
+  }
+
   test("stream-static anti join drops base-index ids before the rollup") {
     implicit val sq = spark.sqlContext
     val ms = MemoryStream[Ev]
