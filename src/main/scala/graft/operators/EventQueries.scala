@@ -716,6 +716,37 @@ object EventQueries {
       } finally prev.fold(s.conf.unset(key))(v => s.conf.set(key, v))
     },
 
+    // S27 — transformWithState LIST STATE: the third state shape of the
+    // arbitrary-state API (ValueState s13, MapState s21, ListState here)
+    // — an append-only per-user event BUFFER, digested at session close
+    // into a row that includes a position-weighted checksum over the
+    // session's events in (ts, event_id) order. The checksum is the
+    // point: it is computable only from the RETAINED rows (a running
+    // fold can't know an event's final position while later — or late
+    // but in-watermark — events can still land before it), so the gate
+    // fails if the buffer loses, duplicates, or mis-orders any append
+    // across micro-batches. Same RocksDB scoping as s13/s21; appends
+    // are O(delta) merge-writes there — the at-scale reason ListState
+    // exists instead of rewriting a ValueState[Seq].
+    "s27_tws_liststate" -> { (s, d) =>
+      import s.implicits._
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+                      "RocksDBStateStoreProvider")
+      try {
+        sentinelStream(s, d, Seq("sentinel")) { stream =>
+          val typed = stream
+            .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+            .as[EventStreams.IdEvent]
+          val digests = EventStreams.twsSessionDigests(typed).toDF
+          EventStreams.runToCompletion(s, digests, "s27_sink", mode = "append")
+            .filter(col("user_id") >= 0)
+            .orderBy("user_id", "session_start")
+        }
+      } finally prev.fold(s.conf.unset(key))(v => s.conf.set(key, v))
+    },
+
     // S12 — LEFT OUTER stream-stream join: the interval join (S6) in its
     // outer form, where an unmatched click must STILL emit (null view
     // side) — and may only do so once the watermark proves no match can
@@ -1128,6 +1159,35 @@ object EventQueries {
         |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
         |       AS BIGINT) AS cents
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Gaps-and-islands sessionization in (ts, event_id) order — a TOTAL
+    // order, unlike s13's ts-only — then a per-session position-weighted
+    // cents checksum: rn·cents summed over the session replays the
+    // ListState buffer's sorted digest exactly. Any lost, duplicated, or
+    // mis-ordered append changes some event's rn and breaks the hash.
+    "s27_tws_liststate" ->
+      """WITH marked AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000
+        |         OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), numbered AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked
+        |), pos AS (
+        |  SELECT user_id, sid, ts,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, sid
+        |                       ORDER BY ts, event_id) AS rn
+        |  FROM numbered)
+        |SELECT user_id, epoch_us(MIN(ts)) AS session_start,
+        |       epoch_us(MAX(ts)) AS session_last, COUNT(*) AS n_events,
+        |       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+        |       CAST(SUM(rn * cents) AS BIGINT) AS weighted_cents
+        |FROM pos GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
 
     "s13_tws_sessions" ->
       """WITH marked AS (

@@ -499,6 +499,101 @@ object EventStreams {
     }
   }
 
+  /** Per-user session EVENT BUFFER through `transformWithState` LIST
+    * STATE — the third and last state shape of the new arbitrary-state
+    * API (ValueState holds one value per key — s13; MapState a keyed
+    * sub-aggregate — s21; ListState an APPEND-ONLY BUFFER, the shape for
+    * retained-event semantics a running aggregate cannot express). The
+    * emitted digest carries a position-weighted checksum over the
+    * session's events in (ts, event_id) order — computable only from the
+    * retained rows, which is exactly why the buffer must be state: the
+    * appends land per micro-batch, possibly out of order within the
+    * watermark, and the ORDER is only decidable at session close.
+    * Appends are O(delta) against RocksDB (ListState appends are
+    * merge-writes, never read-modify-write of the whole buffer — the
+    * at-scale reason this slot type exists); per-key state is bounded by
+    * the session length, cleared at every close.
+    */
+  def twsSessionDigests(events: org.apache.spark.sql.Dataset[EventStreams.IdEvent],
+                        gapMinutes: Int = 30)
+      : org.apache.spark.sql.Dataset[EventStreams.SessionDigest] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .transformWithState(new DigestProcessor(gapMinutes),
+                          TimeMode.EventTime, OutputMode.Append)
+  }
+
+  /** Per-user list-state machine for [[twsSessionDigests]]: a
+    * ListState[BufEvent] buffer plus the last-activity ValueState clock.
+    * Same session semantics as [[SessionProcessor]] (a ≥gap jump inside
+    * a batch closes the open session inline; the timer closes the final
+    * one when the watermark passes last + gap), but the close emits a
+    * DIGEST of the buffered rows — sorted by (ts, event_id), a total
+    * order, so the weighted checksum is deterministic under any arrival
+    * interleaving — instead of a fold the processor could have kept in a
+    * single value.
+    */
+  private class DigestProcessor(gapMinutes: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, EventStreams.IdEvent, EventStreams.SessionDigest] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState,
+      OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var buf: ListState[BufEvent] = _
+    @transient private var last: ValueState[Long] = _
+    private val gapUs = gapMinutes * 60000000L
+    private val gapMs = gapMinutes * 60000L
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      buf = getHandle.getListState[BufEvent]("buf",
+        org.apache.spark.sql.Encoders.product[BufEvent], TTLConfig.NONE)
+      last = getHandle.getValueState[Long]("last",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    private def digest(uid: Long): SessionDigest = {
+      val items = buf.get().toVector.sortBy(e => (e.ts_us, e.event_id))
+      buf.clear()
+      val weighted = items.iterator.zipWithIndex
+        .map { case (e, i) => (i + 1L) * e.cents }.sum
+      SessionDigest(uid, items.head.ts_us, items.last.ts_us,
+                    items.size.toLong, items.iterator.map(_.cents).sum,
+                    weighted)
+    }
+
+    override def handleInputRows(uid: Long, rows: Iterator[IdEvent],
+                                 timers: TimerValues): Iterator[SessionDigest] = {
+      val evs = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+      val out = scala.collection.mutable.Buffer.empty[SessionDigest]
+      var lastUs = if (last.exists) last.get else Long.MinValue
+      evs.foreach { e =>
+        val t = micros(e.ts)
+        if (lastUs != Long.MinValue && t - lastUs >= gapUs)
+          out += digest(uid)
+        buf.appendValue(BufEvent(e.event_id, t, cents(e.value)))
+        lastUs = math.max(lastUs, t)
+      }
+      last.update(lastUs)
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(math.max(lastUs / 1000L + gapMs,
+                                       timers.getCurrentWatermarkInMs() + 1))
+      out.iterator
+    }
+
+    override def handleExpiredTimer(uid: Long, timers: TimerValues,
+                                    expired: ExpiredTimerInfo): Iterator[SessionDigest] = {
+      if (last.exists && expired.getExpiryTimeInMs >= last.get / 1000L + gapMs
+          && buf.exists) {
+        val d = digest(uid)
+        last.clear()
+        Iterator(d)
+      } else Iterator.empty
+    }
+  }
+
   /** Run a streaming frame to completion against a bounded source and return
     * the final result as a batch DataFrame (memory sink, complete mode).
     * This is how S4 executes a *real* streaming query inside the oracle gate.
@@ -689,6 +784,18 @@ object EventStreams {
 
   /** Typed input row for [[customSessions]]. */
   case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  /** Typed input row for [[twsSessionDigests]] (adds the unique event_id
+    * that makes the buffer's (ts, event_id) sort a TOTAL order). */
+  case class IdEvent(user_id: Long, event_id: Long,
+                     ts: java.sql.Timestamp, value: Double)
+  /** One buffered event in [[DigestProcessor]]'s ListState. */
+  case class BufEvent(event_id: Long, ts_us: Long, cents: Long)
+  /** One closed session's digest: the aggregate fields s13 also derives,
+    * plus the position-weighted checksum only the retained ordered buffer
+    * can produce. */
+  case class SessionDigest(user_id: Long, session_start: Long,
+                           session_last: Long, n_events: Long,
+                           sum_cents: Long, weighted_cents: Long)
   /** Typed input row for [[twsTypeCounts]] (adds the sub-key column). */
   case class TypedEvent(user_id: Long, ts: java.sql.Timestamp,
                         event_type: String, value: Double)

@@ -414,6 +414,46 @@ class StreamingSpec extends SparkSpec {
     } finally prev.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
   }
 
+  test("transformWithState list state: out-of-order appends digest in event order") {
+    import graft.streaming.EventStreams.{IdEvent, SessionDigest}
+    implicit val sq = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+                        "RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[IdEvent]
+      val digests = EventStreams.twsSessionDigests(ms.toDS(), gapMinutes = 30)
+      val q = digests.writeStream
+        .format("memory").queryName("t_tws_list").outputMode("append").start()
+      try {
+        // Session 1 for user 1 delivered OUT OF ORDER across two batches:
+        // arrival order (id 3, id 1) then (id 2) — event-time order is
+        // 1 (min 0, 100c), 2 (min 5, 200c), 3 (min 10, 300c).
+        ms.addData(Seq(IdEvent(1, 3, t(10), 3.0), IdEvent(1, 1, t(0), 1.0)))
+        q.processAllAvailable()
+        ms.addData(Seq(IdEvent(1, 2, t(5), 2.0)))
+        q.processAllAvailable()
+        // A ≥30-min jump in the SAME batch closes session 1 inline and
+        // starts session 2 (id 4, min 60, 400c).
+        ms.addData(Seq(IdEvent(1, 4, t(60), 4.0)))
+        q.processAllAvailable()
+        // Advance the watermark (2 h behind) past session 2's deadline.
+        ms.addData(Seq(IdEvent(2, 9, t(700), 9.0)))
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table("t_tws_list").as[SessionDigest].collect()
+        .map(s => (s.user_id, s.n_events, s.sum_cents, s.weighted_cents))
+        .toSeq.sorted
+      // Weighted checksum in EVENT order: 1·100 + 2·200 + 3·300 = 1400 —
+      // arrival order (3,1,2) would read 1·300 + 2·100 + 3·200 = 1100.
+      assert(got.contains((1L, 3L, 600L, 1400L)),
+        s"session-1 digest must weight by event order: $got")
+      assert(got.contains((1L, 1L, 400L, 400L)), s"session-2 digest: $got")
+      assert(got.count(_._1 == 1L) == 2, s"user 1 closes exactly twice: $got")
+    } finally prev.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
+  }
+
   test("file sink: _spark_metadata manifest governs the read; stray files are invisible") {
     import graft.streaming.EventStreams.UserEvent
     implicit val sq = spark.sqlContext
