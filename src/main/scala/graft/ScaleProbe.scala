@@ -144,6 +144,12 @@ object ScaleProbe {
          () => sink(SimilarityOps.cosinePairsLsh(e, 0.9))),
         ("l5_brute_topk", nE,
          () => sink(SimilarityOps.bruteTopK(e, e.filter(col("vec_id") <= 9), 5))),
+        // The composed ANN top rung (round 10): coarse assignment +
+        // subspace encode are full-corpus passes (the min-struct hash
+        // aggregates), so this measures the INDEX-BUILD cost growing
+        // with the corpus while the probed search stays query-bounded.
+        ("l5d_ivfpq_topk", nE,
+         () => sink(SimilarityOps.ivfPqTopK(e, e.filter(col("vec_id") <= 9), 5))),
         ("l16_simhash_components", nD,
          () => sink(DedupOps.simhashComponents(d, 1))),
         ("l14b_simhash64_pairs", nD,
