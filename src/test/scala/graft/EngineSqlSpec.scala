@@ -179,6 +179,29 @@ class EngineSqlSpec extends SparkSpec {
     assert(got.collect().toSeq == want.collect().toSeq)
   }
 
+  test("recursive CTE fixpoint UNION is still unsupported (the sql8 boundary canary)") {
+    // SURVEY's SQL8 row declares UNION ALL-only recursion with cyclic
+    // closures routed to the DataFrame fixpoint (connectedComponents).
+    // That boundary is a property of the PINNED Spark distro — this
+    // canary re-checks it mechanically every build: the day a patch bump
+    // accepts fixpoint UNION, this test fails loudly and the right move
+    // is to implement/gate the fixpoint path, not to keep the boundary
+    // note.
+    val e = intercept[Exception] {
+      spark.sql(
+        """WITH RECURSIVE r(n) AS (
+          |  SELECT 1 UNION SELECT n + 1 FROM r WHERE n < 3)
+          |SELECT * FROM r""".stripMargin).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(5)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(messages(e).exists(m =>
+             m.contains("UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE") ||
+             m.contains("RECURSIVE")),
+      s"unexpected failure shape for fixpoint UNION: ${messages(e)}")
+  }
+
   test("Tables.loadEvents works under a bare session conf (defensive nanos)") {
     // Simulate a session missing the Engine.configure conf: unset, load,
     // restore. The loader must set it itself (r3 ADVICE).
