@@ -111,11 +111,18 @@ object ScaleProbe {
     // probing — how the past-cap shuffled-hash fallbacks (e.g.
     // spark.graft.dedup.attachBroadcastCap=0) get a run at probe scale,
     // not just at DedupFallbackSpec's unit scale (r9 verdict finding 2).
-    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").foreach { kv =>
-      val Array(k, v) = kv.trim.split("=", 2)
-      println(s"[probe] conf override: $k=$v")
-      spark.conf.set(k, v)
-    })
+    // Comma-separated k=v list; values containing ',' cannot be expressed
+    // in this syntax (none of the probed confs need one). Empty segments
+    // (trailing comma) are skipped; a segment without '=' fails loudly
+    // with the offending text instead of an opaque MatchError (r10 ADVICE).
+    sys.env.get("SPARK_GRAFT_CONF").foreach(
+      _.split(",").map(_.trim).filter(_.nonEmpty).foreach { kv =>
+        val parts = kv.split("=", 2)
+        require(parts.length == 2 && parts(0).nonEmpty,
+          s"bad SPARK_GRAFT_CONF override (expected key=value): '$kv'")
+        println(s"[probe] conf override: ${parts(0)}=${parts(1)}")
+        spark.conf.set(parts(0), parts(1))
+      })
     spark.sparkContext.setLogLevel("ERROR")
     val docs = Tables.load(spark, sfDir, "documents")
     val emb = Tables.load(spark, sfDir, "embeddings")
@@ -150,6 +157,20 @@ object ScaleProbe {
         // with the corpus while the probed search stays query-bounded.
         ("l5d_ivfpq_topk", nE,
          () => sink(SimilarityOps.ivfPqTopK(e, e.filter(col("vec_id") <= 9), 5))),
+        // r11: the standalone PQ rung (two-staged ADC shortlist — the r10
+        // `weak`) and the FIXED-256-entry codebook variants. Under the
+        // stride rule donors grow ∝ N/50, so encode/assignment are
+        // O(N²/50) — the measured super-linear term; the capped variants
+        // pin the production claim (O(N·m·256) encode) as a ladder whose
+        // per-doubling ratio flattens toward linear once N > 50·256.
+        ("l5c_pq_topk", nE,
+         () => sink(SimilarityOps.pqTopK(e, e.filter(col("vec_id") <= 9), 5))),
+        ("l5c_pq_fixed256", nE,
+         () => sink(SimilarityOps.pqTopK(e, e.filter(col("vec_id") <= 9), 5,
+                                         codebookEntries = 256))),
+        ("l5d_ivfpq_fixed256", nE,
+         () => sink(SimilarityOps.ivfPqTopK(e, e.filter(col("vec_id") <= 9), 5,
+                                            codebookEntries = 256))),
         ("l16_simhash_components", nD,
          () => sink(DedupOps.simhashComponents(d, 1))),
         ("l14b_simhash64_pairs", nD,

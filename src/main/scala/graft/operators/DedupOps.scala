@@ -195,6 +195,12 @@ object DedupOps {
     // count; estimate it with one action over `sigs` (banded rows =
     // signature rows / r) rather than silently taking the no-broadcast
     // path — r9 ADVICE: the -1 default must not change a caller's plan.
+    // COST NOTE (r10 ADVICE): this count is a full action over `sigs` —
+    // if the caller has NOT persisted it, the whole shingle→minhash
+    // pipeline upstream runs once for the estimate and again for the
+    // join, a silent 2× on the heaviest narrow stage. Gated callers
+    // (MicroLsh) persist; an ad-hoc caller taking this path should
+    // `sigs.persist()` around the call or pass an exact nBandRows.
     val effRows =
       if (nBandRows >= 0) nBandRows else sigs.count() / rowsPerBand
     val joined = a.join(
@@ -399,8 +405,16 @@ object DedupOps {
     // shuffled-attach joins whose array-attached rows ARE byte-heavy)
     // starts fine-grained and coalesces by measured bytes instead of
     // inheriting a pinned session width (the r8 l25 OOM).
-    val repartitioned = candidates
-      .repartition(spark.sparkContext.defaultParallelism, col("da"), col("db"))
+    // `spark.graft.dedup.pairSpread=off` disables the spread — the A/B
+    // switch for settling whether the extra exchange costs anything at
+    // gate scale where candidate volume is too small to be spread-bound
+    // (r10 VERDICT finding 2 asked for exactly this measurement).
+    val spreadOn = spark.conf
+      .getOption("spark.graft.dedup.pairSpread").forall(_ != "off")
+    val repartitioned =
+      if (spreadOn) candidates
+        .repartition(spark.sparkContext.defaultParallelism, col("da"), col("db"))
+      else candidates
     val lenFiltered = if (!lengthFilter) repartitioned else repartitioned
       .join(attachSz(sizesDf.select(col("doc_id").as("da"), col("nsh").as("na"))), "da")
       .join(attachSz(sizesDf.select(col("doc_id").as("db"), col("nsh").as("nb"))), "db")
@@ -498,9 +512,28 @@ object DedupOps {
         // lands at useful width, so the extra exchange of the candidate
         // stream is pure cost. The r9 "CPU spread" residual at 8× is
         // host-level scheduling noise, not a layout defect.
+      // `spark.graft.dedup.stageTiming=true`: per-stage wall-clock split
+      // (ranked build / candidate generation / sets aggregate / verify)
+      // for the probe ladder — r10 VERDICT "Next round" 6 asked which
+      // stage owns l25's 16× CPU before accepting "compute-bound". The
+      // mode persists `candidates` so the verify lap measures ONLY the
+      // attach+intersect work (production leaves it unpersisted — the
+      // verify join re-executes the candidate subtree there, which the
+      // `candidates` lap prices separately here).
+      val stageTiming = docs.sparkSession.conf
+        .getOption("spark.graft.dedup.stageTiming").contains("true")
+      def lap(tag: String)(action: => Long): Unit = if (stageTiming) {
+        val t0 = System.nanoTime()
+        val n = action
+        println(f"[l25-stage] $tag%-12s rows=$n%10d ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      }
+      lap("ranked")(ranked.count())
+      if (stageTiming) candidates.persist()
+      lap("candidates")(candidates.count())
       val sets = ranked.groupBy(col("doc_id"))
         .agg(sort_array(collect_list(col("code"))).as("codes"))
         .persist()
+      lap("sets")(sets.count())
       // Measured attach decision (the [[verifyJaccard]] rule, same
       // operator cap and the same rationale: shipping the candidate
       // stream with arrays attached costs ~50× broadcasting the sets
@@ -529,7 +562,13 @@ object DedupOps {
         .filter(col("c") * 1000000L >= col("na") * T)
         .select(col("xa").as("contained_id"), col("xb").as("container_id"),
                 graft.Q.round4Ratio(col("c"), col("na")).as("containment"))
+      val tV = System.nanoTime()
       val out = materialize(result)
+      if (stageTiming) {
+        println(f"[l25-stage] ${"verify"}%-12s rows=${out.count()}%10d " +
+                f"${(System.nanoTime() - tV) / 1e9}%8.2f s")
+        candidates.unpersist(blocking = false)
+      }
       sets.unpersist(blocking = false)
       out
     } finally ranked.unpersist(blocking = false)

@@ -179,6 +179,20 @@ object LlmQueries {
       SimilarityOps.ivfPqTopK(emb(s, d), emb(s, d).filter(col("vec_id") <= 9), 5)
         .orderBy("query_id", "rank")),
 
+    // L5e — IVF-PQ with PRODUCTION-SHAPE index parameters: coarse cells
+    // and per-subspace codebooks capped at 256 donors (the stride rule
+    // capped — vec_id ≡ 0 mod 50 AND vec_id < 12800), so index size is an
+    // ALGORITHM constant and the encode/assignment passes are O(N·m·256)
+    // — linear in the corpus where l5d's uncapped donor set makes them
+    // O(N²/50) (the measured super-linear term in the probe ladders). On
+    // a corpus below 12 800 vectors the cap never bites and l5e ≡ l5d
+    // exactly (spec-pinned); at scale it is the variant a deployment
+    // runs.
+    "l5e_ivfpq_fixed256" -> ((s, d) =>
+      SimilarityOps.ivfPqTopK(emb(s, d), emb(s, d).filter(col("vec_id") <= 9), 5,
+                              codebookEntries = 256)
+        .orderBy("query_id", "rank")),
+
     // L8 — document quality scoring: token counts, average token length,
     // stopword ratio, alpha-space purity, composite keep/drop flag. One
     // narrow projection pass — the shape of a 100 TB quality filter.
@@ -1510,6 +1524,67 @@ object LlmQueries {
          |cents AS (
          |  SELECT js.j, e.vec_id AS cid, e.a[js.j*8+1 : js.j*8+8] AS cent
          |  FROM e, js WHERE e.vec_id % 50 = 0),
+         |vs AS (SELECT e.vec_id, js.j, e.a[js.j*8+1 : js.j*8+8] AS sv FROM e, js),
+         |enc AS (
+         |  SELECT vec_id, j, cid FROM (
+         |    SELECT vs.vec_id, vs.j, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY vs.vec_id, vs.j ORDER BY
+         |        ROUND(list_reduce(list_prepend(0.0,
+         |          list_transform(range(1, 9),
+         |                         i -> (vs.sv[i] - c.cent[i]) * (vs.sv[i] - c.cent[i]))),
+         |          (acc, v) -> acc + v), 4) ASC, c.cid ASC) AS ern
+         |    FROM vs JOIN cents c ON vs.j = c.j) WHERE ern = 1),
+         |recon AS (
+         |  SELECT enc.vec_id, flatten(list(c.cent ORDER BY enc.j)) AS re
+         |  FROM enc JOIN cents c ON enc.j = c.j AND enc.cid = c.cid
+         |  GROUP BY enc.vec_id),
+         |probes AS (
+         |  SELECT query_id, qe, cid FROM (
+         |    SELECT q.vec_id AS query_id, q.a AS qe, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${duckCosine("q.a", "c.cent")} DESC, c.cid ASC) AS prn
+         |    FROM e q, coarse c WHERE q.vec_id <= 9) WHERE prn <= 2),
+         |short AS (
+         |  SELECT query_id, qe, neighbor_id FROM (
+         |    SELECT p.query_id, p.qe, r.vec_id AS neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY
+         |        ${duckCosine("p.qe", "r.re")} DESC, r.vec_id ASC) AS srn
+         |    FROM probes p
+         |    JOIN assigned s ON p.cid = s.ncid
+         |    JOIN recon r ON r.vec_id = s.vec_id
+         |    WHERE s.vec_id != p.query_id)
+         |  WHERE srn <= 20),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, sim,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |                       ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |  FROM (SELECT s.query_id, s.neighbor_id,
+         |          ${duckCosine("s.qe", "c.a")} AS sim
+         |        FROM short s JOIN e c ON s.neighbor_id = c.vec_id))
+         |SELECT query_id, rank, neighbor_id, sim FROM ranked WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // Replays SimilarityOps.ivfPqTopK with codebookEntries = 256: the
+    // l5d SQL with both donor sets (coarse cells AND subspace codebooks)
+    // capped by vec_id < 50*256 = 12800 — pure arithmetic, so the oracle
+    // stays bit-replayable at any corpus size (below 12 800 vectors the
+    // predicate is a no-op and l5e ≡ l5d).
+    "l5e_ivfpq_fixed256" ->
+      s"""WITH e AS (SELECT vec_id,
+         |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS a
+         |           FROM embeddings),
+         |coarse AS (SELECT vec_id AS cid, a AS cent FROM e
+         |           WHERE vec_id % 50 = 0 AND vec_id < 12800),
+         |assigned AS (
+         |  SELECT vec_id, ncid FROM (
+         |    SELECT e.vec_id, c.cid AS ncid,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${duckCosine("e.a", "c.cent")} DESC, c.cid ASC) AS arn
+         |    FROM e, coarse c) WHERE arn = 1),
+         |js AS (SELECT unnest(range(0, 8)) AS j),
+         |cents AS (
+         |  SELECT js.j, e.vec_id AS cid, e.a[js.j*8+1 : js.j*8+8] AS cent
+         |  FROM e, js WHERE e.vec_id % 50 = 0 AND e.vec_id < 12800),
          |vs AS (SELECT e.vec_id, js.j, e.a[js.j*8+1 : js.j*8+8] AS sv FROM e, js),
          |enc AS (
          |  SELECT vec_id, j, cid FROM (

@@ -50,33 +50,47 @@ object MatrixOps {
     val spark = a.sparkSession
     import spark.implicits._
 
+    // COO → dense tiles through a SORT-BASED group (groupByKey/mapGroups),
+    // not a collect_list hash aggregate. The former collect_list partial
+    // aggregate buffered, PER MAP TASK, every entry struct of every group
+    // the task touched — O(n²/tasks) heap before one byte shuffled, the
+    // stage that OOM'd the 16000² one-off at the 24 GB envelope under
+    // 32-way task concurrency (r10 VERDICT "Next round" 5; generation
+    // itself streams — CartesianProduct and the shuffle writer are
+    // iterator-to-iterator). Here the map side streams raw 28-byte
+    // (bi, bj, off, v) rows into the exchange (spill-safe by
+    // construction), the reduce side sorts by key (external, spill-safe)
+    // and materializes ONE dense bs² tile at a time — per-task memory is
+    // O(bs²) = O(tile) regardless of matrix size or task concurrency.
+    // Densifying HERE also drops the per-entry struct boxing the old
+    // tile-pair stage paid when scattering lists into arrays.
     def toBlocks(m: DataFrame) = m
-      .select((col("i") / bs).cast("long").as("bi"),
-              (col("j") / bs).cast("long").as("bj"),
-              struct((col("i") % bs).cast("int").as("li"),
-                     (col("j") % bs).cast("int").as("lj"),
-                     col("v").as("lv")).as("e"))
-      .groupBy("bi", "bj")
-      .agg(collect_list("e").as("entries"))
+      .select((col("i") / bs).cast("long").as("_1"),
+              (col("j") / bs).cast("long").as("_2"),
+              ((col("i") % bs).cast("int") * bs + (col("j") % bs).cast("int"))
+                .as("_3"),
+              col("v").as("_4"))
+      .as[(Long, Long, Int, Long)]
+      .groupByKey(t => (t._1, t._2))
+      .mapGroups { (key: (Long, Long), it: Iterator[(Long, Long, Int, Long)]) =>
+        val d = Array.ofDim[Long](bs * bs)
+        it.foreach(t => d(t._3) = t._4)
+        (key._1, key._2, d)
+      }
 
-    val aB = toBlocks(a).select(col("bi").as("abi"), col("bj").as("abj"), col("entries").as("ae"))
-    val bB = toBlocks(b).select(col("bi").as("bbi"), col("bj").as("bbj"), col("entries").as("be"))
+    val aB = toBlocks(a).toDF("abi", "abj", "ad")
+    val bB = toBlocks(b).toDF("bbi", "bbj", "bd")
 
     // Tile pairs with matching contraction block; local dense GEMM per pair.
     val pairs = aB.join(bB, col("abj") === col("bbi"))
-      .select(col("abi"), col("bbj"), col("ae"), col("be"))
-      .as[(Long, Long, Seq[(Int, Int, Long)], Seq[(Int, Int, Long)])]
+      .select(col("abi"), col("bbj"), col("ad"), col("bd"))
+      .as[(Long, Long, Array[Long], Array[Long])]
 
-    // Per pair: densify both operands into primitive bs² arrays and run a
-    // cache-friendly ikj GEMM — no boxing, no per-entry hash lookups (the
-    // round-7 formulation's Seq.groupBy + boxed-tuple inner loop was the
-    // CPU bottleneck of the 1000²/2000² sweep rungs; measured ~2x on the
-    // whole query at 2000²).
-    val partialTiles = pairs.map { case (abi, bbj, ae, be) =>
-      val ad = Array.ofDim[Long](bs * bs)
-      ae.foreach { case (li, lj, av) => ad(li * bs + lj) = av }
-      val bd = Array.ofDim[Long](bs * bs)
-      be.foreach { case (lj, lk, bv) => bd(lj * bs + lk) = bv }
+    // Per pair: cache-friendly ikj GEMM over the primitive bs² arrays —
+    // no boxing, no per-entry hash lookups (the round-7 formulation's
+    // Seq.groupBy + boxed-tuple inner loop was the CPU bottleneck of the
+    // 1000²/2000² sweep rungs; measured ~2x on the whole query at 2000²).
+    val partialTiles = pairs.map { case (abi, bbj, ad, bd) =>
       val acc = Array.ofDim[Long](bs * bs)
       var li = 0
       while (li < bs) {

@@ -571,6 +571,20 @@ object EventStreams {
       var lastUs = if (last.exists) last.get else Long.MinValue
       evs.foreach { e =>
         val t = micros(e.ts)
+        // FIXTURE ASSUMPTION (r10 ADVICE): this inline close fires as soon
+        // as a ≥gap jump is seen WITHIN the stream's arrival order, before
+        // the watermark has passed the gap — an in-watermark late event
+        // (allowed up to 2 h late vs the 30 min gap) arriving in a LATER
+        // batch could land inside a gap that already closed a session
+        // here, splitting what the batch oracle's total-order
+        // sessionization keeps whole. The gates' fixtures never deliver a
+        // late event that bridges a previously closed gap (events arrive
+        // batch-monotonically per user), which is what makes the inline
+        // close — shared with [[SessionProcessor]] — safe to keep; a
+        // deployment without that arrival guarantee must close sessions
+        // only from [[handleExpiredTimer]] (watermark-driven, by
+        // construction late-safe) at the cost of buffering every open
+        // session until the watermark catches up.
         if (lastUs != Long.MinValue && t - lastUs >= gapUs)
           out += digest(uid)
         buf.appendValue(BufEvent(e.event_id, t, cents(e.value)))
@@ -738,7 +752,12 @@ object EventStreams {
     */
   def idempotentBatchWrite(outDir: String)(batch: DataFrame,
                                            batchId: Long): Unit =
-    batch.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    // `graft_sink_batch`, not `batch`: the key surfaces as a discovered
+    // partition column on re-read, and a DATA column literally named
+    // `batch` would be silently shadowed/dropped by the sink bookkeeping
+    // (r10 ADVICE). A `_`-prefixed name would be worse — partition
+    // discovery skips `_`/`.`-prefixed directories entirely.
+    batch.write.mode("overwrite").parquet(s"$outDir/graft_sink_batch=$batchId")
 
   /** Streaming ETL through the `foreachBatch` sink — the production API
     * for sinks Structured Streaming has no native writer for (JDBC,
@@ -747,8 +766,12 @@ object EventStreams {
     * BATCH writer via [[idempotentBatchWrite]] (batchId-keyed overwrite
     * — foreachBatch is at-least-once, so the writer, not the engine,
     * owns replay dedup). Returns the re-read final dataset; the
-    * `batch=<id>` key surfaces as a discovered partition column and is
-    * dropped — it is sink bookkeeping, not data.
+    * `graft_sink_batch=<id>` key surfaces as a discovered partition
+    * column and is dropped — it is sink bookkeeping, not data. A stream
+    * that commits ZERO batches leaves the sink empty (no partition dirs
+    * for `spark.read.parquet` to infer a schema from), so that case
+    * returns an empty frame with the STREAM's schema instead of throwing
+    * "unable to infer schema" (r10 ADVICE).
     */
   def foreachBatchEtl(spark: SparkSession, stream: DataFrame,
                       outDir: String): DataFrame = {
@@ -758,7 +781,11 @@ object EventStreams {
         .option("checkpointLocation", ckpt)
         .start()
     }
-    spark.read.parquet(outDir).drop("batch")
+    val landed = Option(new java.io.File(outDir).listFiles()).toSeq.flatten
+    if (!landed.exists(_.getName.startsWith("graft_sink_batch=")))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stream.schema)
+    else spark.read.parquet(outDir).drop("graft_sink_batch")
   }
 
   /** Land the stream through Spark's NATIVE parquet FILE SINK — the

@@ -41,9 +41,21 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     val r =
       try body
       finally {
-        // Give the async bus a moment to drain before unregistering, so
-        // the final job's plan is not lost.
-        awaitUntil(() => plans.synchronized(plans.nonEmpty))
+        // The body may run MANY jobs and listener delivery is async —
+        // unregistering as soon as ONE plan arrived could drop the later
+        // plans the test actually asserts on (r10 ADVICE, medium: the
+        // fallback-join assert could flake and the "never SortMergeJoin"
+        // guard pass vacuously on missing plans). Wait until the captured
+        // count has been STABLE across several consecutive poll intervals
+        // (~200 ms of bus quiet) before unregistering.
+        var seen = -1
+        var stableFor = 0
+        awaitUntil { () =>
+          val n = plans.synchronized(plans.size)
+          if (n == seen && n > 0) stableFor += 1 else stableFor = 0
+          seen = n
+          stableFor >= 4
+        }
         spark.listenerManager.unregister(listener)
       }
     (r, () => plans.synchronized(plans.toSeq))
