@@ -54,6 +54,11 @@ object Bench {
           .appName("graft-bench")
           .config("spark.sql.shuffle.partitions", cpus)
       ).getOrCreate()
+      // SPARK_GRAFT_CONF overrides (shared parser with ScaleProbe): how an
+      // A/B bench run forces a non-default path (r10 VERDICT "Next round"
+      // 3: pairSpread on/off at gate scale). Applied per-build so a
+      // fatal-error session rebuild keeps the run's configuration.
+      Engine.applyConfOverrides(s)
       s.sparkContext.setLogLevel("WARN")
       s
     }
@@ -180,7 +185,12 @@ object Bench {
     // Host-load bracket for the whole run: a quiet host sits near the
     // bench's own concurrency; values far above it mean the timings are
     // contaminated by co-tenant load, not code.
-    val loads = s""""load1_start":$loadStart,"load1_end":${load1()}"""
+    // Conf overrides make a run non-comparable with the default-path
+    // artifact; stamp them into the header so an A/B line is
+    // self-describing (empty when the run is the default path).
+    val ov = sys.env.get("SPARK_GRAFT_CONF").filter(_.trim.nonEmpty)
+      .fold("")(c => s""""conf_overrides":${jstr(c)},""")
+    val loads = s"""$ov"load1_start":$loadStart,"load1_end":${load1()}"""
     val full = s"""{"metric":"total","value":$total,"unit":"sec",$loads,"queries":$qs,"errors":$es,"sf":"$sfDir"}"""
     // Round-5 postmortem: the single full line outgrew the driver's stdout
     // tail-capture window, so BENCH_r05.json came back `parsed: null` with

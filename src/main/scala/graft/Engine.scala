@@ -36,6 +36,25 @@ object Engine {
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
 
+  /** Apply `SPARK_GRAFT_CONF="k=v,k=v"` session-conf overrides — the probe
+    * and bench harnesses' shared mechanism for forcing non-default paths
+    * (`spark.graft.dedup.attachBroadcastCap=0` for past-cap fallback runs,
+    * `spark.graft.dedup.pairSpread=off` for the 1× spread A/B). Values
+    * containing ',' cannot be expressed (no probed conf needs one); empty
+    * segments (trailing comma) are skipped; a segment without '=' fails
+    * loudly with the offending text instead of an opaque MatchError
+    * (r10 ADVICE). Returns the overrides applied, for run-header logging.
+    */
+  def applyConfOverrides(spark: SparkSession): Seq[(String, String)] =
+    sys.env.get("SPARK_GRAFT_CONF").toSeq.flatMap(
+      _.split(",").map(_.trim).filter(_.nonEmpty).map { kv =>
+        val parts = kv.split("=", 2)
+        require(parts.length == 2 && parts(0).nonEmpty,
+          s"bad SPARK_GRAFT_CONF override (expected key=value): '$kv'")
+        spark.conf.set(parts(0), parts(1))
+        (parts(0), parts(1))
+      })
+
   /** Register every fixture table under `dir` as a temp view, making
     * `spark.sql(...)` a first-class entry point (SURVEY.md §3.2 entry
     * point 2). View names are the table names (`lineitem`, `orders`, ...).

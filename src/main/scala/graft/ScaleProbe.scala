@@ -111,18 +111,10 @@ object ScaleProbe {
     // probing — how the past-cap shuffled-hash fallbacks (e.g.
     // spark.graft.dedup.attachBroadcastCap=0) get a run at probe scale,
     // not just at DedupFallbackSpec's unit scale (r9 verdict finding 2).
-    // Comma-separated k=v list; values containing ',' cannot be expressed
-    // in this syntax (none of the probed confs need one). Empty segments
-    // (trailing comma) are skipped; a segment without '=' fails loudly
-    // with the offending text instead of an opaque MatchError (r10 ADVICE).
-    sys.env.get("SPARK_GRAFT_CONF").foreach(
-      _.split(",").map(_.trim).filter(_.nonEmpty).foreach { kv =>
-        val parts = kv.split("=", 2)
-        require(parts.length == 2 && parts(0).nonEmpty,
-          s"bad SPARK_GRAFT_CONF override (expected key=value): '$kv'")
-        println(s"[probe] conf override: ${parts(0)}=${parts(1)}")
-        spark.conf.set(parts(0), parts(1))
-      })
+    // Parsing lives in [[Engine.applyConfOverrides]] (shared with Bench).
+    Engine.applyConfOverrides(spark).foreach { case (k, v) =>
+      println(s"[probe] conf override: $k=$v")
+    }
     spark.sparkContext.setLogLevel("ERROR")
     val docs = Tables.load(spark, sfDir, "documents")
     val emb = Tables.load(spark, sfDir, "embeddings")
