@@ -405,12 +405,29 @@ object DedupOps {
     // shuffled-attach joins whose array-attached rows ARE byte-heavy)
     // starts fine-grained and coalesces by measured bytes instead of
     // inheriting a pinned session width (the r8 l25 OOM).
-    // `spark.graft.dedup.pairSpread=off` disables the spread — the A/B
-    // switch for settling whether the extra exchange costs anything at
-    // gate scale where candidate volume is too small to be spread-bound
-    // (r10 VERDICT finding 2 asked for exactly this measurement).
+    // COUNT-CONDITIONAL (round 11): the r10 gate-scale drift was real —
+    // the same-host A/B (`SPARK_GRAFT_CONF=spark.graft.dedup.pairSpread=
+    // off`, 2-query bench protocol) read l2 6.4 / l2b 7.8 s without the
+    // spread vs 10.4 / 10.5 s with it at 1× (5 000 docs), while the 8×
+    // rungs NEED it (l2 72.6 → 31.5 s). Below a corpus-size threshold the
+    // candidate volume is too small to be spread-bound and the extra
+    // exchange is pure cost, so the spread auto-disables on the ALREADY
+    // MEASURED `nDocs` (the sets count the attach decision runs anyway —
+    // a candidate count() would re-execute the banding subtree, the 2×
+    // the estimate-path cost note warns about). Crossover sits between
+    // the measured −3 s at 10 000 docs and +40 s at 40 000; default
+    // 16 000 (`spark.graft.dedup.pairSpreadMinDocs`). Explicit
+    // `pairSpread=on`/`off` still forces either path (the probe ladders'
+    // A/B switch).
     val spreadOn = spark.conf
-      .getOption("spark.graft.dedup.pairSpread").forall(_ != "off")
+      .getOption("spark.graft.dedup.pairSpread") match {
+        case Some("off") => false
+        case Some("on")  => true
+        case _ =>
+          nDocs >= spark.conf
+            .getOption("spark.graft.dedup.pairSpreadMinDocs")
+            .map(_.toLong).getOrElse(16000L)
+      }
     val repartitioned =
       if (spreadOn) candidates
         .repartition(spark.sparkContext.defaultParallelism, col("da"), col("db"))
@@ -503,7 +520,14 @@ object DedupOps {
                 (col("na") === col("nb") && col("xa") < col("xb")))
         .filter((lit(1L) + least(col("na") - col("ra"), col("nb") - col("rb")))
                   * 1000000L >= col("na") * T)
-        .select("xa", "xb", "na", "nb").distinct()
+        // Distinct on the PAIR KEY ALONE: na/nb are functionally dependent
+        // on the ids ([[shingles]] is array_distinct, so nsh = |code set|
+        // = size of the verify arrays) and re-derive for free from the
+        // attached arrays — carrying them through the distinct doubled the
+        // bytes of what the r11 stage split measured as the operator's
+        // bottleneck exchange (candidate distinct: 346 s of the 414 s 16×
+        // rung, 591M pairs — verify-intersect is only 52 s there).
+        .select("xa", "xb").distinct()
         // NO explicit verify spread here, unlike [[verifyJaccard]] — a
         // round-10 probe tried pinning full-core width on the pair key
         // after the distinct and the 4×/8× rungs REGRESSED (26.8/108.4 s
@@ -557,7 +581,8 @@ object DedupOps {
       val result = candidates
         .join(attach(sets.select(col("doc_id").as("xa"), col("codes").as("ca"))), "xa")
         .join(attach(sets.select(col("doc_id").as("xb"), col("codes").as("cb"))), "xb")
-        .select(col("xa"), col("xb"), col("na"), col("nb"),
+        .select(col("xa"), col("xb"),
+          size(col("ca")).cast("long").as("na"),
           graft.functions.SortedIntersectCount(col("ca"), col("cb")).as("c"))
         .filter(col("c") * 1000000L >= col("na") * T)
         .select(col("xa").as("contained_id"), col("xb").as("container_id"),
