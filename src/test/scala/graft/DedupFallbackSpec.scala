@@ -156,4 +156,38 @@ class DedupFallbackSpec extends SparkSpec {
       "the unknown-count default must estimate and broadcast, not " +
         "silently take the fallback")
   }
+
+  test("verify pair spread is count-conditional: auto-off on a small corpus, forced by conf") {
+    // Round 11: the pair-key verify spread pays at probe scale (l2 8×
+    // 72.6 → 31.5 s) but its extra exchange measured ~3 s per gate at 1×
+    // (same-host A/B, SURVEY §5.2 round-11 (d)), so verifyJaccard now
+    // auto-disables it below `pairSpreadMinDocs` (default 16 000) on the
+    // sets count it already measures. This pins all three paths — auto
+    // (tiny corpus → NO (da, db) exchange), conf-forced on, and
+    // threshold-lowered auto-on — and that output is identical across
+    // them (the spread is layout-only).
+    // The candidate DISTINCT inserts its own (da, db) exchange
+    // (ENSURE_REQUIREMENTS); the spread is the EXPLICIT repartition,
+    // which Spark tags REPARTITION_BY_NUM — that tag is the detector.
+    def spreadExchange(p: String): Boolean = p.linesIterator.exists(l =>
+      l.contains("hashpartitioning(da#") && l.contains("db#") &&
+        l.contains("REPARTITION_BY_NUM"))
+    def run(conf: (String, String)*): (Set[(Long, Long, Double)], Boolean) =
+      withConf(conf: _*) {
+        val (rows, plans) = capturePlans(
+          pairsOf(DedupOps.prefixJaccardPairs(corpus, 0.8)))
+        awaitUntil(() => plans().nonEmpty)
+        (rows, plans().exists(spreadExchange))
+      }
+    val (auto, autoSpread) = run()
+    assert(auto.nonEmpty)
+    assert(!autoSpread,
+      "7 docs < pairSpreadMinDocs: the (da, db) repartition must be absent")
+    val (forced, forcedSpread) = run("spark.graft.dedup.pairSpread" -> "on")
+    assert(forced == auto && forcedSpread,
+      "pairSpread=on must force the (da, db) exchange at identical output")
+    val (lowT, lowTSpread) = run("spark.graft.dedup.pairSpreadMinDocs" -> "1")
+    assert(lowT == auto && lowTSpread,
+      "a corpus at/above pairSpreadMinDocs must auto-enable the spread")
+  }
 }
