@@ -115,6 +115,17 @@ object StateProbe {
         .agg(unix_micros(min(col("ts"))), unix_micros(max(col("ts"))))
         .head().toSeq.map(_.toString.toLong).toArray
       val span = math.max(1L, tsMax - tsMin + 1)
+      // Integer bucketing (floor + cast). The r11 probe used SQL `/` here,
+      // which is DOUBLE division — `=== b` then only matched rows whose
+      // quotient was exactly integral, silently dropping ~all events and
+      // making every rung process a near-empty bulk. Guard: the 8 buckets
+      // must PARTITION the rung (sum == n), so a regression fails loudly
+      // instead of producing a flat artifact ladder again.
+      val bucketCol = floor((unix_micros(col("ts")) - tsMin) * 8 / span).cast("int")
+      val bucketCounts = evx.groupBy(bucketCol.as("b")).count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      require(bucketCounts.values.sum == n && bucketCounts.keys.forall(b => b >= 0 && b < 8),
+        s"bulk buckets must partition the rung: n=$n buckets=$bucketCounts")
       Seq(false, true).foreach { changelog =>
         spark.conf.set(
           "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
@@ -132,7 +143,7 @@ object StateProbe {
           // 8 ts-ordered bulk files → 8 time-ordered micro-batches per rung.
           (0 until 8).foreach { b =>
             val scratch = root.resolve(s"w$b").toString
-            evx.filter(((unix_micros(col("ts")) - tsMin) * 8 / span) === b)
+            evx.filter(bucketCol === b)
               .coalesce(1).write.parquet(scratch)
             val part = new java.io.File(scratch).listFiles()
               .find(_.getName.endsWith(".parquet")).get

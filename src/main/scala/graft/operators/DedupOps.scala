@@ -423,7 +423,13 @@ object DedupOps {
       .getOption("spark.graft.dedup.pairSpread") match {
         case Some("off") => false
         case Some("on")  => true
-        case _ =>
+        // Fail-loudly on anything else ("true", a typo): a forced A/B run
+        // silently becoming an auto run invalidates the measurement — the
+        // same convention Engine.applyConfOverrides establishes.
+        case Some(other) =>
+          throw new IllegalArgumentException(
+            s"spark.graft.dedup.pairSpread must be 'on' or 'off', got '$other'")
+        case None =>
           nDocs >= spark.conf
             .getOption("spark.graft.dedup.pairSpreadMinDocs")
             .map(_.toLong).getOrElse(16000L)
@@ -507,27 +513,70 @@ object DedupOps {
     // fine-grained and AQE coalesces it to the width its MEASURED bytes
     // need; at 1× that lands on the same ~core-count layout as before.
     try withWideAqe(docs.sparkSession) {
+      // ADAPTIVE PREFIX EXTENSION (round 12 — AdaptJoin, Wang et al.
+      // SIGMOD'12, on top of the PPJoin cuts). The r11 stage split showed
+      // candidate generation owning 346 of 414 s at 16× (591M distinct
+      // pairs) — and a DuckDB replay of the 1× rung showed WHY the PPJoin
+      // filters can't bite on a high-background-similarity corpus: 10.4M
+      // candidates for 160k true pairs (83% of ALL pairs pass — every
+      // char-3-gram is frequent under the fixture's ~30-word vocabulary,
+      // so a 1-code prefix collision is nearly free, and the positional
+      // bound is already saturated by the per-occurrence filter below).
+      // The pigeonhole fix: enumerate the CONTAINED side's prefix k codes
+      // PAST the minimal length ℓ = (na − o + 1) + k, and require a pair
+      // to collide on ≥ min(o, k+1) of them — at most na − o of x's codes
+      // can miss y when C(x→y) ≥ t, so a true pair matches at least
+      // ℓ − (na − o) = k+1 prefix codes (o of them when the whole doc fits
+      // in ℓ). Measured on the fixture at 1× (t = 0.9): k = 8 cuts
+      // candidates 10.4M → 707k (15×) for 2.3× more occurrence rows, and
+      // the count rides the SAME aggregate that replaced the distinct —
+      // the 591M-group hash tables were the bottleneck, not the probe.
+      // k = 0 degenerates to the exact r11 PPJoin candidate set.
+      val k = docs.sparkSession.conf
+        .getOption("spark.graft.dedup.prefixExt").map(_.toInt).getOrElse(8)
       val prefix = ranked
         .filter(col("r") <=
-          col("nsh") - expr(s"(nsh * ${T}L + 999999L) div 1000000L") + 1)
+          col("nsh") - expr(s"(nsh * ${T}L + 999999L) div 1000000L") + 1 + k)
         .select(col("doc_id").as("xa"), col("code"),
                 col("r").as("ra"), col("nsh").as("na"))
       val cont = ranked.select(col("doc_id").as("xb"), col("code"),
                                col("r").as("rb"), col("nsh").as("nb"))
+      // Per-occurrence tests, both integer-exact (T = ⌊t·10⁶⌋ scaled):
+      //  - RELAXED (kept by every common occurrence of a qualifying pair,
+      //    so it can gate the α count): common codes before this one sit
+      //    below (ra, rb) in BOTH rank orders — the global (cf, code)
+      //    order is shared — and codes after it above, so
+      //    |x∩y| ≤ min(ra−1, rb−1) + 1 + min(na−ra, nb−rb)
+      //          = min(ra, rb) + min(na−ra, nb−rb) ≥ o must hold.
+      //  - STRICT (the r11 filter; holds for the FIRST common code only,
+      //    where min(ra−1, rb−1) = 0): 1 + min(na−ra, nb−rb) ≥ o. The
+      //    first common code always ranks within x's minimal prefix, so
+      //    every qualifying pair keeps ≥ 1 strict occurrence — requiring
+      //    one alongside the α threshold is sound and prunes further.
       val candidates = prefix.join(cont, "code")
         .filter(col("xa") =!= col("xb"))
         .filter(col("na") < col("nb") ||
                 (col("na") === col("nb") && col("xa") < col("xb")))
-        .filter((lit(1L) + least(col("na") - col("ra"), col("nb") - col("rb")))
+        .filter((least(col("ra"), col("rb")) +
+                 least(col("na") - col("ra"), col("nb") - col("rb")))
                   * 1000000L >= col("na") * T)
-        // Distinct on the PAIR KEY ALONE: na/nb are functionally dependent
-        // on the ids ([[shingles]] is array_distinct, so nsh = |code set|
-        // = size of the verify arrays) and re-derive for free from the
-        // attached arrays — carrying them through the distinct doubled the
-        // bytes of what the r11 stage split measured as the operator's
-        // bottleneck exchange (candidate distinct: 346 s of the 414 s 16×
-        // rung, 591M pairs — verify-intersect is only 52 s there).
-        .select("xa", "xb").distinct()
+        // Aggregate on the PAIR KEY ALONE (na re-derives from the verify
+        // arrays; carrying nb doubled the r11 exchange bytes): α +
+        // any-strict fold into the same hash aggregate the old distinct
+        // already paid for — same shuffle key, two tiny longs wider, and
+        // the map-side partial combine now collapses the per-pair
+        // occurrence fan-out instead of shipping it.
+        .groupBy(col("xa"), col("xb"))
+        .agg(count(lit(1)).as("alpha"),
+          max(when((lit(1L) + least(col("na") - col("ra"),
+                                    col("nb") - col("rb")))
+                     * 1000000L >= col("na") * T, 1).otherwise(0))
+            .as("any_strict"),
+          max(col("na")).as("na"))
+        .filter(col("any_strict") === 1 &&
+          col("alpha") >= least(lit(k + 1L),
+            expr(s"(na * ${T}L + 999999L) div 1000000L")))
+        .select("xa", "xb")
         // NO explicit verify spread here, unlike [[verifyJaccard]] — a
         // round-10 probe tried pinning full-core width on the pair key
         // after the distinct and the 4×/8× rungs REGRESSED (26.8/108.4 s

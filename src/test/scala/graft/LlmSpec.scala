@@ -387,6 +387,27 @@ class LlmSpec extends SparkSpec {
     assert(!jac.contains((0L, 8L)) && !jac.contains((8L, 0L)))
   }
 
+  test("containmentPairs adaptive prefix (k>0) is output-identical to pure PPJoin (k=0)") {
+    // The round-12 candidate cut: prefixExt=k enumerates k extra prefix
+    // codes and requires min(o, k+1) collisions per pair (AdaptJoin
+    // pigeonhole). k=0 degenerates to the exact r11 PPJoin candidate set,
+    // so running both on the real fixture pins that the extension only
+    // prunes FALSE candidates — the verified output must be identical,
+    // including docs shorter than the extended prefix (where the α
+    // threshold clamps to o). Thresholds straddle high/low selectivity.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    Seq(0.9, 0.6).foreach { t =>
+      spark.conf.set("spark.graft.dedup.prefixExt", "0")
+      val ppjoin = try canon(DedupOps.containmentPairs(docs, t))
+      finally spark.conf.unset("spark.graft.dedup.prefixExt")
+      val adaptive = canon(DedupOps.containmentPairs(docs, t)) // default k=8
+      assert(adaptive == ppjoin, s"threshold $t")
+      assert(ppjoin.nonEmpty, s"fixture must exercise the pair path at $t")
+    }
+  }
+
   test("incrementalClassify covers all three statuses (fixture has no exact dups)") {
     // Planted corpus: even ids = base, odd ids = increment.
     //  1 — text equals base doc 0           -> exact_dup (in base)
@@ -467,7 +488,11 @@ class LlmSpec extends SparkSpec {
     assert(rows(SimilarityOps.ivfPqTopK(emb, q, 5, codebookEntries = 256)) ==
            rows(SimilarityOps.ivfPqTopK(emb, q, 5)))
     val capped = SimilarityOps.pqTopK(emb, q, 5, codebookEntries = 4)
-    assert(capped.count() > 0)
+    // The biting cap must actually CHANGE the result — if codebookEntries
+    // never reached donorFilter, the equality checks above would still
+    // pass trivially (advisor r11: a rows>0 assertion pins nothing).
+    assert(rows(capped) != rows(SimilarityOps.pqTopK(emb, q, 5)),
+      "codebookEntries=4 must quantize differently than the uncapped codebook")
   }
 
   test("l5c/l5d ADC shortlists two-stage: the corpus-wide window is pre-cut per partition") {
