@@ -155,11 +155,14 @@ object ScaleProbe {
         // O(N²/50) — the measured super-linear term; the capped variants
         // pin the production claim (O(N·m·256) encode) as a ladder whose
         // per-doubling ratio flattens toward linear once N > 50·256.
+        // Since round 12 the l5c GATE is the capped variant (the r11
+        // verdict re-point), so l5c_pq_topk here matches the gate's plan
+        // and the pure-stride reference keeps its own explicit label.
         ("l5c_pq_topk", nE,
-         () => sink(SimilarityOps.pqTopK(e, e.filter(col("vec_id") <= 9), 5))),
-        ("l5c_pq_fixed256", nE,
          () => sink(SimilarityOps.pqTopK(e, e.filter(col("vec_id") <= 9), 5,
                                          codebookEntries = 256))),
+        ("l5c_pq_stride", nE,
+         () => sink(SimilarityOps.pqTopK(e, e.filter(col("vec_id") <= 9), 5))),
         ("l5d_ivfpq_fixed256", nE,
          () => sink(SimilarityOps.ivfPqTopK(e, e.filter(col("vec_id") <= 9), 5,
                                             codebookEntries = 256))),

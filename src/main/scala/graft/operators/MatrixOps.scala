@@ -175,7 +175,12 @@ object MatrixOps {
     */
   def sweepTile(n: Int): Int = math.max(1, math.min(n / 8, 512))
 
-  def multiplyPlanned(a: DataFrame, b: DataFrame, bs: Int = 128): DataFrame =
+  /** `bs = 0` (the default) leaves the tile width to the planner —
+    * [[graft.plans.MatMulStrategy.deriveBs]] applies the measured
+    * [[sweepTile]] rule to the operands' cost statistics; a positive bs
+    * pins it (the probe ladders' A/B switch).
+    */
+  def multiplyPlanned(a: DataFrame, b: DataFrame, bs: Int = 0): DataFrame =
     org.apache.spark.sql.GraftSqlShim.ofRows(a.sparkSession,
       graft.plans.MatMul.node(
         a.queryExecution.analyzed, b.queryExecution.analyzed, bs))
@@ -188,7 +193,7 @@ object MatrixOps {
     * matrix-chain-ordering decision as a Catalyst rule, not caller code.
     */
   def multiplyPlannedChain(a: DataFrame, b: DataFrame, c: DataFrame,
-                           bs: Int = 128): DataFrame = {
+                           bs: Int = 0): DataFrame = {
     val inner = graft.plans.MatMul.node(
       a.queryExecution.analyzed, b.queryExecution.analyzed, bs)
     org.apache.spark.sql.GraftSqlShim.ofRows(a.sparkSession,

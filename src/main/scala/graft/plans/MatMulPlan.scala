@@ -98,7 +98,9 @@ class MatMulStrategy(spark: SparkSession) extends SparkStrategy {
       val b = GraftSqlShim.ofRows(spark, m.right)
       val composed =
         if (bcThreshold > 0 && minSide <= bcThreshold) MatrixOps.matmul(a, b)
-        else MatrixOps.blockMatmul(a, b, m.blockSize)
+        else MatrixOps.blockMatmul(a, b,
+          if (m.blockSize > 0) m.blockSize
+          else MatMulStrategy.deriveBs(m.left, m.right))
       val expanded = composed.queryExecution.analyzed
       val aligned = Project(
         m.output.zip(expanded.output).map { case (target, src) =>
@@ -106,5 +108,39 @@ class MatMulStrategy(spark: SparkSession) extends SparkStrategy {
         }, expanded)
       planLater(aligned) :: Nil
     case _ => Nil
+  }
+}
+
+object MatMulStrategy {
+  /** Last block-path tile decision `(nnz estimate, derived n, bs)` — a
+    * planning-time observability hook for the plan specs (the chosen bs is
+    * invisible in the physical plan string: it only parameterizes the
+    * mapGroups closures). Written ONLY by [[deriveBs]].
+    */
+  @volatile var lastDerived: Option[(BigInt, Long, Int)] = None
+
+  /** Planner-derived tile width (r11 VERDICT "Next round" 5): the measured
+    * [[MatrixOps.sweepTile]] rule — bs = min(n/8, 512), the 8×8-grid
+    * core-saturation floor under the r9-measured per-task memory cap —
+    * applied to a dimension estimate FROM THE SAME COST STATISTICS the
+    * strategy's broadcast decision reads, so the planner owns the whole
+    * physical choice and callers stop shipping a magic 128. A dense n×n
+    * COO child has n² rows; without CBO row counts the estimate is
+    * sizeInBytes over the 32-byte (i, j, v) row footprint (3 longs + row
+    * overhead — Catalyst's own size model for this schema). The estimate
+    * only needs to land within a FACTOR of n: bs buckets are coarse
+    * (⌈n/8⌉ below 4096, the 512 cap above) and both the floor and the cap
+    * are safe on either side — a 2× low bs doubles grid parallelism at
+    * identical task memory, a 2× high one stays under the measured 8
+    * MB/task tile bound via the 512 cap.
+    */
+  def deriveBs(left: LogicalPlan, right: LogicalPlan): Int = {
+    val rowBytes = 32
+    val nnz = (left.stats.sizeInBytes.max(right.stats.sizeInBytes) /
+      rowBytes).max(BigInt(1))
+    val n = math.sqrt(nnz.min(BigInt(Long.MaxValue)).toDouble).toLong.max(1L)
+    val bs = MatrixOps.sweepTile(math.min(n, Int.MaxValue).toInt)
+    lastDerived = Some((nnz, n, bs))
+    bs
   }
 }

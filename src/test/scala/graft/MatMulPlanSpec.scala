@@ -64,6 +64,44 @@ class MatMulPlanSpec extends SparkSpec {
            "2000² should plan as block GEMM")
   }
 
+  test("the planner derives the block tile width from operand statistics") {
+    // bs = 0 (the multiplyPlanned default) hands the tile decision to
+    // MatMulStrategy.deriveBs — the measured sweepTile rule (min(n/8, 512))
+    // over the SAME size statistics the broadcast decision reads. The
+    // chosen bs is invisible in the plan string (it parameterizes the
+    // mapGroups closures), so the strategy records its last derivation.
+    // The pinned values encode Catalyst's size model for the crossJoin-of-
+    // ranges COO children (nnz ≈ sizeInBytes/32 ⇒ n within ~2× of true n;
+    // both the n/8 floor and the 512 cap are safe on either side of that
+    // factor) — if the size model shifts across Spark versions, this spec
+    // is MEANT to flag it.
+    import graft.plans.MatMulStrategy
+    def derivedFor(n: Int): (Long, Int) = {
+      MatMulStrategy.lastDerived = None
+      // Planning only: executedPlan forces strategy application, no run.
+      MatrixOps.multiplyPlanned(
+        MatrixGen.matA(spark, n, n), MatrixGen.matB(spark, n, n))
+        .queryExecution.executedPlan
+      val Some((_, nEst, bs)) = MatMulStrategy.lastDerived
+      (nEst, bs)
+    }
+    val (n1, bs1) = derivedFor(1000)
+    val (n2, bs2) = derivedFor(8000)
+    // 1000²: the n/8 regime — bs tracks the dimension estimate.
+    assert(bs1 == MatrixOps.sweepTile(n1.toInt) && bs1 < 512 && bs1 >= 125,
+      s"1000² derived (n=$n1, bs=$bs1)")
+    // 8000²: the measured memory cap — bs clamps at 512 however large the
+    // operands get (per-task tile memory stays O(512²); the GRID widens).
+    assert(bs2 == 512, s"8000² derived (n=$n2, bs=$bs2)")
+    // An explicit bs still wins (the probe ladders' A/B switch): no
+    // derivation is recorded when the caller pins it.
+    MatMulStrategy.lastDerived = None
+    MatrixOps.multiplyPlanned(
+      MatrixGen.matA(spark, 1000, 1000), MatrixGen.matB(spark, 1000, 1000),
+      bs = 64).queryExecution.executedPlan
+    assert(MatMulStrategy.lastDerived.isEmpty, "explicit bs must not derive")
+  }
+
   test("MatMulReassociate rotates (A·B)·C right-deep iff C is the small operand") {
     import graft.plans.MatMul
     val a = MatrixGen.matA(spark, 40, 30)
