@@ -139,6 +139,33 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val all = only.fold(everything)(sel => everything.filter(q => sel(q._1)))
 
+    // HOST GAUGE (r11 VERDICT "Next round" 6): the four-query quartet the
+    // host-noise protocol ran BY HAND since r10 (r2/sql1/m1_sweep_1000/l3
+    // — two relational scans, one CPU-bound GEMM, one text explode; quiet-
+    // host band documented in SURVEY §6). Timed min-of-2 right after the
+    // warm-up and stamped into the JSON header, so cross-round comparisons
+    // normalize mechanically instead of via a separate gauge run. Runs
+    // even under SPARK_GRAFT_BENCH_ONLY (an A/B line must carry its own
+    // gauge to be comparable); SPARK_GRAFT_GAUGE=off skips it.
+    val gaugeNames =
+      Seq("r2_pricing_summary", "sql1_pricing", "m1_sweep_1000", "l3_token_freq")
+    val gauge: Seq[(String, Double)] =
+      if (sys.env.get("SPARK_GRAFT_GAUGE").contains("off")) Seq.empty
+      else gaugeNames.flatMap(n => everything.find(_._1 == n)).map {
+        case (name, fn) =>
+          val runs = (1 to 2).map { _ =>
+            val s = session(s"gauge.$name")
+            val t0 = System.nanoTime()
+            try { sink(fn(s, sfDir)); (System.nanoTime() - t0) / 1e9 }
+            catch { case e: Throwable =>
+              errors :+= (s"gauge.$name" -> errString(e)); Double.NaN
+            }
+          }.filterNot(_.isNaN)
+          val best = if (runs.nonEmpty) runs.min else -1.0
+          System.err.println(f"[bench] gauge $name%-24s $best%9.3f s")
+          name -> best
+      }
+
     // Min over three passes: Spark 4 pays heavy one-time JVM costs on
     // first touch (e.g. CollationAwareUTF8String <clinit> builds ICU case
     // tables for ~50 s inside the first upper() task) that say nothing
@@ -190,7 +217,11 @@ object Bench {
     // self-describing (empty when the run is the default path).
     val ov = sys.env.get("SPARK_GRAFT_CONF").filter(_.trim.nonEmpty)
       .fold("")(c => s""""conf_overrides":${jstr(c)},""")
-    val loads = s"""$ov"load1_start":$loadStart,"load1_end":${load1()}"""
+    val gj =
+      if (gauge.isEmpty) ""
+      else gauge.map { case (k, v) => s"${jstr(k)}:$v" }
+        .mkString("\"gauge\":{", ",", "},")
+    val loads = s"""$ov$gj"load1_start":$loadStart,"load1_end":${load1()}"""
     val full = s"""{"metric":"total","value":$total,"unit":"sec",$loads,"queries":$qs,"errors":$es,"sf":"$sfDir"}"""
     // Round-5 postmortem: the single full line outgrew the driver's stdout
     // tail-capture window, so BENCH_r05.json came back `parsed: null` with
