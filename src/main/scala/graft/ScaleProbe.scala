@@ -106,6 +106,10 @@ object ScaleProbe {
     val spark =
       if (args.length > 3) Engine.local(shufflePartitions = args(3).toInt)
       else Engine.local()
+    // args(4) = start multiple (default 1): a 32× ONE-OFF should not re-pay
+    // the whole ladder below it — the lower rungs are already recorded, and
+    // at l25's former 16× cost a redundant prefix is ~20 min of probe time.
+    val minX = if (args.length > 4) args(4).toInt else 1
     def on(op: String): Boolean = only.isEmpty || only(op)
     // SPARK_GRAFT_CONF="k=v,k=v" applies session-conf overrides before
     // probing — how the past-cap shuffled-hash fallbacks (e.g.
@@ -126,7 +130,8 @@ object ScaleProbe {
       sink(SimilarityOps.cosinePairsLsh(embX(emb, 1), 0.9))
 
     println(f"${"op"}%-22s ${"x"}%3s ${"rows_in"}%10s ${"sec"}%8s")
-    Iterator.from(0).map(1 << _).takeWhile(_ <= maxX).foreach { x =>
+    Iterator.from(0).map(1 << _).takeWhile(_ <= maxX)
+      .filter(_ >= minX).foreach { x =>
       val d = docsX(docs, x)
       val e = embX(emb, x)
       val nD = d.count(); val nE = e.count()

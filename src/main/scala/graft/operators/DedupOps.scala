@@ -494,10 +494,164 @@ object DedupOps {
     * the same global (cf, code) order. Both sides therefore join from the
     * `ranked` frame (rank + size attached), which is what gets persisted.
     */
+  /** Dense-regime exact containment join: blocked Boolean GEMM with
+    * popcount (see the regime-pick rationale in [[containmentPairs]]).
+    *
+    * Shape: (1) a dense code index 0..U−1 (U ≤ denseUniverseMax by the
+    * caller's measured pick — the single-partition row_number window is
+    * bounded ≤ 64k rows by construction, the same small-side discipline as
+    * the k-centroid collects); (2) one aggregation pass builds each doc's
+    * ⌈U/64⌉-word bitset; (3) docs hash into B blocks, every doc ships to
+    * its B grid cells (row i of the upper-triangular B×B grid plus column
+    * i above the diagonal — the [[MatrixOps.blockMatmul]] replication
+    * pattern, N·B rows through one exchange), and each cell compares its
+    * two blocks ALL-PAIRS with an AND/popcount loop — candidate generation
+    * and verification are the same exact pass, so there is no candidate
+    * blow-up to mitigate and no second join.
+    *
+    * Scale: per-task memory is 2·(N/B)·⌈U/8⌉ bytes by construction — B is
+    * derived from a 64 MB per-block cap plus a √(2·parallelism) floor
+    * (`spark.graft.dedup.denseGrid` overrides for probes), so "bigger
+    * corpus" becomes "more cells", the dimension a cluster scales with,
+    * exactly like the GEMM tile cap. Work is Θ(N²·U/64) — in the
+    * saturated-universe regime that activates this path, Θ(N²) candidate
+    * pairs are already genuine (measured: the r11 16× rung verified 591M
+    * distinct candidates for 2.57M true pairs), so the quadratic term is
+    * the problem's own; this kernel minimizes its constant (measured at
+    * 16×: the whole dense pass runs in seconds where the prefix join's
+    * candidate stage alone took 346 s).
+    */
+  private def denseContainmentPairs(sh: DataFrame, T: Long,
+                                    universe: Long, nDocs: Long): DataFrame = {
+    val spark = sh.sparkSession
+    import spark.implicits._
+    val stageTiming = spark.conf
+      .getOption("spark.graft.dedup.stageTiming").contains("true")
+    def lap(tag: String)(action: => Long): Unit = if (stageTiming) {
+      val t0 = System.nanoTime()
+      val got = action
+      println(f"[l25-stage] $tag%-12s rows=$got%10d ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    }
+    val w = ((universe + 63) / 64).toInt
+    val index = sh.select(col("code")).distinct()
+      .withColumn("idx",
+        (row_number().over(Window.orderBy(col("code"))) - 1).cast("int"))
+    val vecs = sh.join(broadcast(index), "code")
+      .groupBy(col("doc_id")).agg(collect_list(col("idx")).as("idxs"))
+      .as[(Long, Seq[Int])]
+      .map { case (id, idxs) =>
+        val words = new Array[Long](w)
+        idxs.foreach(i => words(i >> 6) |= 1L << (i & 63))
+        (id, words, idxs.size)
+      }
+    if (stageTiming) vecs.persist()
+    lap("bitsets")(vecs.count())
+    val rowBytes = w * 8L + 48L
+    val b = spark.conf.getOption("spark.graft.dedup.denseGrid")
+      .map(_.toInt).getOrElse {
+        val memB = (nDocs * rowBytes + (64L << 20) - 1) / (64L << 20)
+        val parB = math.ceil(
+          math.sqrt(2.0 * spark.sparkContext.defaultParallelism)).toInt
+        math.max(memB.toInt, parB).max(1)
+      }
+    val pairs = vecs.flatMap { case (id, words, na) =>
+      val blk = ((id * 0x9E3779B97F4A7C15L >>> 33) % b).toInt
+      val out = new Array[(Int, Byte, Long, Array[Long], Int)](b)
+      var o = 0
+      var j = blk
+      while (j < b) { out(o) = (blk * b + j, 0: Byte, id, words, na); j += 1; o += 1 }
+      var i = 0
+      while (i < blk) { out(o) = (i * b + blk, 1: Byte, id, words, na); i += 1; o += 1 }
+      out.toSeq
+    }.groupByKey(_._1).flatMapGroups { (cell, it) =>
+      val left = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long], Int)]
+      val right = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long], Int)]
+      it.foreach { case (_, side, id, words, na) =>
+        (if (side == 0) left else right) += ((id, words, na))
+      }
+      val diag = cell / b == cell % b
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+      def test(p: (Long, Array[Long], Int), q: (Long, Array[Long], Int)): Unit = {
+        // Orient smaller-set-into-larger, id tie-break — the sparse path's
+        // contract; the threshold compares the same scaled integers.
+        val (xa, xb) =
+          if (p._3 < q._3 || (p._3 == q._3 && p._1 < q._1)) (p, q) else (q, p)
+        var c = 0L
+        var k = 0
+        val wa = xa._2; val wb = xb._2
+        while (k < w) { c += java.lang.Long.bitCount(wa(k) & wb(k)); k += 1 }
+        if (c * 1000000L >= xa._3.toLong * T) out += ((xa._1, xb._1, c, xa._3.toLong))
+      }
+      if (diag) {
+        var i = 0
+        while (i < left.length) {
+          var j = i + 1
+          while (j < left.length) { test(left(i), left(j)); j += 1 }
+          i += 1
+        }
+      } else {
+        var i = 0
+        while (i < left.length) {
+          var j = 0
+          while (j < right.length) { test(left(i), right(j)); j += 1 }
+          i += 1
+        }
+      }
+      out.iterator
+    }.toDF("contained_id", "container_id", "c", "na")
+    if (stageTiming) pairs.persist()
+    lap("densepairs")(pairs.count())
+    val result = pairs.select(col("contained_id"), col("container_id"),
+      graft.Q.round4Ratio(col("c"), col("na")).as("containment"))
+    val outDf = materialize(result)
+    if (stageTiming) { vecs.unpersist(blocking = false); pairs.unpersist(blocking = false) }
+    outDf
+  }
+
   def containmentPairs(docs: DataFrame, threshold: Double,
                        n: Int = 3): DataFrame = {
     val T = math.floor(threshold * 1e6).toLong
     val sh = shingles(docs, n)
+    // REGIME PICK (round 12). Signature-based candidate generation — any
+    // inverted-index join on shingle codes — has enumeration mass
+    // Σ_code pref_df(code)·df(code), which is near-linear when the code
+    // UNIVERSE grows with the corpus (real pipelines: hashed word
+    // 5..13-grams, |universe| ≫ |docs|) but quadratic when the universe
+    // SATURATES (char-3-grams over a 26-letter alphabet: ≤ ~26³ codes, so
+    // df ∝ N). Measured on the 16× probe corpus (80k docs, 11.4M shingle
+    // rows): the universe is 2 534 codes and the r11 prefix join's mass is
+    // 4.33 G occurrence rows (346 of 414 s). Two candidate-cut designs
+    // were built and MEASURED before this branch:
+    //  - adaptive prefix extension (AdaptJoin pigeonhole, k=8): cut
+    //    DISTINCT candidates 15× but grew the aggregate's groups and its
+    //    input 2.3× — the actual cost drivers; ladder REGRESSED 35.2 →
+    //    86.3 s at 4×, 92.4 → 205.9 s at 8×. Rejected (default k=0; the
+    //    knob and its equivalence spec remain).
+    //  - PPJoin+-style pair-of-prefix-codes join (the two smallest common
+    //    codes both rank within each side's (len − ⌈t·len⌉ + 2)-prefix):
+    //    evaluated offline in DuckDB at 16× — 6.87 G join occurrences,
+    //    positional bound cut ZERO — the pair-key space saturates too.
+    //    Rejected without implementation.
+    // In the saturated regime the exact problem is Ω(candidate pairs)
+    // (background similarity makes Θ(N²) pairs genuine candidates — the
+    // r11 ladder's 57× distinct-pair growth over 16× data), so the right
+    // representation is DENSE: each doc is a ⌈U/64⌉-word bitset and the
+    // whole join is a blocked Boolean GEMM with popcount — the m2 tile
+    // discipline over the AND/popcount semiring, candidate generation and
+    // verify collapsed into one exact pass with a ~1000× smaller per-pair
+    // constant than hash-join machinery. The pick is MEASURED per call
+    // (one countDistinct pass over the shingle frame): universe ≤
+    // `spark.graft.dedup.denseUniverseMax` (default 16 384 → ≤ 2 KB/doc
+    // bitsets; 0 disables) routes dense, else the prefix join below.
+    val denseMax = docs.sparkSession.conf
+      .getOption("spark.graft.dedup.denseUniverseMax")
+      .map(_.toLong).getOrElse(16384L)
+    if (denseMax > 0) {
+      val row = sh.agg(countDistinct(col("code")),
+                       countDistinct(col("doc_id"))).head()
+      val (u, nd) = (row.getLong(0), row.getLong(1))
+      if (u <= denseMax) return denseContainmentPairs(sh, T, u, nd)
+    }
     val freq = sh.groupBy(col("code")).agg(count(lit(1)).as("cf"))
     val byRarity = Window.partitionBy(col("doc_id"))
       .orderBy(col("cf").asc, col("code").asc)
@@ -528,12 +682,19 @@ object DedupOps {
       // can miss y when C(x→y) ≥ t, so a true pair matches at least
       // ℓ − (na − o) = k+1 prefix codes (o of them when the whole doc fits
       // in ℓ). Measured on the fixture at 1× (t = 0.9): k = 8 cuts
-      // candidates 10.4M → 707k (15×) for 2.3× more occurrence rows, and
-      // the count rides the SAME aggregate that replaced the distinct —
-      // the 591M-group hash tables were the bottleneck, not the probe.
-      // k = 0 degenerates to the exact r11 PPJoin candidate set.
+      // candidates 10.4M → 707k (15×) for 2.3× more occurrence rows.
+      // MEASURED AND REJECTED AS DEFAULT (round 12 ladder): the cut lands
+      // on the wrong term — the α-count must aggregate MORE groups (every
+      // pair colliding in the EXTENDED prefix under the RELAXED test,
+      // ⊋ the k=0 set) over 2.3× the input before the filter applies, and
+      // those are the stage's actual cost drivers; the rungs regressed
+      // 35.2 → 86.3 s (4×) and 92.4 → 205.9 s (8×) against r11's k=0.
+      // Default k = 0 (the exact r11 PPJoin candidate set); the knob and
+      // the output-equality spec remain for A/B. The saturated-universe
+      // corpora that motivated it route to [[denseContainmentPairs]]
+      // before reaching this code.
       val k = docs.sparkSession.conf
-        .getOption("spark.graft.dedup.prefixExt").map(_.toInt).getOrElse(8)
+        .getOption("spark.graft.dedup.prefixExt").map(_.toInt).getOrElse(0)
       val prefix = ranked
         .filter(col("r") <=
           col("nsh") - expr(s"(nsh * ${T}L + 999999L) div 1000000L") + 1 + k)

@@ -89,11 +89,18 @@ class DedupFallbackSpec extends SparkSpec {
   }
 
   test("containmentPairs fallback (session broadcast off) is hash-join and row-identical") {
-    val expected = DedupOps.containmentPairs(corpus, 0.9).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // denseUniverseMax=0 pins the SPARSE prefix join this spec is about —
+    // the attach strategy under a disabled session broadcast; the tiny
+    // corpus's 3-gram universe would otherwise route to the dense bitset
+    // path (round 12), which has no attach join to assert on.
+    val (expected, _) = withConf("spark.graft.dedup.denseUniverseMax" -> "0") {
+      capturePlans(DedupOps.containmentPairs(corpus, 0.9).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet)
+    }
     assert(expected.nonEmpty)
     val (got, plans) =
-      withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+               "spark.graft.dedup.denseUniverseMax" -> "0") {
         capturePlans(DedupOps.containmentPairs(corpus, 0.9).collect()
           .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet)
       }

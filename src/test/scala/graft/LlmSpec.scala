@@ -388,23 +388,55 @@ class LlmSpec extends SparkSpec {
   }
 
   test("containmentPairs adaptive prefix (k>0) is output-identical to pure PPJoin (k=0)") {
-    // The round-12 candidate cut: prefixExt=k enumerates k extra prefix
-    // codes and requires min(o, k+1) collisions per pair (AdaptJoin
-    // pigeonhole). k=0 degenerates to the exact r11 PPJoin candidate set,
-    // so running both on the real fixture pins that the extension only
-    // prunes FALSE candidates — the verified output must be identical,
-    // including docs shorter than the extended prefix (where the α
-    // threshold clamps to o). Thresholds straddle high/low selectivity.
+    // The round-12 candidate-cut experiment (measured and REJECTED as
+    // default — the extension grows the α-aggregate's groups and input,
+    // the stage's real cost drivers; DedupOps comment has the rung
+    // numbers): prefixExt=k enumerates k extra prefix codes and requires
+    // min(o, k+1) collisions per pair (AdaptJoin pigeonhole). The spec
+    // pins that the machinery only prunes FALSE candidates — k=8 output
+    // must equal k=0 output, including docs shorter than the extended
+    // prefix (where the α threshold clamps to o). denseUniverseMax=0
+    // forces BOTH runs onto the sparse path the knob belongs to (the
+    // fixture's 3-gram universe would otherwise route dense). Thresholds
+    // straddle high/low selectivity.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    spark.conf.set("spark.graft.dedup.denseUniverseMax", "0")
+    try Seq(0.9, 0.6).foreach { t =>
+      val ppjoin = canon(DedupOps.containmentPairs(docs, t)) // default k=0
+      spark.conf.set("spark.graft.dedup.prefixExt", "8")
+      val adaptive = try canon(DedupOps.containmentPairs(docs, t))
+      finally spark.conf.unset("spark.graft.dedup.prefixExt")
+      assert(adaptive == ppjoin, s"threshold $t")
+      assert(ppjoin.nonEmpty, s"fixture must exercise the pair path at $t")
+    } finally spark.conf.unset("spark.graft.dedup.denseUniverseMax")
+  }
+
+  test("containmentPairs dense bitset regime ≡ sparse prefix join, across grid widths") {
+    // Round 12's regime-adaptive containment: a measured universe count
+    // routes saturated shingle spaces (the fixture's 3-gram corpus) to the
+    // blocked-Boolean-GEMM bitset path, real shingle spaces to the prefix
+    // join. The two paths must be output-IDENTICAL — the dense pass IS the
+    // exact verify, so any divergence is a bitset/orientation/threshold
+    // bug. Grid width must not matter (denseGrid=1 collapses to one cell,
+    // 5 exercises diagonal + off-diagonal cells with uneven blocks).
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     def canon(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     Seq(0.9, 0.6).foreach { t =>
-      spark.conf.set("spark.graft.dedup.prefixExt", "0")
-      val ppjoin = try canon(DedupOps.containmentPairs(docs, t))
-      finally spark.conf.unset("spark.graft.dedup.prefixExt")
-      val adaptive = canon(DedupOps.containmentPairs(docs, t)) // default k=8
-      assert(adaptive == ppjoin, s"threshold $t")
-      assert(ppjoin.nonEmpty, s"fixture must exercise the pair path at $t")
+      spark.conf.set("spark.graft.dedup.denseUniverseMax", "0")
+      val sparse = try canon(DedupOps.containmentPairs(docs, t))
+      finally spark.conf.unset("spark.graft.dedup.denseUniverseMax")
+      val dense = canon(DedupOps.containmentPairs(docs, t)) // default: dense
+      assert(dense == sparse, s"threshold $t (derived grid)")
+      assert(sparse.nonEmpty, s"fixture must produce pairs at $t")
+      Seq(1, 5).foreach { g =>
+        spark.conf.set("spark.graft.dedup.denseGrid", g.toString)
+        val gridded = try canon(DedupOps.containmentPairs(docs, t))
+        finally spark.conf.unset("spark.graft.dedup.denseGrid")
+        assert(gridded == sparse, s"threshold $t grid $g")
+      }
     }
   }
 
