@@ -522,15 +522,34 @@ object DedupOps {
     * candidate stage alone took 346 s).
     */
   private def denseContainmentPairs(sh: DataFrame, T: Long,
-                                    universe: Long, nDocs: Long): DataFrame = {
+                                    universe: Long, nDocs: Long): DataFrame =
+    densePairs(sh, T, Double.NaN, universe, nDocs, symmetric = false)
+
+  /** Dense-regime exact SYMMETRIC Jaccard join — the same blocked Boolean
+    * GEMM kernel serving [[prefixJaccardPairs]] when the universe
+    * saturates (l2's candidate self-join has the same Θ(N²) enumeration
+    * mass there as l25's, measured 91.2 s at the 16× rung; the clustered
+    * gate inherits this through its representative-pair engine). The
+    * per-pair test and value replicate [[verifyJaccard]]'s exactly:
+    * c > 0 ∧ c/(na+nb−c) ≥ t on the same IEEE doubles, reported as the
+    * shared integer half-up ROUND ratio.
+    */
+  private def denseJaccardPairs(sh: DataFrame, threshold: Double,
+                                universe: Long, nDocs: Long): DataFrame =
+    densePairs(sh, 0L, threshold, universe, nDocs, symmetric = true)
+
+  private def densePairs(sh: DataFrame, T: Long, threshold: Double,
+                         universe: Long, nDocs: Long,
+                         symmetric: Boolean): DataFrame = {
     val spark = sh.sparkSession
     import spark.implicits._
     val stageTiming = spark.conf
       .getOption("spark.graft.dedup.stageTiming").contains("true")
+    val stageTag = if (symmetric) "[l2-dense]" else "[l25-stage]"
     def lap(tag: String)(action: => Long): Unit = if (stageTiming) {
       val t0 = System.nanoTime()
       val got = action
-      println(f"[l25-stage] $tag%-12s rows=$got%10d ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      println(f"$stageTag $tag%-12s rows=$got%10d ${(System.nanoTime() - t0) / 1e9}%8.2f s")
     }
     val w = ((universe + 63) / 64).toInt
     val index = sh.select(col("code")).distinct()
@@ -572,15 +591,26 @@ object DedupOps {
       val diag = cell / b == cell % b
       val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
       def test(p: (Long, Array[Long], Int), q: (Long, Array[Long], Int)): Unit = {
-        // Orient smaller-set-into-larger, id tie-break — the sparse path's
-        // contract; the threshold compares the same scaled integers.
-        val (xa, xb) =
-          if (p._3 < q._3 || (p._3 == q._3 && p._1 < q._1)) (p, q) else (q, p)
         var c = 0L
         var k = 0
-        val wa = xa._2; val wb = xb._2
-        while (k < w) { c += java.lang.Long.bitCount(wa(k) & wb(k)); k += 1 }
-        if (c * 1000000L >= xa._3.toLong * T) out += ((xa._1, xb._1, c, xa._3.toLong))
+        val wp = p._2; val wq = q._2
+        while (k < w) { c += java.lang.Long.bitCount(wp(k) & wq(k)); k += 1 }
+        if (symmetric) {
+          // verifyJaccard's exact test and orientation: c > 0, the SAME
+          // IEEE double compare (both engines divide the same integers),
+          // pairs id-ordered.
+          if (c > 0 && c.toDouble / (p._3 + q._3 - c) >= threshold) {
+            val (da, db) = if (p._1 < q._1) (p._1, q._1) else (q._1, p._1)
+            out += ((da, db, c, p._3.toLong + q._3 - c))
+          }
+        } else {
+          // Orient smaller-set-into-larger, id tie-break — the sparse
+          // path's contract; the threshold compares the same scaled
+          // integers.
+          val (xa, xb) =
+            if (p._3 < q._3 || (p._3 == q._3 && p._1 < q._1)) (p, q) else (q, p)
+          if (c * 1000000L >= xa._3.toLong * T) out += ((xa._1, xb._1, c, xa._3.toLong))
+        }
       }
       if (diag) {
         var i = 0
@@ -598,11 +628,19 @@ object DedupOps {
         }
       }
       out.iterator
-    }.toDF("contained_id", "container_id", "c", "na")
+    }.toDF("ida", "idb", "c", "den")
     if (stageTiming) pairs.persist()
     lap("densepairs")(pairs.count())
-    val result = pairs.select(col("contained_id"), col("container_id"),
-      graft.Q.round4Ratio(col("c"), col("na")).as("containment"))
+    // den carries the ratio's denominator out of the kernel: |x| for
+    // containment, |x∪y| for Jaccard — round4Ratio is the shared
+    // cross-engine rounding convention either way.
+    val result =
+      if (symmetric)
+        pairs.select(col("ida").as("da"), col("idb").as("db"),
+          graft.Q.round4Ratio(col("c"), col("den")).as("jaccard"))
+      else
+        pairs.select(col("ida").as("contained_id"), col("idb").as("container_id"),
+          graft.Q.round4Ratio(col("c"), col("den")).as("containment"))
     val outDf = materialize(result)
     if (stageTiming) { vecs.unpersist(blocking = false); pairs.unpersist(blocking = false) }
     outDf
@@ -945,6 +983,25 @@ object DedupOps {
   def prefixJaccardPairs(docs: DataFrame, threshold: Double,
                          n: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // REGIME PICK (round 12, shared with [[containmentPairs]] — full
+    // rationale there): on a saturated shingle universe the candidate
+    // self-join below is Θ(N²) occurrence mass with a join-sized constant
+    // (measured 91.2 s at the l2 ladder's 16× rung), so route to the
+    // dense-bitset blocked Boolean GEMM, whose one exact pass replaces
+    // candidates + verify. The clustered gate inherits the pick through
+    // its representative-pair engine — contraction FIRST still matters
+    // (exact-dup clusters multiply every df, and the dense path's N² term
+    // shrinks quadratically with the rep count).
+    val denseMax = docs.sparkSession.conf
+      .getOption("spark.graft.dedup.denseUniverseMax")
+      .map(_.toLong).getOrElse(16384L)
+    if (denseMax > 0) {
+      val shProbe = shingles(docs, n)
+      val row = shProbe.agg(countDistinct(col("code")),
+                            countDistinct(col("doc_id"))).head()
+      val (u, nd) = (row.getLong(0), row.getLong(1))
+      if (u <= denseMax) return denseJaccardPairs(shProbe, threshold, u, nd)
+    }
     val sh = shingles(docs, n).persist()
     val freq = sh.groupBy(col("code")).agg(count(lit(1)).as("cf"))
     val byRarity = Window.partitionBy(col("doc_id"))

@@ -180,7 +180,11 @@ class DedupFallbackSpec extends SparkSpec {
       l.contains("hashpartitioning(da#") && l.contains("db#") &&
         l.contains("REPARTITION_BY_NUM"))
     def run(conf: (String, String)*): (Set[(Long, Long, Double)], Boolean) =
-      withConf(conf: _*) {
+      // denseUniverseMax=0 pins the SPARSE prefix+verify path whose spread
+      // exchange this spec is about (round 12: the tiny corpus's 3-gram
+      // universe would otherwise route to the dense bitset kernel, which
+      // has no verify exchange to detect).
+      withConf(conf :+ ("spark.graft.dedup.denseUniverseMax" -> "0"): _*) {
         val (rows, plans) = capturePlans(
           pairsOf(DedupOps.prefixJaccardPairs(corpus, 0.8)))
         awaitUntil(() => plans().nonEmpty)

@@ -413,6 +413,30 @@ class LlmSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.dedup.denseUniverseMax")
   }
 
+  test("prefixJaccardPairs dense bitset regime ≡ sparse prefix join") {
+    // The symmetric twin of the containment regime switch: the same
+    // blocked-Boolean-GEMM kernel serves prefixJaccardPairs (and through
+    // it the clustered l2 gate) on saturated universes. The dense pass
+    // must replicate verifyJaccard's exact test (c > 0, IEEE double
+    // compare, id-ordered pairs, round4Ratio value) — pinned against the
+    // sparse path at two thresholds and a degenerate grid.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    Seq(0.8, 0.5).foreach { t =>
+      spark.conf.set("spark.graft.dedup.denseUniverseMax", "0")
+      val sparse = try canon(DedupOps.prefixJaccardPairs(docs, t))
+      finally spark.conf.unset("spark.graft.dedup.denseUniverseMax")
+      val dense = canon(DedupOps.prefixJaccardPairs(docs, t))
+      assert(dense == sparse, s"threshold $t")
+      assert(sparse.nonEmpty, s"fixture must produce pairs at $t")
+      spark.conf.set("spark.graft.dedup.denseGrid", "3")
+      val gridded = try canon(DedupOps.prefixJaccardPairs(docs, t))
+      finally spark.conf.unset("spark.graft.dedup.denseGrid")
+      assert(gridded == sparse, s"threshold $t grid 3")
+    }
+  }
+
   test("containmentPairs dense bitset regime ≡ sparse prefix join, across grid widths") {
     // Round 12's regime-adaptive containment: a measured universe count
     // routes saturated shingle spaces (the fixture's 3-gram corpus) to the
