@@ -10,11 +10,19 @@ import graft.operators.{MatrixGen, MatrixOps}
   */
 object MicroGemm {
   def main(args: Array[String]): Unit = {
-    val sizes = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(4000, 8000)
+    // `n` or `n@bs`: an explicit tile width for disk-envelope probes — the
+    // partial-tile exchange is n³·8/bs bytes (grid·n² dense longs), so past
+    // the host's free-disk ceiling the tile must widen beyond the
+    // memory-derived sweepTile rule (32000² at bs=512 is 516 GB raw — the
+    // round-12 DNF; bs=4000 is 64 GB).
+    val sizes = (if (args.nonEmpty) args.toSeq else Seq("4000", "8000"))
+      .map { s =>
+        val p = s.split("@"); (p(0).toInt, if (p.length > 1) p(1).toInt else 0)
+      }
     val spark = Engine.local()
     spark.sparkContext.setLogLevel("ERROR")
-    sizes.foreach { n =>
-      val bs = MatrixOps.sweepTile(n)
+    sizes.foreach { case (n, bsArg) =>
+      val bs = if (bsArg > 0) bsArg else MatrixOps.sweepTile(n)
       val t0 = System.nanoTime()
       MatrixOps.multiplyPlanned(MatrixGen.matA(spark, n, n),
                                 MatrixGen.matB(spark, n, n), bs = bs)
