@@ -413,6 +413,24 @@ class LlmSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.dedup.denseUniverseMax")
   }
 
+  test("minhashPairs bitset verify ≡ array verify (representation-blind attach)") {
+    // Round 12's verify-representation pick: on a saturated universe the
+    // LSH candidates' exact verify attaches ⌈U/64⌉-word bitsets and folds
+    // AND/popcount instead of attaching sorted code arrays and merging —
+    // the attach stream (the l2b 32× one-off's ~20 GB spill wall) shrinks
+    // ~3.5×. Same c/na/nb integers, so output must be bit-identical;
+    // denseUniverseMax=0 forces the array representation for the A side.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    spark.conf.set("spark.graft.dedup.denseUniverseMax", "0")
+    val arrays = try canon(DedupOps.minhashPairs(docs, 0.5))
+    finally spark.conf.unset("spark.graft.dedup.denseUniverseMax")
+    val bitsets = canon(DedupOps.minhashPairs(docs, 0.5)) // default: bitset
+    assert(bitsets == arrays)
+    assert(arrays.nonEmpty, "fixture must produce verified pairs at t=0.5")
+  }
+
   test("prefixJaccardPairs dense bitset regime ≡ sparse prefix join") {
     // The symmetric twin of the containment regime switch: the same
     // blocked-Boolean-GEMM kernel serves prefixJaccardPairs (and through
