@@ -348,21 +348,35 @@ object DedupOps {
     }
     val spark = sh.sparkSession
     import spark.implicits._
-    // REGIME PICK for the verify REPRESENTATION (round 12, same measured
-    // universe count and conf as the candidate-side pick in
-    // [[containmentPairs]]): on a saturated universe each doc's code SET
-    // fits a ⌈U/64⌉-word bitset (~U/8 bytes vs 8 B/code arrays — 3.5×
-    // lighter at the fixture's ~143-code docs), so the attach stream —
-    // THE at-scale byte cost of this stage, and the ~20 GB scratch-spill
-    // wall of the l2b 32× one-off — shrinks by the same factor, and the
-    // intersect becomes a word-parallel AND/popcount fold instead of a
-    // sorted merge. Output is bit-identical (same c, na, nb integers);
-    // the attach/length/spread machinery below is representation-blind.
+    // VERIFY-REPRESENTATION pick (round 12): on a saturated universe each
+    // doc's code SET fits a ⌈U/64⌉-word bitset (~U/8 bytes vs 8 B/code
+    // arrays — 3.5× lighter at the fixture's ~143-code docs), shrinking
+    // the attach stream and the intersect to an AND/popcount loop
+    // ([[graft.functions.BitsetIntersectCount]], codegen'd). MEASURED AND
+    // LEFT OPT-IN: same-host A/B reads the bitset WORSE at gate scale
+    // (l2b 6.74 vs 5.34 s) and at 16× (117.2 vs ~95), NEUTRAL at 32×
+    // (386.7 vs 370.0 cross-round) — the extra build pass (index join +
+    // idx aggregate) costs more than the byte savings return on this
+    // host's fast local disks. What the bitset DOES buy is capacity risk:
+    // the array verify's 32× rung spilled ~20 GB of scratch; the bitset
+    // run's disk high-water was +3 GB — on disk-constrained executors
+    // that is the difference between completing and DNF, which is why
+    // the path ships behind `spark.graft.dedup.bitsetVerify=on` (with the
+    // universe cap still applied) instead of being deleted. Output is
+    // bit-identical either way (same c/na/nb integers; spec-pinned).
+    val bitsetOn = spark.conf
+      .getOption("spark.graft.dedup.bitsetVerify") match {
+        case Some("on")  => true
+        case Some("off") | None => false
+        case Some(other) =>
+          throw new IllegalArgumentException(
+            s"spark.graft.dedup.bitsetVerify must be 'on' or 'off', got '$other'")
+      }
     val denseMax = spark.conf
       .getOption("spark.graft.dedup.denseUniverseMax")
       .map(_.toLong).getOrElse(16384L)
     val denseU: Option[Long] =
-      if (denseMax <= 0) None
+      if (!bitsetOn || denseMax <= 0) None
       else Some(sh.agg(countDistinct(col("code"))).head().getLong(0))
         .filter(_ <= denseMax)
     val sets = (denseU match {
@@ -478,14 +492,18 @@ object DedupOps {
       .filter(least(col("na"), col("nb")) * 1000000L >=
               greatest(col("na"), col("nb")) * T)
       .select("da", "db")
-    // Word-parallel popcount fold for bitsets (builtin HOFs — the same
-    // exact integers as the sorted merge), SortedIntersectCount for code
-    // arrays; na/nb ride the sets frame (size(codes) would read WORD
-    // count in the bitset representation).
+    // Word-parallel AND/popcount for bitsets, sorted merge for code
+    // arrays — BOTH native codegen'd expressions producing the same exact
+    // integers. The first bitset probe used builtin HOFs here
+    // (aggregate ∘ zip_with ∘ bit_count) and the l2b 16× rung REGRESSED
+    // 95 → 120 s: higher-order functions evaluate interpreted, and one
+    // intersect per candidate pair made that the stage's new bottleneck —
+    // [[graft.functions.BitsetIntersectCount]] is the codegen'd fix.
+    // na/nb ride the sets frame (size(codes) would read WORD count in
+    // the bitset representation).
     val intersectC =
       if (denseU.isDefined)
-        expr("aggregate(zip_with(ca, cb, (x, y) -> bit_count(x & y)), " +
-             "0L, (acc, v) -> acc + v)")
+        graft.functions.BitsetIntersectCount(col("ca"), col("cb"))
       else graft.functions.SortedIntersectCount(col("ca"), col("cb"))
     val result = lenFiltered
       .join(attach(sets.select(col("doc_id").as("da"), col("codes").as("ca"),

@@ -414,19 +414,20 @@ class LlmSpec extends SparkSpec {
   }
 
   test("minhashPairs bitset verify ≡ array verify (representation-blind attach)") {
-    // Round 12's verify-representation pick: on a saturated universe the
-    // LSH candidates' exact verify attaches ⌈U/64⌉-word bitsets and folds
-    // AND/popcount instead of attaching sorted code arrays and merging —
-    // the attach stream (the l2b 32× one-off's ~20 GB spill wall) shrinks
-    // ~3.5×. Same c/na/nb integers, so output must be bit-identical;
-    // denseUniverseMax=0 forces the array representation for the A side.
+    // Round 12's verify-representation experiment — measured and left
+    // OPT-IN (arrays default; the bitset build pass costs more than its
+    // byte savings return at gate/16× scale, but erases the 32× rung's
+    // ~20 GB scratch spill — DedupOps comment has the A/B numbers). The
+    // spec pins what makes the knob safe to flip on disk-constrained
+    // hosts: bitset output ≡ array output through the LSH-candidate
+    // verify, same c/na/nb integers.
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     def canon(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    spark.conf.set("spark.graft.dedup.denseUniverseMax", "0")
-    val arrays = try canon(DedupOps.minhashPairs(docs, 0.5))
-    finally spark.conf.unset("spark.graft.dedup.denseUniverseMax")
-    val bitsets = canon(DedupOps.minhashPairs(docs, 0.5)) // default: bitset
+    val arrays = canon(DedupOps.minhashPairs(docs, 0.5)) // default: arrays
+    spark.conf.set("spark.graft.dedup.bitsetVerify", "on")
+    val bitsets = try canon(DedupOps.minhashPairs(docs, 0.5))
+    finally spark.conf.unset("spark.graft.dedup.bitsetVerify")
     assert(bitsets == arrays)
     assert(arrays.nonEmpty, "fixture must produce verified pairs at t=0.5")
   }
