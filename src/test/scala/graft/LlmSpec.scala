@@ -446,14 +446,56 @@ class LlmSpec extends SparkSpec {
       spark.conf.set("spark.graft.dedup.denseUniverseMax", "0")
       val sparse = try canon(DedupOps.prefixJaccardPairs(docs, t))
       finally spark.conf.unset("spark.graft.dedup.denseUniverseMax")
-      val dense = canon(DedupOps.prefixJaccardPairs(docs, t))
-      assert(dense == sparse, s"threshold $t")
-      assert(sparse.nonEmpty, s"fixture must produce pairs at $t")
-      spark.conf.set("spark.graft.dedup.denseGrid", "3")
-      val gridded = try canon(DedupOps.prefixJaccardPairs(docs, t))
-      finally spark.conf.unset("spark.graft.dedup.denseGrid")
-      assert(gridded == sparse, s"threshold $t grid 3")
+      // denseMinDocs=0 forces the dense route on the 500-doc fixture —
+      // the r13 doc-count crossover (default 14 000) would otherwise
+      // route this corpus sparse and the spec would compare sparse to
+      // itself.
+      spark.conf.set("spark.graft.dedup.denseMinDocs", "0")
+      try {
+        val dense = canon(DedupOps.prefixJaccardPairs(docs, t))
+        assert(dense == sparse, s"threshold $t")
+        assert(sparse.nonEmpty, s"fixture must produce pairs at $t")
+        spark.conf.set("spark.graft.dedup.denseGrid", "3")
+        val gridded = try canon(DedupOps.prefixJaccardPairs(docs, t))
+        finally spark.conf.unset("spark.graft.dedup.denseGrid")
+        assert(gridded == sparse, s"threshold $t grid 3")
+      } finally spark.conf.unset("spark.graft.dedup.denseMinDocs")
     }
+  }
+
+  test("symmetric dense pick consults BOTH universe size and doc count") {
+    // The r12 `weak`: the regime pick routed on universe size alone, so
+    // small saturated-universe corpora (the l2 gate's 4 992 reps) paid the
+    // dense kernel's fixed cost where the sparse join wins — measured
+    // gate floors 4.43 s sparse vs 6.89 s dense at sf0.1. The pick must
+    // route sparse below `denseMinDocs` and dense at/above it. Routing is
+    // observed through the physical plan: only the dense kernel carries a
+    // MapGroups (groupByKey over grid cells); the sparse path is joins +
+    // window + hash aggregates.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // The returned frame is localCheckpoint'd (lineage cut), so the route
+    // can't be read off its plan; observe it through the dense kernel's
+    // stage-timing laps instead ("bitsets" only ever prints from
+    // densePairs — the sparse engines have no such lap).
+    def usedDenseKernel(run: => org.apache.spark.sql.DataFrame): Boolean = {
+      val buf = new java.io.ByteArrayOutputStream()
+      spark.conf.set("spark.graft.dedup.stageTiming", "true")
+      try Console.withOut(new java.io.PrintStream(buf)) { run.count() }
+      finally spark.conf.unset("spark.graft.dedup.stageTiming")
+      buf.toString.contains("bitsets")
+    }
+    // 500-doc fixture < default 14 000 -> sparse.
+    assert(!usedDenseKernel(DedupOps.prefixJaccardPairs(docs, 0.8)),
+           "below the crossover the pick must route sparse")
+    // Crossover lowered to the corpus size -> dense (universe saturated).
+    spark.conf.set("spark.graft.dedup.denseMinDocs", "500")
+    try assert(usedDenseKernel(DedupOps.prefixJaccardPairs(docs, 0.8)),
+               "at/above the crossover the pick must route dense")
+    finally spark.conf.unset("spark.graft.dedup.denseMinDocs")
+    // Containment stays universe-only by measurement (dense wins at every
+    // rung): the default must route dense regardless of doc count.
+    assert(usedDenseKernel(DedupOps.containmentPairs(docs, 0.9)),
+           "containment routes dense on a saturated universe at any N")
   }
 
   test("containmentPairs dense bitset regime ≡ sparse prefix join, across grid widths") {
