@@ -208,6 +208,42 @@ class PlanAuditSpec extends SparkSpec {
     assert(failures.isEmpty, failures.mkString("; "))
   }
 
+  /** Gates that execute a genuine Structured Streaming query during
+    * construction and return a post-hoc batch read of their sink — there
+    * is no joint batch plan to audit, and running each costs a full
+    * micro-batch execution. Exempt from the full-surface sweep below;
+    * membership is cross-checked so a renamed gate can't silently fall
+    * out of the net, and any NEW gate is audited by default (an author
+    * adding a streaming gate must exempt it here, consciously).
+    */
+  private val streamingGates: Set[String] = Set(
+    "s2_sliding_stream", "s3_session_stream", "s4_streaming_final_state",
+    "s5_dedup_stream", "s6_interval_stream", "s8_stream_static",
+    "s10_foreachbatch", "s11_custom_sessions", "s12_interval_left_stream",
+    "s13_tws_sessions", "s14_chained_stream", "s15_semi_stream",
+    "s16_dedup_stream", "s17_join_stream", "s18_state_reader",
+    "s19_restart_recovery", "s20_static_anti_stream", "s21_tws_typecounts",
+    "s22_file_sink", "s23_available_now", "s24_union_stream",
+    "s25_interval_full_stream", "s26_changelog_restart", "s27_tws_liststate")
+
+  test("EVERY gated batch query is cartesian-free (full declared surface)") {
+    // r12 verdict brief 3: the no-cartesian assertion extends from the
+    // curated audit set to the whole declared surface, so a regression
+    // that sneaks a cartesian product into ANY gated batch plan fails the
+    // build. Queries in PlanAudit.defaultQueries are skipped here only
+    // because the test above already executes them with the same flag.
+    assert(streamingGates.subsetOf(SparkEntry.queries.keySet),
+           s"exempted names not in the declared surface: " +
+           s"${(streamingGates -- SparkEntry.queries.keySet).toSeq.sorted}")
+    val batch = SparkEntry.queries.keySet -- streamingGates --
+      PlanAudit.defaultQueries
+    val offenders = batch.toSeq.sorted.filter { name =>
+      PlanAudit.audit(SparkEntry.queries(name)(spark, dir))("CartesianProduct(!)")
+    }
+    assert(offenders.isEmpty,
+           s"CartesianProduct in gated batch plans: $offenders")
+  }
+
   test("a deliberately-broken plan (non-broadcast crossJoin) trips the audit") {
     import spark.implicits._
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
