@@ -364,6 +364,17 @@ object DedupOps {
     // the path ships behind `spark.graft.dedup.bitsetVerify=on` (with the
     // universe cap still applied) instead of being deleted. Output is
     // bit-identical either way (same c/na/nb integers; spec-pinned).
+    //
+    // CONF-ONLY BY DESIGN (round 13, r12 verdict item 6): an automatic
+    // pick was considered and rejected because both of its inputs are
+    // unknowable where the decision is made — the wall-clock side is
+    // executor disk THROUGHPUT under concurrent tenancy (no statfs
+    // reveals it), and the capacity side is each EXECUTOR's
+    // spark.local.dir free space, while this code picks the plan on the
+    // DRIVER, whose getUsableSpace reads the wrong disk by definition
+    // (and executors can be heterogeneous). A rule guessing either input
+    // wrong silently picks the slower — or the DNF — path; the conf is
+    // set once per deployment by whoever knows the hardware.
     val bitsetOn = spark.conf
       .getOption("spark.graft.dedup.bitsetVerify") match {
         case Some("on")  => true

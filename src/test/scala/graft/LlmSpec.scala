@@ -463,6 +463,58 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("denseGrid misconfiguration fails fast on the driver") {
+    // r12 ADVICE (low): 0 used to reach the executor as a % 0
+    // ArithmeticException and negatives as out-of-bounds cell indices —
+    // confusing task failures for a driver-side config error.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    Seq("0", "-3").foreach { bad =>
+      spark.conf.set("spark.graft.dedup.denseGrid", bad)
+      try {
+        val e = intercept[IllegalArgumentException] {
+          DedupOps.containmentPairs(docs, 0.9).count()
+        }
+        assert(e.getMessage.contains("denseGrid"), s"value $bad")
+      } finally spark.conf.unset("spark.graft.dedup.denseGrid")
+    }
+  }
+
+  test("bitset_intersect_count rejects nullable-element arrays at analysis") {
+    // r12 ADVICE (low): eval/codegen read elements with getLong unchecked,
+    // so a nullable-element array must be rejected up front, not produce
+    // garbage counts. Internal bitsets (Array[Long] encoders) are
+    // non-nullable by construction and must keep resolving.
+    import spark.implicits._
+    val ok = Seq((Array(5L), Array(7L))).toDF("a", "b")
+    assert(ok.select(graft.functions.BitsetIntersectCount(col("a"), col("b")))
+             .head().getLong(0) == 2L)
+    // array(when(...)) carries containsNull = true.
+    val bad = ok.select(array(when(col("a").isNotNull, lit(1L))).as("na"),
+                        col("b"))
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      bad.select(graft.functions.BitsetIntersectCount(col("na"), col("b"))).head()
+    }
+    assert(e.getMessage.contains("non-nullable"))
+  }
+
+  test("containment dense ≡ sparse at a degenerate threshold (T = 0)") {
+    // r12 ADVICE (low): thresholds < 1e-6 scale to T = 0, where the
+    // dense kernel's integer test c·10⁶ ≥ |x|·T is vacuously true even
+    // at c = 0, while the sparse path still requires one shared prefix
+    // code (c ≥ 1). The kernel now guards c > 0; this pins the parity
+    // at the degenerate point so the guard can't regress.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(60) // ~all pairs share a code at T=0: keep the output small
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    spark.conf.set("spark.graft.dedup.denseUniverseMax", "0")
+    val sparse = try canon(DedupOps.containmentPairs(docs, 1e-7))
+    finally spark.conf.unset("spark.graft.dedup.denseUniverseMax")
+    val dense = canon(DedupOps.containmentPairs(docs, 1e-7))
+    assert(dense == sparse)
+    assert(sparse.nonEmpty)
+  }
+
   test("symmetric dense pick consults BOTH universe size and doc count") {
     // The r12 `weak`: the regime pick routed on universe size alone, so
     // small saturated-universe corpora (the l2 gate's 4 992 reps) paid the
