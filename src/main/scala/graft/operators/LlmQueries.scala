@@ -327,6 +327,44 @@ object LlmQueries {
       DedupOps.simhashComponents(docs(s, d), maxHamming = 1)
         .orderBy("doc_id")),
 
+    // L50 — NEAR-DUP SURVIVORSHIP MAP (round 13): the stage a curation
+    // pipeline persists for audit after pair generation — verified
+    // near-dup pairs fold into clusters (connected components) and each
+    // cluster elects ONE keeper by an explicit deterministic policy
+    // (longest text wins, doc_id breaks ties — the "keep the richest
+    // variant" rule, vs l1/l19's min-id-on-exact-hash). Every doc maps to
+    // (cluster, keeper); singletons keep themselves. Dataflow composes
+    // pieces that already carry 100 TB arguments: the regime-adaptive l2
+    // pair engine, the O(log d) pointer-jumping components, one
+    // min(struct) hash-aggregate argmax per cluster, and a keeper join
+    // back onto the map — no new shuffle shape beyond what l2/l16 pay.
+    "l50_survivorship" -> { (s, d) =>
+      val dd = docs(s, d)
+      // localCheckpoint: the expansion join in clusteredJaccardPairs is
+      // NOT materialized, and the pair frame feeds two consumers below.
+      val pairs = DedupOps.clusteredJaccardPairs(dd, 0.8)
+        .select("da", "db").localCheckpoint(true)
+      // Components run on the MATCH GRAPH only — a doc absent from every
+      // pair is a singleton keeping itself by construction, so the
+      // iterative state is sized to the matches (~1% of a real corpus),
+      // not the corpus; the full map comes back via one left join.
+      val matched = pairs.select(col("da").as("doc_id"))
+        .unionByName(pairs.select(col("db").as("doc_id"))).distinct()
+      val comp = DedupOps.connectedComponents(matched, pairs)
+      val keepers = comp
+        .join(dd.select(col("doc_id"), col("n_chars")), "doc_id")
+        .groupBy(col("component_id"))
+        .agg(min(struct((-col("n_chars")).cast("long").as("neg_len"),
+                        col("doc_id").as("id"))).as("k"))
+        .select(col("component_id"), col("k.id").as("keeper_id"))
+      dd.select(col("doc_id"))
+        .join(comp.join(keepers, "component_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+                coalesce(col("component_id"), col("doc_id")).as("component_id"),
+                coalesce(col("keeper_id"), col("doc_id")).as("keeper_id"))
+        .orderBy("doc_id")
+    },
+
     // L15 — deterministic dataset split assignment: every doc lands in
     // train/val/test (8/1/1) via a pure multiplicative hash of doc_id —
     // reproducible across runs, engines, and cluster sizes, which is the
@@ -1946,6 +1984,41 @@ object LlmQueries {
     // l14's fingerprint CTE → edge list → transitive closure via a
     // recursive CTE (UNION dedups, so it terminates), min reachable id
     // per node = component id. Singletons fall out of the base case.
+    // The pair predicate replays l2's exact all-pairs oracle verbatim
+    // (the gated engine is hash-equal to it), components are the same
+    // transitive-closure reachability as l16's oracle, and the keeper is
+    // a per-component window argmax on (n_chars DESC, doc_id ASC).
+    "l50_survivorship" ->
+      s"""WITH RECURSIVE $duckShingles,
+         |sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT da, db FROM inter
+         |  JOIN sizes sa ON sa.doc_id = da
+         |  JOIN sizes sb ON sb.doc_id = db
+         |  WHERE CAST(c AS DOUBLE) / (sa.nsh + sb.nsh - c) >= 0.8),
+         |edges AS (SELECT da AS x, db AS y FROM pairs
+         |          UNION ALL SELECT db AS x, da AS y FROM pairs),
+         |reach(x, comp) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.x, r.comp FROM edges e JOIN reach r ON e.y = r.x),
+         |comp AS (SELECT x AS doc_id, MIN(comp) AS component_id
+         |         FROM reach GROUP BY x),
+         |ranked AS (
+         |  SELECT c.doc_id, c.component_id,
+         |    ROW_NUMBER() OVER (PARTITION BY c.component_id
+         |                       ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn
+         |  FROM comp c JOIN documents d ON d.doc_id = c.doc_id)
+         |SELECT c.doc_id, c.component_id, k.doc_id AS keeper_id
+         |FROM comp c
+         |JOIN (SELECT component_id, doc_id FROM ranked WHERE rn = 1) k
+         |  ON k.component_id = c.component_id
+         |ORDER BY c.doc_id""".stripMargin,
+
     "l16_dedup_components" ->
       """WITH RECURSIVE toks AS (
         |  SELECT doc_id,
