@@ -515,6 +515,29 @@ class LlmSpec extends SparkSpec {
     assert(sparse.nonEmpty)
   }
 
+  test("l50 survivorship keeper policy: longest text wins, singletons keep themselves") {
+    // Drives the ACTUAL gate (not a re-composition) on a planted corpus
+    // written to a temp dir shaped like the fixture. doc 1 ≈ doc 2 at
+    // jaccard > 0.8 with doc 2 longer -> both map to one cluster keeping
+    // doc 2 (length beats the min-id rule); doc 3 is disjoint -> its own
+    // keeper. component_id stays the min doc_id (the l16 contract);
+    // keeper_id is the POLICY this gate adds on top.
+    import spark.implicits._
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val corpus = Seq(
+      (1L, a, "en", "web", a.length.toLong),
+      (2L, a + " okay", "en", "web", (a.length + 5).toLong),
+      (3L, "zzz qqq vvv kkk www yyy xxx uuu", "en", "web", 31L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft-l50-").toString
+    try {
+      corpus.write.parquet(s"$dir/documents.parquet")
+      val out = SparkEntry.queries("l50_survivorship")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+      assert(out == List((1L, 1L, 2L), (2L, 1L, 2L), (3L, 3L, 3L)), out.toString)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("symmetric dense pick consults BOTH universe size and doc count") {
     // The r12 `weak`: the regime pick routed on universe size alone, so
     // small saturated-universe corpora (the l2 gate's 4 992 reps) paid the
