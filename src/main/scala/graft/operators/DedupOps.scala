@@ -1111,16 +1111,20 @@ object DedupOps {
     val denseMax = docs.sparkSession.conf
       .getOption("spark.graft.dedup.denseUniverseMax")
       .map(_.toLong).getOrElse(16384L)
+    // PROBE ORDER (round 13): the doc count alone settles routing below
+    // the crossover and costs one narrow count (no explode), so the
+    // shingle-frame aggregate — a full explode pass — only runs for
+    // corpora that might actually route dense. Below the crossover the
+    // gate pays NO probe at all (doc_id is unique by the corpus contract,
+    // so count() ≡ countDistinct(doc_id)).
+    val nd = if (denseMax > 0) docs.count() else 0L
     // One shingle frame shared by the regime probe and BOTH engines (r12
     // ADVICE: the probe previously re-exploded the corpus once per call).
     val sh = shingles(docs, n).persist()
     try {
-      if (denseMax > 0) {
-        val row = sh.agg(countDistinct(col("code")),
-                         countDistinct(col("doc_id"))).head()
-        val (u, nd) = (row.getLong(0), row.getLong(1))
-        if (u <= denseMax && nd >= denseMinDocs(docs.sparkSession))
-          return denseJaccardPairs(sh, threshold, u, nd)
+      if (denseMax > 0 && nd >= denseMinDocs(docs.sparkSession)) {
+        val u = sh.agg(countDistinct(col("code"))).head().getLong(0)
+        if (u <= denseMax) return denseJaccardPairs(sh, threshold, u, nd)
       }
       prefixJaccardSparse(sh, threshold)
     } finally sh.unpersist(blocking = false)
