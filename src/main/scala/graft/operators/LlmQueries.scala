@@ -365,6 +365,56 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // L51 — GLOBAL ORDER + SHARD MAP (round 13): every document gets a
+    // contiguous 0-based position under the corpus-wide quality order
+    // (n_chars DESC, doc_id ASC — a total order) and the shard file that
+    // position lands in (64 docs/shard) — the curriculum-ordering /
+    // deterministic-shard-writer primitive. The naive plan is a
+    // no-PARTITION row_number window = ONE task sorting the corpus;
+    // [[OrderOps.globalOrder]] replaces it with range partitioning + a
+    // P-row offset prefix-sum + per-partition local ranks (see its
+    // Scaladoc for the 100 TB argument). Result is sampler-boundary-
+    // independent because the sort key is total.
+    "l51_global_order" -> { (s, d) =>
+      OrderOps.globalOrder(
+          docs(s, d).select(col("doc_id"), col("n_chars")),
+          Seq(col("n_chars").desc, col("doc_id").asc))
+        .select(col("doc_id"), col("global_pos"),
+                expr("global_pos div 64").as("shard_id"))
+        .orderBy("doc_id")
+    },
+
+    // L52 — TOKEN-BUDGET MIXTURE FILL (round 13): per language, keep the
+    // minimal quality-ranked prefix whose running token count reaches a
+    // fixed budget (2 000 tokens/lang) — the "fill a 10B-token training
+    // mix" selection step. Distinct from l21/l44's RATE-based sampling
+    // (keep-probabilities): a budget fill needs the running sum over the
+    // per-lang quality order, and the naive PARTITION BY lang window puts
+    // all of a language in ONE task — data-sized partitions, the grouped
+    // form of l51's scale-killer. [[OrderOps.groupedRunningSum]] computes
+    // the same cum-before in two parallel passes (range partition on
+    // (lang, order) → P+G−1 partial cells → offset prefix-sum → local
+    // windows). Keep rule: cum_before < B keeps exactly the docs up to
+    // and including the budget-crossing one. Output: per-lang kept count,
+    // kept tokens, and the last (budget-crossing) doc — deterministic
+    // because every doc has ≥1 token so cum_before is strictly increasing
+    // within a language.
+    "l52_token_budget" -> { (s, d) =>
+      val dd = docs(s, d)
+        .select(col("lang"), col("doc_id"), col("n_chars"),
+                size(split(col("text"), " ")).cast("long").as("n_tok"))
+      OrderOps.groupedRunningSum(dd, Seq("lang"),
+          Seq(col("n_chars").desc, col("doc_id").asc), col("n_tok"))
+        .filter(col("cum_before") < 2000L)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"),
+             sum(col("n_tok")).as("tok_kept"),
+             max(struct(col("cum_before"), col("doc_id"))).as("_l"))
+        .select(col("lang"), col("n_kept"), col("tok_kept"),
+                col("_l.doc_id").as("last_doc"))
+        .orderBy("lang")
+    },
+
     // L15 — deterministic dataset split assignment: every doc lands in
     // train/val/test (8/1/1) via a pure multiplicative hash of doc_id —
     // reproducible across runs, engines, and cluster sizes, which is the
@@ -2018,6 +2068,37 @@ object LlmQueries {
          |JOIN (SELECT component_id, doc_id FROM ranked WHERE rn = 1) k
          |  ON k.component_id = c.component_id
          |ORDER BY c.doc_id""".stripMargin,
+
+    // The oracle IS the naive single-partition window the engine refuses
+    // to run — row_number over the corpus-wide total order; DuckDB's `//`
+    // and Spark's `div` agree on non-negative BIGINTs.
+    "l51_global_order" ->
+      """WITH ranked AS (
+        |  SELECT doc_id,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id ASC) - 1
+        |         AS BIGINT) AS global_pos
+        |  FROM documents)
+        |SELECT doc_id, global_pos, global_pos // 64 AS shard_id
+        |FROM ranked ORDER BY doc_id""".stripMargin,
+
+    // The oracle replays the budget fill with the naive per-lang window
+    // (affordable at sf); arg_max is tie-free because cum_before is
+    // strictly increasing within a language (every doc has ≥1 token).
+    "l52_token_budget" ->
+      """WITH t AS (
+        |  SELECT lang, doc_id, n_chars,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang, doc_id, n_tok,
+        |    COALESCE(SUM(n_tok) OVER (PARTITION BY lang
+        |      ORDER BY n_chars DESC, doc_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_before
+        |  FROM t)
+        |SELECT lang, COUNT(*) AS n_kept, CAST(SUM(n_tok) AS BIGINT) AS tok_kept,
+        |  arg_max(doc_id, cum_before) AS last_doc
+        |FROM c WHERE cum_before < 2000 GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "l16_dedup_components" ->
       """WITH RECURSIVE toks AS (

@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.{TextFunctions, VectorFunctions, VectorMean}
 import graft.multimodal.Multimodal
-import graft.operators.{DedupOps, SimilarityOps}
+import graft.operators.{DedupOps, OrderOps, SimilarityOps}
 import org.apache.spark.sql.functions._
 
 /** LLM-pipeline operator semantics: dedup (exact + LSH-equivalence),
@@ -536,6 +536,48 @@ class LlmSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
       assert(out == List((1L, 1L, 2L), (2L, 1L, 2L), (3L, 3L, 3L)), out.toString)
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("l51 global order: two-pass ranking equals the naive total-order window") {
+    // The operator's contract is EXACT equality with the single-partition
+    // row_number window it exists to avoid, on a total order with heavy
+    // ties in the leading key (n_chars collides across the fixture).
+    val dd = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("n_chars"))
+    val keys = Seq(col("n_chars").desc, col("doc_id").asc)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "global_pos").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = canon(OrderOps.globalOrder(dd, keys))
+    val naive = canon(dd.withColumn("global_pos",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(keys: _*)).cast("long") - 1L))
+    assert(got == naive)
+    // positions are a contiguous permutation 0..N-1
+    assert(got.map(_._2) == (0L until dd.count()).toSet)
+  }
+
+  test("l52 grouped running sum equals the naive per-group window") {
+    // Same contract as l51 but per group: cum_before from the two-pass
+    // construction must equal SUM OVER (PARTITION BY lang ORDER BY …
+    // ROWS UNBOUNDED PRECEDING TO 1 PRECEDING) exactly — groups straddle
+    // sampled range boundaries at this size (50 docs over 32 partitions),
+    // which is precisely the offset bookkeeping under test.
+    val dd = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("lang"), col("doc_id"), col("n_chars"),
+              size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val keys = Seq(col("n_chars").desc, col("doc_id").asc)
+    val got = OrderOps.groupedRunningSum(dd, Seq("lang"), keys, col("n_tok"))
+      .select("doc_id", "cum_before").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(keys: _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val naive = dd
+      .withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .select("doc_id", "cum_before").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == naive)
   }
 
   test("symmetric dense pick consults BOTH universe size and doc count") {
