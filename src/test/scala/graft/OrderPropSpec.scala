@@ -1,0 +1,55 @@
+package graft
+
+import graft.operators.OrderOps
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Property check for the two-pass ordering operators (l51/l52): on random
+  * frames they must equal the naive single-partition windows bit-for-bit.
+  * The generators aim at the constructions' failure surface — range
+  * boundaries: heavy ties in the leading key (boundary rows share a key),
+  * tiny frames (empty range partitions, 32 partitions over < 32 rows),
+  * single-row groups, one dominant group, and zero-valued summands
+  * (cum_before plateaus).
+  */
+class OrderPropSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("two-pass global order and grouped running sum equal the naive windows") {
+    val genRow = for {
+      q <- Gen.choose(0L, 3L)          // 4 distinct quality keys → heavy ties
+      g <- Gen.frequency(4 -> Gen.const("en"), 1 -> Gen.oneOf("de", "zh"))
+      v <- Gen.choose(0L, 5L)          // zeros allowed: plateaued cum sums
+    } yield (q, g, v)
+    val genFrame = for {
+      n <- Gen.choose(1, 60)           // spans sub- and super-partition-count
+      rows <- Gen.listOfN(n, genRow)
+    } yield rows.zipWithIndex.map { case ((q, g, v), i) => (i.toLong, q, g, v) }
+
+    val prop = Prop.forAllNoShrink(genFrame) { rows =>
+      val df = rows.toDF("doc_id", "q", "lang", "v").repartition(7)
+      val keys = Seq(col("q").desc, col("doc_id").asc)
+      val gotOrder = OrderOps.globalOrder(df, keys)
+        .select("doc_id", "global_pos").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val naiveOrder = df.withColumn("global_pos",
+          row_number().over(Window.orderBy(keys: _*)).cast("long") - 1L)
+        .select("doc_id", "global_pos").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val gw = Window.partitionBy(col("lang")).orderBy(keys: _*)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val gotCum = OrderOps.groupedRunningSum(df, Seq("lang"), keys, col("v"))
+        .select("doc_id", "cum_before").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val naiveCum = df
+        .withColumn("cum_before", coalesce(sum(col("v")).over(gw), lit(0L)))
+        .select("doc_id", "cum_before").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      gotOrder == naiveOrder && gotCum == naiveCum
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(5), prop)
+    assert(res.passed, res.status.toString)
+  }
+}
