@@ -415,6 +415,15 @@ object LlmQueries {
         .orderBy("lang")
     },
 
+    // L53 — BPE MERGE INDUCTION (round 13): the first 3 byte-pair-encoding
+    // merges learned from the corpus — the tokenizer-vocabulary step of a
+    // training pipeline (Sennrich et al. 2016), distinct from l12's
+    // APPLICATION of a fixed pre-tokenizer. See [[TextAnalysis.bpeMerges]]
+    // for the word-frequency contraction + sentinel-string merge design
+    // and the 100 TB argument (per-round cost is vocabulary-sized; driver
+    // traffic is one argmax row per round).
+    "l53_bpe_merges" -> ((s, d) => TextAnalysis.bpeMerges(docs(s, d), 3)),
+
     // L15 — deterministic dataset split assignment: every doc lands in
     // train/val/test (8/1/1) via a pure multiplicative hash of doc_id —
     // reproducible across runs, engines, and cluster sizes, which is the
@@ -2080,6 +2089,58 @@ object LlmQueries {
         |  FROM documents)
         |SELECT doc_id, global_pos, global_pos // 64 AS shard_id
         |FROM ranked ORDER BY doc_id""".stripMargin,
+
+    // Replays the 3 merge rounds as chained CTEs: same word-frequency
+    // contraction, same sentinel-wrapped sequences (chr(31)), same
+    // left-to-right non-overlapping replace = greedy-left merge, same
+    // (cnt DESC, a, b) argmax. The inline (?s) keeps '.' newline-safe in
+    // both regex engines.
+    "l53_bpe_merges" ->
+      """WITH w0 AS (
+        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+        |    SELECT unnest(list_filter(string_split(lower(text), ' '),
+        |                              t -> t <> '')) AS word
+        |    FROM documents)
+        |  GROUP BY 1),
+        |s1 AS (SELECT regexp_replace(word, '(?s)(.)',
+        |                             chr(31) || '\1' || chr(31), 'g') AS seq,
+        |              freq FROM w0),
+        |l1 AS (SELECT string_split(trim(seq, chr(31)), chr(31) || chr(31)) AS l,
+        |              freq FROM s1),
+        |p1 AS (SELECT p.a AS a, p.b AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+        |       FROM (SELECT unnest(list_transform(range(1, len(l)),
+        |                      i -> {'a': l[i], 'b': l[i+1]})) AS p, freq
+        |             FROM l1)
+        |       GROUP BY 1, 2),
+        |b1 AS (SELECT a, b, cnt FROM p1 ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+        |s2 AS (SELECT replace(seq,
+        |                chr(31)||a||chr(31)||chr(31)||b||chr(31),
+        |                chr(31)||a||b||chr(31)) AS seq, freq FROM s1, b1),
+        |l2 AS (SELECT string_split(trim(seq, chr(31)), chr(31) || chr(31)) AS l,
+        |              freq FROM s2),
+        |p2 AS (SELECT p.a AS a, p.b AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+        |       FROM (SELECT unnest(list_transform(range(1, len(l)),
+        |                      i -> {'a': l[i], 'b': l[i+1]})) AS p, freq
+        |             FROM l2)
+        |       GROUP BY 1, 2),
+        |b2 AS (SELECT a, b, cnt FROM p2 ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+        |s3 AS (SELECT replace(seq,
+        |                chr(31)||a||chr(31)||chr(31)||b||chr(31),
+        |                chr(31)||a||b||chr(31)) AS seq, freq FROM s2, b2),
+        |l3 AS (SELECT string_split(trim(seq, chr(31)), chr(31) || chr(31)) AS l,
+        |              freq FROM s3),
+        |p3 AS (SELECT p.a AS a, p.b AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+        |       FROM (SELECT unnest(list_transform(range(1, len(l)),
+        |                      i -> {'a': l[i], 'b': l[i+1]})) AS p, freq
+        |             FROM l3)
+        |       GROUP BY 1, 2),
+        |b3 AS (SELECT a, b, cnt FROM p3 ORDER BY cnt DESC, a ASC, b ASC LIMIT 1)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS round, a AS lhs, b AS rhs,
+        |         a||b AS merged, cnt AS pair_count FROM b1
+        |  UNION ALL SELECT 2, a, b, a||b, cnt FROM b2
+        |  UNION ALL SELECT 3, a, b, a||b, cnt FROM b3)
+        |ORDER BY round""".stripMargin,
 
     // The oracle replays the budget fill with the naive per-lang window
     // (affordable at sf); arg_max is tie-free because cum_before is

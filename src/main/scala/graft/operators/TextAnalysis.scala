@@ -15,6 +15,74 @@ object TextAnalysis {
   /** Deterministic stopword set for the ratio feature. */
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to")
 
+  /** L53 core — distributed BPE merge-round induction (Sennrich et al.
+    * 2016): the first `rounds` byte-pair-encoding merges learned from the
+    * corpus, each round reporting the winning adjacent-symbol pair, the
+    * merged symbol, and its frequency-weighted count.
+    *
+    * Built on the WORD-FREQUENCY CONTRACTION every production BPE trainer
+    * uses: the corpus collapses once into (word, freq) — vocabulary-sized,
+    * not corpus-sized — and all subsequent rounds run over that table, so
+    * at 100 TB the per-round cost is one vocab-sized hash aggregate on
+    * (a, b) partial counts (map-side combined) plus a map-only merge
+    * rewrite; the corpus is read exactly once. Rounds are inherently
+    * sequential (each merge redefines the pair distribution — the BPE
+    * contract), and per-round driver traffic is ONE row (the argmax pair,
+    * a TakeOrdered(1), never a whole-distribution collect).
+    *
+    * Symbol sequences are kept as strings with each symbol wrapped in a
+    * US (0x1f) sentinel pair — `⟨us⟩sym⟨us⟩` — so a merge of (a, b) is one
+    * literal `replace(seq, ⟨us⟩a⟨us⟩⟨us⟩b⟨us⟩ → ⟨us⟩ab⟨us⟩)`: standard
+    * left-to-right non-overlapping string replace IS BPE's greedy-left
+    * merge ("aaa" under merge (a,a) → [aa, a]), and Spark and DuckDB
+    * implement the identical semantics, which keeps the oracle exact.
+    * Ties in the argmax break lexicographically on (a, b); counts are
+    * integers — deterministic cross-engine.
+    */
+  def bpeMerges(docs: DataFrame, rounds: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    val S = "\u001f"
+    // Corpus → (word, freq), then each word's initial symbol sequence:
+    // every codepoint wrapped in sentinels ((?s): dot must also take any
+    // newline a whitespace-split token can still contain).
+    val words = docs
+      .select(explode(graft.functions.TextFunctions.tokens("lower(text)"))
+        .as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(regexp_replace(col("word"), "(?s)(.)", s"$S$$1$S").as("seq"),
+              col("freq"))
+      .localCheckpoint(true) // the single corpus read; rounds are vocab-sized
+    val out = Seq.newBuilder[(Long, String, String, String, Long)]
+    var cur = words
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val l = split(trim(col("seq"), S), s"$S$S")
+      val n = greatest(size(l) - 1, lit(0))
+      val pairs = cur
+        .select(explode(zip_with(slice(l, lit(1), n), slice(l, lit(2), n),
+                  (x, y) => struct(x.as("a"), y.as("b")))).as("p"),
+                col("freq"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("cnt"))
+      val best = pairs
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b, cnt) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        out += ((r.toLong, a, b, a + b, cnt))
+        cur = cur.withColumn("seq",
+          replace(col("seq"), lit(s"$S$a$S$S$b$S"), lit(s"$S$a$b$S")))
+        r += 1
+      }
+    }
+    import spark.implicits._
+    out.result().toDF("round", "lhs", "rhs", "merged", "pair_count")
+      .orderBy("round")
+  }
+
   /** L43 core — per-source intra-document trigram repetition rollup (the
     * Gopher within-doc repetition gate). Input needs (doc_id, source,
     * text); docs with fewer than 3 tokens contribute no trigrams and drop

@@ -580,6 +580,25 @@ class LlmSpec extends SparkSpec {
     assert(got == naive)
   }
 
+  test("l53 BPE merges: greedy-left merge, weighted counts, lexicographic ties") {
+    // Hand-computable corpus: "aaab" x3 + "xy" x1.
+    //  round 1: (a,a)=6 (two per "aaab", weight 3) beats (a,b)=3, (x,y)=1
+    //           -> merge "aa"; greedy-left turns [a,a,a,b] into [aa,a,b]
+    //           (the "aaa" overlap case).
+    //  round 2: (aa,a)=3 TIES (a,b)=3 -> lexicographic a asc picks (a,b)
+    //           ("a" < "aa"); [aa,a,b] -> [aa,ab].
+    //  round 3: (aa,ab)=3 beats (x,y)=1 -> merged "aaab".
+    import spark.implicits._
+    val docs = Seq((1L, "aaab aaab xy"), (2L, "aaab"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.bpeMerges(docs, 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+                 r.getString(3), r.getLong(4))).toList
+    assert(out == List((1L, "a", "a", "aa", 6L),
+                       (2L, "a", "b", "ab", 3L),
+                       (3L, "aa", "ab", "aaab", 3L)), out.toString)
+  }
+
   test("symmetric dense pick consults BOTH universe size and doc count") {
     // The r12 `weak`: the regime pick routed on universe size alone, so
     // small saturated-universe corpora (the l2 gate's 4 992 reps) paid the
