@@ -217,7 +217,14 @@ object ScaleProbe {
             .agg(count(lit(1)), sum(col("n_chars"))))
         }),
         ("l48_ngram_novelty", nD,
-         () => sink(graft.operators.TextAnalysis.ngramNovelty(d))))
+         () => sink(graft.operators.TextAnalysis.ngramNovelty(d))),
+        // Round 13: BPE induction — corpus multiplication rotates the
+        // alphabet, so the VOCABULARY grows ∝ copies (disjoint words),
+        // which is exactly the dimension the word-frequency contraction
+        // claims to bound; 8 rounds so the per-round rewrite chain and
+        // the 8-round checkpoint fold are both inside the measurement.
+        ("l53_bpe_merges", nD,
+         () => sink(graft.operators.TextAnalysis.bpeMerges(d, 8))))
       ops.filter(o => on(o._1)).foreach { case (name, n, f) =>
         val t = time(f())
         println(f"$name%-22s $x%3d $n%10d $t%8.2f")

@@ -75,6 +75,11 @@ object TextAnalysis {
         out += ((r.toLong, a, b, a + b, cnt))
         cur = cur.withColumn("seq",
           replace(col("seq"), lit(s"$S$a$S$S$b$S"), lit(s"$S$a$b$S")))
+        // A production run learns thousands of merges: without lineage
+        // cuts each round re-executes every prior replace (O(r²) work and
+        // an r-deep plan). Fold the accumulated rewrites into a new
+        // vocab-sized materialization every 8 rounds.
+        if (r % 8 == 0) cur = cur.localCheckpoint(true)
         r += 1
       }
     }
