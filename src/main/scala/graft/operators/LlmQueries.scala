@@ -591,18 +591,18 @@ object LlmQueries {
     // 512-token training bins per language (monolingual packing), the
     // batch-prep step between tokenization and the trainer. The bin id
     // is the running pre-document token count div the budget — the
-    // deterministic concat-and-split formulation — computed with a
-    // PER-LANGUAGE window (partitioned cumulative sum), so the pack
-    // parallelizes across languages/shards instead of the single-
-    // partition global-order anti-pattern.
+    // deterministic concat-and-split formulation. Round 13: the per-lang
+    // cumulative WINDOW (one task owns all of a language's docs — the
+    // data-sized-partition scale-killer l52 names) is replaced by the
+    // grouped two-pass prefix sum, whose only single-partition work is
+    // the P+G−1 offset cells.
     "l31_pack" -> { (s, d) =>
-      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      docs(s, d)
+      val dd = docs(s, d)
         .select(col("lang"), col("doc_id"),
                 size(split(col("text"), " ")).cast("long").as("n_tok"))
-        .withColumn("cum", coalesce(sum(col("n_tok")).over(w), lit(0L)))
-        .withColumn("bin", expr("cum div 512"))
+      OrderOps.groupedRunningSum(dd, Seq("lang"),
+          Seq(col("doc_id").asc), col("n_tok"))
+        .withColumn("bin", expr("cum_before div 512"))
         .groupBy(col("lang"), col("bin"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok_sum"),
              min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
@@ -882,17 +882,33 @@ object LlmQueries {
     // already integer-exact and hash-gated; this gate adds the RANKED
     // BUCKETING curation actually ships — ntile(3) over the (score desc,
     // doc_id) total order, per-language — and rolls up each bucket's doc
-    // and char mass plus its score boundaries. At 100 TB the rank is a
-    // per-language sort (the same shuffle any global-ordering pass pays);
-    // ntile sizes are ANSI-determined (⌈n/3⌉/⌊n/3⌋), engine-independent
-    // given the total order.
+    // and char mass plus its score boundaries. ntile sizes are
+    // ANSI-determined (first n mod 3 buckets take ⌈n/3⌉ rows),
+    // engine-independent given the total order. Round 13: `ntile` over a
+    // per-lang window puts a whole language in one task (the data-sized-
+    // partition scale-killer l52 names); the rank now comes from the
+    // grouped two-pass prefix sum (rank = 1 + running count of ones) and
+    // the bucket from the closed-form ANSI formula on (rank, n_lang) —
+    // n_lang is a G-row broadcast.
     "l46_perplexity_buckets" -> { (s, d) =>
       val scored = lmScore(docs(s, d))
-      val w = Window.partitionBy(col("lang"))
-        .orderBy(col("lm_score").desc, col("doc_id").asc)
-      docs(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+      val base = docs(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
         .join(scored, "doc_id")
-        .withColumn("bucket", ntile(3).over(w).cast("long"))
+      val ranked = OrderOps.groupedRunningSum(base, Seq("lang"),
+          Seq(col("lm_score").desc, col("doc_id").asc), lit(1L))
+        .withColumn("rnk", col("cum_before") + 1L)
+      val nLang = base.groupBy(col("lang")).agg(count(lit(1)).as("nl"))
+      // ANSI NTILE(3): q = n div 3, rem = n mod 3; the first rem buckets
+      // hold q+1 rows. Integer ceil a/b = (a + b − 1) div b; the else
+      // branch needs q ≥ 1, and is unreachable when q = 0 because then
+      // rem·(q+1) = n ≥ rnk.
+      val q = expr("nl div 3"); val rem = expr("nl % 3")
+      ranked.join(broadcast(nLang), "lang")
+        .withColumn("bucket",
+          when(col("rnk") <= rem * (q + 1L),
+               Q.intDiv(col("rnk") + q, q + 1L))
+          .otherwise(rem +
+            Q.intDiv(col("rnk") - rem * (q + 1L) + q - 1L, q)))
         .groupBy(col("lang"), col("bucket"))
         .agg(count(lit(1)).as("n_docs"),
              sum(col("n_chars")).as("sum_chars"),

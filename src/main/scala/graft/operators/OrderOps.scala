@@ -84,29 +84,53 @@ object OrderOps {
     * must be total within each group.
     */
   def groupedRunningSum(df: DataFrame, groupCols: Seq[String],
-                        sortCols: Seq[Column], value: Column): DataFrame = {
+                        sortCols: Seq[Column], value: Column): DataFrame =
+    groupedRunningSums(df, groupCols, sortCols, Seq("cum_before" -> value))
+
+  /** Multi-summand form of [[groupedRunningSum]]: one range exchange, one
+    * cell aggregate, and one local window carry ALL the running sums (a
+    * caller needing both a rank counter and a flag sum — r38's shape —
+    * must not pay the two-pass construction twice). Each (outName, value)
+    * yields an exclusive-running-sum column `outName`.
+    */
+  def groupedRunningSums(df: DataFrame, groupCols: Seq[String],
+                         sortCols: Seq[Column],
+                         values: Seq[(String, Column)]): DataFrame = {
     val parts = df.sparkSession.conf
       .get("spark.sql.shuffle.partitions", "32").toInt
     val gc = groupCols.map(col)
-    val ranged = df.withColumn("_v", value)
+    val vNames = values.indices.map(i => s"_v$i")
+    val ranged = values.zip(vNames)
+      .foldLeft(df) { case (acc, ((_, v), n)) => acc.withColumn(n, v) }
       .repartitionByRange(parts, gc ++ sortCols: _*)
       .withColumn("_pid", spark_partition_id())
       .localCheckpoint(true) // pin sampled boundaries: two consumers
     val cells = ranged.groupBy(gc :+ col("_pid"): _*)
-      .agg(sum(col("_v")).as("_pn"))
+      .agg(vNames.map(n => sum(col(n)).as(s"_pn$n")).head,
+           vNames.map(n => sum(col(n)).as(s"_pn$n")).tail: _*)
     // ≤ P rows per group in the cell frame — the offset window is
     // parallelism-sized regardless of data volume.
     val ow = Window.partitionBy(gc: _*).orderBy(col("_pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = cells
-      .withColumn("_goff", coalesce(sum(col("_pn")).over(ow), lit(0L)))
-      .select(gc :+ col("_pid") :+ col("_goff"): _*)
+    val offsets = vNames
+      .foldLeft(cells) { (acc, n) =>
+        acc.withColumn(s"_goff$n",
+          coalesce(sum(col(s"_pn$n")).over(ow), lit(0L)))
+      }
+      .select(gc ++ (col("_pid") +: vNames.map(n => col(s"_goff$n"))): _*)
     val lw = Window.partitionBy(col("_pid") +: gc: _*).orderBy(sortCols: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
-    ranged
-      .withColumn("_lc", coalesce(sum(col("_v")).over(lw), lit(0L)))
-      .join(broadcast(offsets), groupCols :+ "_pid")
-      .withColumn("cum_before", col("_goff") + col("_lc"))
-      .drop("_pid", "_v", "_lc", "_goff")
+    val localled = vNames.foldLeft(ranged) { (acc, n) =>
+      acc.withColumn(s"_lc$n", coalesce(sum(col(n)).over(lw), lit(0L)))
+    }
+    val joined = localled.join(broadcast(offsets), groupCols :+ "_pid")
+    values.map(_._1).zip(vNames)
+      .foldLeft(joined) { case (acc, (out, n)) =>
+        acc.withColumn(out, col(s"_goff$n") + col(s"_lc$n"))
+      }
+      .drop("_pid")
+      .drop(vNames: _*)
+      .drop(vNames.map(n => s"_lc$n"): _*)
+      .drop(vNames.map(n => s"_goff$n"): _*)
   }
 }

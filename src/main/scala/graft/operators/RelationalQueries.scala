@@ -732,23 +732,31 @@ object RelationalQueries {
     // appeared (coverage saturation) — an incremental-ingest planning
     // metric. Tie-safety: the order (shipdate, orderkey, linenumber) is a
     // total order (PK suffix), so running sums are engine-independent.
+    // Round 13: the per-flag ORDER BY windows (rn + running sum) put each
+    // returnflag's entire lineitem slice — a third of the table — in one
+    // task; both running quantities now come from ONE grouped two-pass
+    // prefix-sum pass (OrderOps.groupedRunningSums: rank = running count
+    // of ones + 1, inclusive running distinct = exclusive sum of
+    // first-occurrence flags + own flag), and the per-flag max becomes a
+    // 3-row broadcast aggregate. first_occ keeps its (flag, suppkey)
+    // window — that key's cardinality scales with the data, so its
+    // partitions stay small.
     "r38_running_distinct" -> { (s, d) =>
       val order = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
-      val wOrd = Window.partitionBy(col("l_returnflag")).orderBy(order: _*)
       val wFirst = Window.partitionBy(col("l_returnflag"), col("l_suppkey"))
         .orderBy(order: _*)
-      val flagged = t(s, d, "lineitem")
+      val base = t(s, d, "lineitem")
         .select(col("l_returnflag"), col("l_suppkey"), col("l_shipdate"),
                 col("l_orderkey"), col("l_linenumber"))
         .withColumn("first_occ",
           when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
-        .withColumn("rn", row_number().over(wOrd).cast("long"))
-        .withColumn("running_distinct",
-          sum(col("first_occ")).over(wOrd.rowsBetween(
-            Window.unboundedPreceding, Window.currentRow)))
-      flagged
-        .withColumn("n_supps",
-          max(col("running_distinct")).over(Window.partitionBy(col("l_returnflag"))))
+      val flagged = OrderOps.groupedRunningSums(base, Seq("l_returnflag"),
+          order, Seq("ones_before" -> lit(1L), "fo_before" -> col("first_occ")))
+        .withColumn("rn", col("ones_before") + 1L)
+        .withColumn("running_distinct", col("fo_before") + col("first_occ"))
+      val nSupps = flagged.groupBy(col("l_returnflag"))
+        .agg(max(col("running_distinct")).as("n_supps"))
+      flagged.join(broadcast(nSupps), "l_returnflag")
         .groupBy(col("l_returnflag"))
         .agg(max(col("rn")).as("n_rows"),
              max(col("n_supps")).as("n_supps"),

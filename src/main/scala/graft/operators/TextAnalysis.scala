@@ -145,11 +145,15 @@ object TextAnalysis {
     val scores = toks.join(broadcast(weights), "b")
       .groupBy(col("doc_id"), col("lang"))
       .agg(sum(col("w")).as("score"))
-    val wl = Window.partitionBy(col("lang"))
-    val ranked = scores
-      .withColumn("rnk", row_number().over(
-        wl.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
-      .withColumn("n_lang", count(lit(1)).over(wl))
+    // Round 13: the former per-lang rank/count WINDOW put each language's
+    // whole score table in one task (data-sized partitions); rank now
+    // comes from the grouped two-pass prefix sum (1 + running count of
+    // ones) and the language sizes from a G-row broadcast aggregate.
+    val nLang = scores.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    val ranked = OrderOps.groupedRunningSum(scores, Seq("lang"),
+        Seq(col("score").desc, col("doc_id").asc), lit(1L))
+      .withColumn("rnk", col("cum_before") + 1L)
+      .join(broadcast(nLang), "lang")
       .withColumn("kept",
         col("rnk") <= greatest(lit(1L), Q.intDiv(col("n_lang"), lit(5L))))
     ranked.groupBy(col("lang"))

@@ -39,13 +39,20 @@ class OrderPropSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       val gw = Window.partitionBy(col("lang")).orderBy(keys: _*)
         .rowsBetween(Window.unboundedPreceding, -1)
-      val gotCum = OrderOps.groupedRunningSum(df, Seq("lang"), keys, col("v"))
-        .select("doc_id", "cum_before").collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // The multi-summand form (r38's shape): one pass carries both a
+      // rank counter and the value sum; its single-summand wrapper is
+      // covered through the same call.
+      val gotCum = OrderOps.groupedRunningSums(df, Seq("lang"), keys,
+          Seq("cum_before" -> col("v"), "ones_before" -> lit(1L)))
+        .select("doc_id", "cum_before", "ones_before").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       val naiveCum = df
         .withColumn("cum_before", coalesce(sum(col("v")).over(gw), lit(0L)))
-        .select("doc_id", "cum_before").collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
+        .withColumn("ones_before",
+          row_number().over(Window.partitionBy(col("lang"))
+            .orderBy(keys: _*)).cast("long") - 1L)
+        .select("doc_id", "cum_before", "ones_before").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       gotOrder == naiveOrder && gotCum == naiveCum
     }
     val res = SCTest.check(
