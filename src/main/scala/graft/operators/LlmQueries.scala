@@ -424,6 +424,39 @@ object LlmQueries {
     // traffic is one argmax row per round).
     "l53_bpe_merges" -> ((s, d) => TextAnalysis.bpeMerges(docs(s, d), 3)),
 
+    // L54 — TOP-BIGRAM CHARACTER MASS (round 13): per document, the share
+    // of its characters covered by occurrences of its single most
+    // frequent word bigram (count desc, bigram asc tie-break), rolled up
+    // per source with the Gopher > 0.2 flag (Rae et al. 2021 §A1.1 "top
+    // 2-gram" rule) — the CONCENTRATION axis l43's repeated-trigram
+    // fraction misses (one boilerplate phrase repeated verbatim
+    // concentrates mass in a single gram; many scattered repeats do not).
+    // No cross-doc join: per-doc explode + two hash aggregates (the argmax
+    // is a min(struct) agg, not a window), embarrassingly parallel at any
+    // corpus size; docs with < 2 tokens carry frac 0 via the left join.
+    "l54_topgram_mass" -> { (s, d) =>
+      val dd = docs(s, d)
+      val top = dd
+        .select(col("doc_id"),
+                explode(TextFunctions.wordNgrams("text", 2)).as("gram"))
+        .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id"))
+        .agg(min(struct((-col("cnt")).as("nc"), col("gram").as("g"))).as("t"))
+        .select(col("doc_id"), col("t.g").as("top_gram"),
+                (-col("t.nc")).as("cnt"))
+      dd.select(col("doc_id"), col("source"), col("n_chars"))
+        .join(top, Seq("doc_id"), "left")
+        .withColumn("frac",
+          when(col("cnt").isNull, 0.0)
+            .otherwise(Q.round4Ratio(col("cnt") * length(col("top_gram")),
+                                     col("n_chars"))))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(when(col("frac") > 0.2, 1L).otherwise(0L)).as("n_flagged"),
+             max(col("frac")).as("max_frac"))
+        .orderBy("source")
+    },
+
     // L15 — deterministic dataset split assignment: every doc lands in
     // train/val/test (8/1/1) via a pure multiplicative hash of doc_id —
     // reproducible across runs, engines, and cluster sizes, which is the
@@ -2105,6 +2138,38 @@ object LlmQueries {
         |  FROM documents)
         |SELECT doc_id, global_pos, global_pos // 64 AS shard_id
         |FROM ranked ORDER BY doc_id""".stripMargin,
+
+    // Per-doc bigram counts → row_number argmax (the Spark side's
+    // min(struct) aggregate is the same (cnt desc, gram asc) pick) →
+    // exact half-up ROUND(4) mass ratio → per-source rollup.
+    "l54_topgram_mass" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '')
+         |           AS tk
+         |  FROM documents),
+         |bi AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, len(tk)),
+         |                          i -> tk[i] || ' ' || tk[i+1])) AS gram
+         |  FROM toks),
+         |c AS (SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS cnt
+         |      FROM bi GROUP BY 1, 2),
+         |t AS (SELECT doc_id, gram, cnt FROM (
+         |        SELECT doc_id, gram, cnt,
+         |          ROW_NUMBER() OVER (PARTITION BY doc_id
+         |                             ORDER BY cnt DESC, gram ASC) AS rn
+         |        FROM c) WHERE rn = 1),
+         |f AS (
+         |  SELECT d.source,
+         |    CASE WHEN t.cnt IS NULL THEN 0.0
+         |         ELSE ${graft.Q.duckRound4Ratio("t.cnt * length(t.gram)",
+                                                  "d.n_chars")} END AS frac
+         |  FROM documents d LEFT JOIN t ON t.doc_id = d.doc_id)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN frac > 0.2 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_flagged,
+         |  MAX(frac) AS max_frac
+         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Replays the 3 merge rounds as chained CTEs: same word-frequency
     // contraction, same sentinel-wrapped sequences (chr(31)), same

@@ -599,6 +599,28 @@ class LlmSpec extends SparkSpec {
                        (3L, "aa", "ab", "aaab", 3L)), out.toString)
   }
 
+  test("l54 top-bigram mass: concentration fraction, ties, and <2-token docs") {
+    // doc 1: "x y x y x y" -> top bigram "x y" x3, mass 3*3=9 of 11 chars
+    //        -> round4(9/11) = 0.8182, flagged (> 0.2).
+    // doc 2: ten distinct tokens -> every bigram count 1, lexicographic
+    //        tie-break picks "a b": 3 of 19 chars = 0.1579, not flagged.
+    // doc 3: single token -> no bigram -> frac 0 via the left join.
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "x y x y x y", "en", "web", 11L),
+      (2L, "a b c d e f g h i j", "en", "web", 19L),
+      (3L, "solo", "en", "web", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft-l54-").toString
+    try {
+      corpus.write.parquet(s"$dir/documents.parquet")
+      val out = SparkEntry.queries("l54_topgram_mass")(spark, dir).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toList
+      assert(out == List(("web", 3L, 1L, 0.8182)), out.toString)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("symmetric dense pick consults BOTH universe size and doc count") {
     // The r12 `weak`: the regime pick routed on universe size alone, so
     // small saturated-universe corpora (the l2 gate's 4 992 reps) paid the
