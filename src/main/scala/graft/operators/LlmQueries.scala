@@ -457,6 +457,44 @@ object LlmQueries {
         .orderBy("source")
     },
 
+    // L55 — VOCABULARY GROWTH CURVE (round 13): distinct whitespace tokens
+    // introduced per arrival-order DECILE of the corpus plus the running
+    // vocabulary size — the Heaps-law curve an ingest pipeline plans
+    // tokenizer and dedup capacity against ("how fast is the vocabulary
+    // still growing?"), the curve-shaped complement to l48's per-doc
+    // novelty flags. Composition of machinery that already carries 100 TB
+    // arguments: doc position from [[OrderOps.globalOrder]] (doc_id asc —
+    // arrival order, l48's convention), token first-occurrence as one
+    // (token → min doc_id) hash aggregate (the l29/l48 shape, shuffle
+    // bounded by distinct tokens), one equi-join of the vocab-sized
+    // first-occurrence table onto the rank map, and a 10-row rollup whose
+    // running sum is trivially bounded. Decile arithmetic is integer-exact:
+    // decile = ⌊rank·10/N⌋.
+    "l55_vocab_growth" -> { (s, d) =>
+      val dd = docs(s, d)
+      val ranked = OrderOps.globalOrder(
+          dd.select(col("doc_id")), Seq(col("doc_id").asc))
+      val n = ranked.agg(count(lit(1)).as("n"))
+      val deciled = ranked.crossJoin(broadcast(n))
+        .select(col("doc_id"),
+                Q.intDiv(col("global_pos") * 10L, col("n")).as("decile"))
+      val firstSeen = dd
+        .select(col("doc_id"), explode(TextFunctions.tokens("text")).as("token"))
+        .groupBy(col("token")).agg(min(col("doc_id")).as("doc_id"))
+      val perDecile = firstSeen.join(deciled, "doc_id")
+        .groupBy(col("decile")).agg(count(lit(1)).as("n_new_tokens"))
+      // 10-row rollup: the running-vocab window is bounded by the decile
+      // count, never the data.
+      val wCum = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      deciled.groupBy(col("decile")).agg(count(lit(1)).as("n_docs"))
+        .join(perDecile, Seq("decile"), "left")
+        .withColumn("n_new_tokens", coalesce(col("n_new_tokens"), lit(0L)))
+        .withColumn("cum_vocab", sum(col("n_new_tokens")).over(wCum))
+        .select("decile", "n_docs", "n_new_tokens", "cum_vocab")
+        .orderBy("decile")
+    },
+
     // L15 — deterministic dataset split assignment: every doc lands in
     // train/val/test (8/1/1) via a pure multiplicative hash of doc_id —
     // reproducible across runs, engines, and cluster sizes, which is the
@@ -2138,6 +2176,34 @@ object LlmQueries {
         |  FROM documents)
         |SELECT doc_id, global_pos, global_pos // 64 AS shard_id
         |FROM ranked ORDER BY doc_id""".stripMargin,
+
+    // Arrival-order rank → decile arithmetic → first-occurrence counts →
+    // 10-row running sum; the engine's two-pass rank is hash-equal to the
+    // oracle's naive ROW_NUMBER by the l51 contract.
+    "l55_vocab_growth" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS pos
+        |  FROM documents),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+        |dec AS (SELECT doc_id, (pos * 10) // n AS decile FROM r, n),
+        |fs AS (
+        |  SELECT tok, MIN(doc_id) AS doc_id FROM (
+        |    SELECT doc_id,
+        |      unnest(list_filter(string_split(text, ' '), t -> t != '')) AS tok
+        |    FROM documents)
+        |  GROUP BY 1),
+        |nt AS (SELECT d.decile, CAST(COUNT(*) AS BIGINT) AS n_new_tokens
+        |       FROM fs JOIN dec d ON d.doc_id = fs.doc_id GROUP BY 1),
+        |docs_d AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |           FROM dec GROUP BY 1)
+        |SELECT d.decile, d.n_docs,
+        |  COALESCE(nt.n_new_tokens, 0) AS n_new_tokens,
+        |  CAST(SUM(COALESCE(nt.n_new_tokens, 0)) OVER (ORDER BY d.decile
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_vocab
+        |FROM docs_d d LEFT JOIN nt ON nt.decile = d.decile
+        |ORDER BY d.decile""".stripMargin,
 
     // Per-doc bigram counts → row_number argmax (the Spark side's
     // min(struct) aggregate is the same (cnt desc, gram asc) pick) →

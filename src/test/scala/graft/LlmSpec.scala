@@ -621,6 +621,27 @@ class LlmSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("l55 vocab growth: first-occurrence deciles and running vocabulary") {
+    // N=5 docs -> decile = pos*2 (0,2,4,6,8), one doc each. First
+    // occurrences: a,b -> doc 1; c -> doc 2; doc 3 introduces nothing;
+    // d -> doc 4; e,f -> doc 5. Running vocab: 2,3,3,4,6.
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a b", "en", "web", 3L), (2L, "b c", "en", "web", 3L),
+      (3L, "a", "en", "web", 1L), (4L, "d", "en", "web", 1L),
+      (5L, "a e f", "en", "web", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft-l55-").toString
+    try {
+      corpus.write.parquet(s"$dir/documents.parquet")
+      val out = SparkEntry.queries("l55_vocab_growth")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toList
+      assert(out == List((0L, 1L, 2L, 2L), (2L, 1L, 1L, 3L), (4L, 1L, 0L, 3L),
+                         (6L, 1L, 1L, 4L), (8L, 1L, 2L, 6L)), out.toString)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("symmetric dense pick consults BOTH universe size and doc count") {
     // The r12 `weak`: the regime pick routed on universe size alone, so
     // small saturated-universe corpora (the l2 gate's 4 992 reps) paid the
