@@ -1114,10 +1114,13 @@ object DedupOps {
     // PROBE ORDER (round 13): the doc count alone settles routing below
     // the crossover and costs one narrow count (no explode), so the
     // shingle-frame aggregate — a full explode pass — only runs for
-    // corpora that might actually route dense. Below the crossover the
-    // gate pays NO probe at all (doc_id is unique by the corpus contract,
-    // so count() ≡ countDistinct(doc_id)).
-    val nd = if (denseMax > 0) docs.count() else 0L
+    // corpora that might actually route dense. The length filter keeps
+    // this count ≡ the shingle frame's countDistinct(doc_id): sub-n-char
+    // docs contribute zero shingle rows, and counting them would both
+    // shift the measured crossover and over-size the dense grid relative
+    // to the bitset rows the kernel actually builds.
+    val nd =
+      if (denseMax > 0) docs.filter(length(col("text")) >= n).count() else 0L
     // One shingle frame shared by the regime probe and BOTH engines (r12
     // ADVICE: the probe previously re-exploded the corpus once per call).
     val sh = shingles(docs, n).persist()

@@ -968,13 +968,22 @@ object LlmQueries {
       val ranked = OrderOps.groupedRunningSum(base, Seq("lang"),
           Seq(col("lm_score").desc, col("doc_id").asc), lit(1L))
         .withColumn("rnk", col("cum_before") + 1L)
-      val nLang = base.groupBy(col("lang")).agg(count(lit(1)).as("nl"))
+      // Language sizes from the RANKED output — groupedRunningSum has
+      // already materialized it (localCheckpoint); aggregating the
+      // pre-checkpoint `base` would re-execute the whole lmScore
+      // pipeline a second time for the broadcast subplan. Null-safe join
+      // keys match the grouped-sum contract (a NULL lang is its own
+      // group, as in the window formulation).
+      val nLang = ranked.groupBy(col("lang"))
+        .agg(count(lit(1)).as("nl"))
+        .withColumnRenamed("lang", "_nlang")
       // ANSI NTILE(3): q = n div 3, rem = n mod 3; the first rem buckets
       // hold q+1 rows. Integer ceil a/b = (a + b − 1) div b; the else
       // branch needs q ≥ 1, and is unreachable when q = 0 because then
       // rem·(q+1) = n ≥ rnk.
       val q = expr("nl div 3"); val rem = expr("nl % 3")
-      ranked.join(broadcast(nLang), "lang")
+      ranked.join(broadcast(nLang), col("lang") <=> col("_nlang"))
+        .drop("_nlang")
         .withColumn("bucket",
           when(col("rnk") <= rem * (q + 1L),
                Q.intDiv(col("rnk") + q, q + 1L))
@@ -2248,6 +2257,7 @@ object LlmQueries {
         |    SELECT unnest(list_filter(string_split(lower(text), ' '),
         |                              t -> t <> '')) AS word
         |    FROM documents)
+        |  WHERE NOT contains(word, chr(31))
         |  GROUP BY 1),
         |s1 AS (SELECT regexp_replace(word, '(?s)(.)',
         |                             chr(31) || '\1' || chr(31), 'g') AS seq,

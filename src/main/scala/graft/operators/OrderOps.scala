@@ -123,7 +123,19 @@ object OrderOps {
     val localled = vNames.foldLeft(ranged) { (acc, n) =>
       acc.withColumn(s"_lc$n", coalesce(sum(col(n)).over(lw), lit(0L)))
     }
-    val joined = localled.join(broadcast(offsets), groupCols :+ "_pid")
+    // Null-safe group equality: groupBy and the window both form a NULL
+    // group, and the naive `PARTITION BY g` window this operator is
+    // bit-equal to keeps NULL-key rows as their own partition — a plain
+    // equi-join here would silently drop them.
+    val offRenamed = groupCols
+      .foldLeft(offsets.withColumnRenamed("_pid", "_opid")) { (a, c) =>
+        a.withColumnRenamed(c, s"_g_$c")
+      }
+    val joinCond = groupCols.map(c => col(c) <=> col(s"_g_$c"))
+      .foldLeft(col("_pid") === col("_opid"))(_ && _)
+    val joined = localled.join(broadcast(offRenamed), joinCond)
+      .drop("_opid")
+      .drop(groupCols.map(c => s"_g_$c"): _*)
     values.map(_._1).zip(vNames)
       .foldLeft(joined) { case (acc, (out, n)) =>
         acc.withColumn(out, col(s"_goff$n") + col(s"_lc$n"))

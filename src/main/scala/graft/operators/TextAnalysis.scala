@@ -49,6 +49,11 @@ object TextAnalysis {
       .select(explode(graft.functions.TextFunctions.tokens("lower(text)"))
         .as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      // A token carrying the sentinel itself would corrupt the framing
+      // (⟨us⟩ inside a symbol mis-segments the split) — excluded by
+      // contract, identically in the oracle. Real tokenizer trainers
+      // strip control characters in exactly this normalization step.
+      .filter(!col("word").contains(S))
       .select(regexp_replace(col("word"), "(?s)(.)", s"$S$$1$S").as("seq"),
               col("freq"))
       .localCheckpoint(true) // the single corpus read; rounds are vocab-sized
@@ -78,8 +83,9 @@ object TextAnalysis {
         // A production run learns thousands of merges: without lineage
         // cuts each round re-executes every prior replace (O(r²) work and
         // an r-deep plan). Fold the accumulated rewrites into a new
-        // vocab-sized materialization every 8 rounds.
-        if (r % 8 == 0) cur = cur.localCheckpoint(true)
+        // vocab-sized materialization every 8 rounds — but never after
+        // the FINAL merge, whose rewrite no later round reads.
+        if (r % 8 == 0 && r < rounds) cur = cur.localCheckpoint(true)
         r += 1
       }
     }
@@ -148,12 +154,18 @@ object TextAnalysis {
     // Round 13: the former per-lang rank/count WINDOW put each language's
     // whole score table in one task (data-sized partitions); rank now
     // comes from the grouped two-pass prefix sum (1 + running count of
-    // ones) and the language sizes from a G-row broadcast aggregate.
-    val nLang = scores.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
-    val ranked = OrderOps.groupedRunningSum(scores, Seq("lang"),
+    // ones) and the language sizes from a G-row broadcast aggregate over
+    // the RANKED output — aggregating the pre-checkpoint `scores` would
+    // re-execute the score pipeline a second time. Null-safe join keys
+    // match the window formulation's NULL-is-its-own-group behavior.
+    val cum = OrderOps.groupedRunningSum(scores, Seq("lang"),
         Seq(col("score").desc, col("doc_id").asc), lit(1L))
       .withColumn("rnk", col("cum_before") + 1L)
-      .join(broadcast(nLang), "lang")
+    val nLang = cum.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+      .withColumnRenamed("lang", "_nlang")
+    val ranked = cum
+      .join(broadcast(nLang), col("lang") <=> col("_nlang"))
+      .drop("_nlang")
       .withColumn("kept",
         col("rnk") <= greatest(lit(1L), Q.intDiv(col("n_lang"), lit(5L))))
     ranked.groupBy(col("lang"))

@@ -19,7 +19,10 @@ class OrderPropSpec extends SparkSpec {
   test("two-pass global order and grouped running sum equal the naive windows") {
     val genRow = for {
       q <- Gen.choose(0L, 3L)          // 4 distinct quality keys → heavy ties
-      g <- Gen.frequency(4 -> Gen.const("en"), 1 -> Gen.oneOf("de", "zh"))
+      // null group key included: the naive PARTITION BY window keeps NULL
+      // as its own partition, and the two-pass join must not drop it.
+      g <- Gen.frequency(4 -> Gen.const("en"), 1 -> Gen.oneOf("de", "zh"),
+                         1 -> Gen.const(null: String))
       v <- Gen.choose(0L, 5L)          // zeros allowed: plateaued cum sums
     } yield (q, g, v)
     val genFrame = for {
