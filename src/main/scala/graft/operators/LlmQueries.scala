@@ -963,38 +963,47 @@ object LlmQueries {
     // n_lang is a G-row broadcast.
     "l46_perplexity_buckets" -> { (s, d) =>
       val scored = lmScore(docs(s, d))
+      // Round 14: OrderOps no longer checkpoints, so the scored doc table
+      // — the expensive shared upstream (the lmScore pipeline), consumed
+      // by the rank passes, the boundary sampler, and the G-row language-
+      // size broadcast — is PERSISTED across its consumers (lineage
+      // retained: a lost block recomputes, unlike a localCheckpoint) and
+      // the TINY (lang, bucket) rollup is materialized before unpersist —
+      // the repo's standard shared-frame pattern (DedupOps.materialize).
+      // At 100 TB the cached frame is the 4-column doc-level score table,
+      // not the corpus. Null-safe join keys match the grouped-sum
+      // contract (a NULL lang is its own group, as in the window
+      // formulation).
       val base = docs(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
         .join(scored, "doc_id")
-      val ranked = OrderOps.groupedRunningSum(base, Seq("lang"),
-          Seq(col("lm_score").desc, col("doc_id").asc), lit(1L))
-        .withColumn("rnk", col("cum_before") + 1L)
-      // Language sizes from the RANKED output — groupedRunningSum has
-      // already materialized it (localCheckpoint); aggregating the
-      // pre-checkpoint `base` would re-execute the whole lmScore
-      // pipeline a second time for the broadcast subplan. Null-safe join
-      // keys match the grouped-sum contract (a NULL lang is its own
-      // group, as in the window formulation).
-      val nLang = ranked.groupBy(col("lang"))
-        .agg(count(lit(1)).as("nl"))
-        .withColumnRenamed("lang", "_nlang")
-      // ANSI NTILE(3): q = n div 3, rem = n mod 3; the first rem buckets
-      // hold q+1 rows. Integer ceil a/b = (a + b − 1) div b; the else
-      // branch needs q ≥ 1, and is unreachable when q = 0 because then
-      // rem·(q+1) = n ≥ rnk.
-      val q = expr("nl div 3"); val rem = expr("nl % 3")
-      ranked.join(broadcast(nLang), col("lang") <=> col("_nlang"))
-        .drop("_nlang")
-        .withColumn("bucket",
-          when(col("rnk") <= rem * (q + 1L),
-               Q.intDiv(col("rnk") + q, q + 1L))
-          .otherwise(rem +
-            Q.intDiv(col("rnk") - rem * (q + 1L) + q - 1L, q)))
-        .groupBy(col("lang"), col("bucket"))
-        .agg(count(lit(1)).as("n_docs"),
-             sum(col("n_chars")).as("sum_chars"),
-             max(col("lm_score")).as("max_score"),
-             min(col("lm_score")).as("min_score"))
-        .orderBy("lang", "bucket")
+        .persist()
+      try {
+        val ranked = OrderOps.groupedRunningSum(base, Seq("lang"),
+            Seq(col("lm_score").desc, col("doc_id").asc), lit(1L))
+          .withColumn("rnk", col("cum_before") + 1L)
+        val nLang = base.groupBy(col("lang"))
+          .agg(count(lit(1)).as("nl"))
+          .withColumnRenamed("lang", "_nlang")
+        // ANSI NTILE(3): q = n div 3, rem = n mod 3; the first rem buckets
+        // hold q+1 rows. Integer ceil a/b = (a + b − 1) div b; the else
+        // branch needs q ≥ 1, and is unreachable when q = 0 because then
+        // rem·(q+1) = n ≥ rnk.
+        val q = expr("nl div 3"); val rem = expr("nl % 3")
+        ranked.join(broadcast(nLang), col("lang") <=> col("_nlang"))
+          .drop("_nlang")
+          .withColumn("bucket",
+            when(col("rnk") <= rem * (q + 1L),
+                 Q.intDiv(col("rnk") + q, q + 1L))
+            .otherwise(rem +
+              Q.intDiv(col("rnk") - rem * (q + 1L) + q - 1L, q)))
+          .groupBy(col("lang"), col("bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+               sum(col("n_chars")).as("sum_chars"),
+               max(col("lm_score")).as("max_score"),
+               min(col("lm_score")).as("min_score"))
+          .orderBy("lang", "bucket")
+          .localCheckpoint(true) // 3G rows — cheap at any corpus scale
+      } finally base.unpersist(blocking = false)
     },
 
     // L45 — hashed-feature importance resampling (the DSIR shape, Xie et

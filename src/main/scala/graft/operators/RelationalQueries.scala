@@ -732,35 +732,45 @@ object RelationalQueries {
     // appeared (coverage saturation) — an incremental-ingest planning
     // metric. Tie-safety: the order (shipdate, orderkey, linenumber) is a
     // total order (PK suffix), so running sums are engine-independent.
-    // Round 13: the per-flag ORDER BY windows (rn + running sum) put each
-    // returnflag's entire lineitem slice — a third of the table — in one
-    // task; both running quantities now come from ONE grouped two-pass
-    // prefix-sum pass (OrderOps.groupedRunningSums: rank = running count
-    // of ones + 1, inclusive running distinct = exclusive sum of
-    // first-occurrence flags + own flag), and the per-flag max becomes a
-    // 3-row broadcast aggregate. first_occ keeps its (flag, suppkey)
-    // window — that key's cardinality scales with the data, so its
-    // partitions stay small.
+    // Round 13 moved the per-flag running sums onto the grouped two-pass
+    // prefix sum; round 14 (r13 verdict item 2) goes further: the gate's
+    // DECLARED rollup — n_rows, n_supps, saturation_row per flag — admits
+    // an AGGREGATE-ONLY closed form, because the running-distinct curve's
+    // only consumed points are its endpoints. The semantics stay the
+    // oracle's window replay (first-occurrence flags summed over the
+    // running frame — the O(1)-state emulation of the unsupported
+    // `COUNT(DISTINCT) OVER`, still exercised as a reusable shape by
+    // OrderPropSpec's multi-summand property); the ENGINE's plan derives:
+    //   n_rows          = max(rn)                 = COUNT(*) per flag,
+    //   n_supps         = max(running_distinct)   = COUNT(DISTINCT supp),
+    //   saturation_row  = min rn where running_distinct = n_supps
+    //                   = rank of the LAST supplier's first appearance
+    //                   = COUNT of rows ≤ max over supps of min(order key).
+    // Three hash aggregates (all map-side partial) + one 3-row broadcast —
+    // no window, no sort, no data-sized partitions anywhere; the shuffles
+    // carry distinct-(flag, supp) cells and 3-row flags. (shipdate,
+    // orderkey, linenumber) is a total order (PK suffix), so min/max
+    // struct endpoints are engine-independent.
     "r38_running_distinct" -> { (s, d) =>
-      val order = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
-      val wFirst = Window.partitionBy(col("l_returnflag"), col("l_suppkey"))
-        .orderBy(order: _*)
-      val base = t(s, d, "lineitem")
+      val orderKey = struct(col("l_shipdate"), col("l_orderkey"),
+                            col("l_linenumber"))
+      val li = t(s, d, "lineitem")
         .select(col("l_returnflag"), col("l_suppkey"), col("l_shipdate"),
                 col("l_orderkey"), col("l_linenumber"))
-        .withColumn("first_occ",
-          when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
-      val flagged = OrderOps.groupedRunningSums(base, Seq("l_returnflag"),
-          order, Seq("ones_before" -> lit(1L), "fo_before" -> col("first_occ")))
-        .withColumn("rn", col("ones_before") + 1L)
-        .withColumn("running_distinct", col("fo_before") + col("first_occ"))
-      val nSupps = flagged.groupBy(col("l_returnflag"))
-        .agg(max(col("running_distinct")).as("n_supps"))
-      flagged.join(broadcast(nSupps), "l_returnflag")
+      // One row per (flag, supp): the order key of that supplier's first
+      // appearance within the flag's stream.
+      val firstSeen = li.groupBy(col("l_returnflag"), col("l_suppkey"))
+        .agg(min(orderKey).as("_first"))
+      // 3 rows: per flag, the LAST of those first appearances (= the key
+      // at which the running distinct count saturates) and the supplier
+      // universe size.
+      val sat = firstSeen.groupBy(col("l_returnflag"))
+        .agg(max(col("_first")).as("_sat"), count(lit(1)).as("n_supps"))
+      li.join(broadcast(sat), Seq("l_returnflag"))
         .groupBy(col("l_returnflag"))
-        .agg(max(col("rn")).as("n_rows"),
+        .agg(count(lit(1)).as("n_rows"),
              max(col("n_supps")).as("n_supps"),
-             min(when(col("running_distinct") === col("n_supps"), col("rn")))
+             sum(when(orderKey <= col("_sat"), 1L).otherwise(0L))
                .as("saturation_row"))
         .orderBy("l_returnflag")
     }

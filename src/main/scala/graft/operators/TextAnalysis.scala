@@ -148,20 +148,28 @@ object TextAnalysis {
       .select(col("b"),
         Q.intDiv(dec(col("ct")) * dec(col("nr")) * 10000L,
                  dec(col("cr")) * dec(col("nt"))).as("w"))
-    val scores = toks.join(broadcast(weights), "b")
-      .groupBy(col("doc_id"), col("lang"))
-      .agg(sum(col("w")).as("score"))
     // Round 13: the former per-lang rank/count WINDOW put each language's
     // whole score table in one task (data-sized partitions); rank now
     // comes from the grouped two-pass prefix sum (1 + running count of
-    // ones) and the language sizes from a G-row broadcast aggregate over
-    // the RANKED output — aggregating the pre-checkpoint `scores` would
-    // re-execute the score pipeline a second time. Null-safe join keys
-    // match the window formulation's NULL-is-its-own-group behavior.
+    // ones). Round 14: OrderOps no longer checkpoints — the G-row
+    // language-size broadcast aggregates the INPUT `scores` (the smallest
+    // subtree with the right rows), and the score pipeline's exchanges
+    // (token bucketing, the doc-level score agg) are deduped across the
+    // rank/broadcast branches by ReuseExchange within the one final plan,
+    // so only narrow post-shuffle compute re-runs per consumer. The
+    // boundary-sampling pass pays one extra (column-pruned) upstream
+    // execution — the declared constant traded for removing the corpus-
+    // sized lineage-truncating checkpoint (a persist(scores) A/B measured
+    // the same wall-clock at sf0.1 while hiding the plan from the audit,
+    // so the lazy form is kept). Null-safe join keys match the window
+    // formulation's NULL-is-its-own-group behavior.
+    val scores = toks.join(broadcast(weights), "b")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("w")).as("score"))
     val cum = OrderOps.groupedRunningSum(scores, Seq("lang"),
         Seq(col("score").desc, col("doc_id").asc), lit(1L))
       .withColumn("rnk", col("cum_before") + 1L)
-    val nLang = cum.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    val nLang = scores.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
       .withColumnRenamed("lang", "_nlang")
     val ranked = cum
       .join(broadcast(nLang), col("lang") <=> col("_nlang"))

@@ -62,4 +62,28 @@ class OrderPropSpec extends SparkSpec {
       SCTest.Parameters.default.withMinSuccessfulTests(5), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("boundary stability: re-evaluating the same ordered frame agrees") {
+    // Round-14 fix regression guard: the bucket boundaries are collected
+    // ONCE at operator-build time and baked into the plan as constants, so
+    // EVERY re-execution of the returned frame (here: two separate actions,
+    // each re-running the full lineage — there is no checkpoint pinning
+    // anything) must produce identical positions. Under the round-13
+    // repartitionByRange formulation this property held only because of the
+    // eager localCheckpoint; with deterministic boundaries it holds by
+    // construction with lineage intact.
+    val df = (0L until 500L).map(i => (i, i % 7, s"g${i % 3}"))
+      .toDF("doc_id", "q", "lang").repartition(11)
+    val keys = Seq(col("q").desc, col("doc_id").asc)
+    val ordered = OrderOps.globalOrder(df, keys)
+    def snap() = ordered.select("doc_id", "global_pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val first = snap()
+    val second = snap()
+    assert(first == second)
+    val cum = OrderOps.groupedRunningSum(df, Seq("lang"), keys, lit(1L))
+    def snapCum() = cum.select("doc_id", "cum_before").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(snapCum() == snapCum())
+  }
 }
