@@ -201,6 +201,42 @@ object LlmQueries {
                               codebookEntries = 256)
         .orderBy("query_id", "rank")),
 
+    // L5f — ANN RECALL BAND (round 14, r13 verdict item 4): the ladder
+    // gates DETERMINISM (each rung hash-matches its own replay) but never
+    // measured INDEX QUALITY — how much of the exact answer the
+    // production-shape index returns. This gate runs the l5e fixed-256
+    // IVF-PQ at production search widths (nprobe = 16, shortlist 80 —
+    // measured recall@5 0.78 at sf0.01 / 0.60 at sf0.1, so the declared
+    // 0.5 floor holds at both gate scales with margin) against
+    // [[SimilarityOps.bruteTopK]] ground truth and emits the r30 verdict
+    // shape: exact hit count over the query set, recall@5 in exact
+    // ROUND(4) arithmetic, the declared floor, and the within_band
+    // boolean. The oracle replays BOTH pipelines, so an index-quality
+    // regression (coarse assignment, encode, probe list, shortlist, or
+    // re-rank) shifts n_hits and hash-fails; the floor is additionally
+    // asserted in LlmSpec so a quality drop fails `sbt test` even though
+    // both engines would agree on the lower value.
+    "l5f_ann_recall" -> { (s, d) =>
+      val q = emb(s, d).filter(col("vec_id") <= 9)
+      val exact = SimilarityOps.bruteTopK(emb(s, d), q, 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = SimilarityOps.ivfPqTopK(emb(s, d), q, 5, nprobe = 16,
+                                           shortlistFactor = 16,
+                                           codebookEntries = 256)
+        .select(col("query_id").as("_aq"), col("neighbor_id").as("_an"))
+      val rec = Q.round4Ratio(count(col("_an")), lit(50L))
+      exact.join(broadcast(approx),
+          col("query_id") === col("_aq") && col("neighbor_id") === col("_an"),
+          "left")
+        .agg(countDistinct(col("query_id")).as("n_queries"),
+             count(col("_an")).as("n_hits"),
+             rec.as("recall"),
+             (rec >= 0.5).as("within_band"))
+        .select(col("n_queries"), lit(5L).as("k"), col("n_hits"),
+                col("recall"), lit(0.5).as("recall_floor"),
+                col("within_band"))
+    },
+
     // L8 — document quality scoring: token counts, average token length,
     // stopword ratio, alpha-space purity, composite keep/drop flag. One
     // narrow projection pass — the shape of a 100 TB quality filter.
@@ -494,6 +530,18 @@ object LlmQueries {
         .select("decile", "n_docs", "n_new_tokens", "cum_vocab")
         .orderBy("decile")
     },
+
+    // L56 — BPE APPLICATION (round 14): encode the corpus with l53's
+    // learned merge table (same sentinel-string greedy-left replace
+    // contract both engines already prove on l53) and report per-language
+    // compression — words, base symbols, post-merge tokens, the
+    // ROUND(tokens/base, 4) ratio, and the post-merge symbol vocabulary —
+    // completing learn→apply for the tokenizer story (l12 applies a FIXED
+    // pre-tokenizer; l53 only learns). See [[TextAnalysis.bpeApply]] for
+    // the vocab-contraction scale argument (one corpus read; merges are
+    // narrow codegen'd replaces over the word table; rollups are
+    // vocabulary-bounded).
+    "l56_bpe_apply" -> ((s, d) => TextAnalysis.bpeApply(docs(s, d), 3)),
 
     // L15 — deterministic dataset split assignment: every doc lands in
     // train/val/test (8/1/1) via a pure multiplicative hash of doc_id —
@@ -1836,6 +1884,84 @@ object LlmQueries {
          |SELECT query_id, rank, neighbor_id, sim FROM ranked WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
 
+    // Replays BOTH sides of the recall verdict: the l5e fixed-256 IVF-PQ
+    // chain at nprobe = 16 / shortlist 80 (production search widths) and
+    // brute-force top-5, then counts the intersection over the query set.
+    "l5f_ann_recall" ->
+      s"""WITH e AS (SELECT vec_id,
+         |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS a
+         |           FROM embeddings),
+         |coarse AS (SELECT vec_id AS cid, a AS cent FROM e
+         |           WHERE vec_id % 50 = 0 AND vec_id < 12800),
+         |assigned AS (
+         |  SELECT vec_id, ncid FROM (
+         |    SELECT e.vec_id, c.cid AS ncid,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${duckCosine("e.a", "c.cent")} DESC, c.cid ASC) AS arn
+         |    FROM e, coarse c) WHERE arn = 1),
+         |js AS (SELECT unnest(range(0, 8)) AS j),
+         |cents AS (
+         |  SELECT js.j, e.vec_id AS cid, e.a[js.j*8+1 : js.j*8+8] AS cent
+         |  FROM e, js WHERE e.vec_id % 50 = 0 AND e.vec_id < 12800),
+         |vs AS (SELECT e.vec_id, js.j, e.a[js.j*8+1 : js.j*8+8] AS sv FROM e, js),
+         |enc AS (
+         |  SELECT vec_id, j, cid FROM (
+         |    SELECT vs.vec_id, vs.j, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY vs.vec_id, vs.j ORDER BY
+         |        ROUND(list_reduce(list_prepend(0.0,
+         |          list_transform(range(1, 9),
+         |                         i -> (vs.sv[i] - c.cent[i]) * (vs.sv[i] - c.cent[i]))),
+         |          (acc, v) -> acc + v), 4) ASC, c.cid ASC) AS ern
+         |    FROM vs JOIN cents c ON vs.j = c.j) WHERE ern = 1),
+         |recon AS (
+         |  SELECT enc.vec_id, flatten(list(c.cent ORDER BY enc.j)) AS re
+         |  FROM enc JOIN cents c ON enc.j = c.j AND enc.cid = c.cid
+         |  GROUP BY enc.vec_id),
+         |probes AS (
+         |  SELECT query_id, qe, cid FROM (
+         |    SELECT q.vec_id AS query_id, q.a AS qe, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${duckCosine("q.a", "c.cent")} DESC, c.cid ASC) AS prn
+         |    FROM e q, coarse c WHERE q.vec_id <= 9) WHERE prn <= 16),
+         |short AS (
+         |  SELECT query_id, qe, neighbor_id FROM (
+         |    SELECT p.query_id, p.qe, r.vec_id AS neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY
+         |        ${duckCosine("p.qe", "r.re")} DESC, r.vec_id ASC) AS srn
+         |    FROM probes p
+         |    JOIN assigned s ON p.cid = s.ncid
+         |    JOIN recon r ON r.vec_id = s.vec_id
+         |    WHERE s.vec_id != p.query_id)
+         |  WHERE srn <= 80),
+         |approx AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id
+         |                         ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |    FROM (SELECT s.query_id, s.neighbor_id,
+         |            ${duckCosine("s.qe", "c.a")} AS sim
+         |          FROM short s JOIN e c ON s.neighbor_id = c.vec_id))
+         |  WHERE rank <= 5),
+         |exact AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id
+         |                         ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |    FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |            ${duckCosine("q.a", "c.a")} AS sim
+         |          FROM e q JOIN e c ON q.vec_id <= 9 AND c.vec_id != q.vec_id))
+         |  WHERE rank <= 5),
+         |hits AS (
+         |  SELECT CAST(COUNT(DISTINCT x.query_id) AS BIGINT) AS n_queries,
+         |         CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits
+         |  FROM exact x LEFT JOIN approx a
+         |    ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id)
+         |SELECT n_queries, CAST(5 AS BIGINT) AS k, n_hits,
+         |  ${Q.duckRound4Ratio("n_hits", "50")} AS recall,
+         |  CAST(0.5 AS DOUBLE) AS recall_floor,
+         |  ${Q.duckRound4Ratio("n_hits", "50")} >= 0.5 AS within_band
+         |FROM hits""".stripMargin,
+
     "l6_label_centroids" ->
       s"""WITH e AS (
          |  SELECT label,
@@ -2307,6 +2433,89 @@ object LlmQueries {
         |  UNION ALL SELECT 2, a, b, a||b, cnt FROM b2
         |  UNION ALL SELECT 3, a, b, a||b, cnt FROM b3)
         |ORDER BY round""".stripMargin,
+
+    // Replays l53's 3 learn rounds (corpus-wide word contraction — the
+    // per-lang table re-grouped by seq, a word↔seq bijection) then APPLIES
+    // the 3 winning merges to the per-language word table with the same
+    // left-to-right replace, and rolls up words / base symbols / tokens /
+    // distinct post-merge symbols per language.
+    "l56_bpe_apply" ->
+      """WITH wl AS (
+        |  SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+        |    SELECT lang, unnest(list_filter(string_split(lower(text), ' '),
+        |                                    t -> t <> '')) AS word
+        |    FROM documents)
+        |  WHERE NOT contains(word, chr(31))
+        |  GROUP BY 1, 2),
+        |s1 AS (SELECT regexp_replace(word, '(?s)(.)',
+        |                             chr(31) || '\1' || chr(31), 'g') AS seq,
+        |              CAST(SUM(freq) AS BIGINT) AS freq
+        |       FROM wl GROUP BY 1),
+        |l1 AS (SELECT string_split(trim(seq, chr(31)), chr(31) || chr(31)) AS l,
+        |              freq FROM s1),
+        |p1 AS (SELECT p.a AS a, p.b AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+        |       FROM (SELECT unnest(list_transform(range(1, len(l)),
+        |                      i -> {'a': l[i], 'b': l[i+1]})) AS p, freq
+        |             FROM l1)
+        |       GROUP BY 1, 2),
+        |b1 AS (SELECT a, b FROM p1 ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+        |s2 AS (SELECT replace(seq,
+        |                chr(31)||a||chr(31)||chr(31)||b||chr(31),
+        |                chr(31)||a||b||chr(31)) AS seq, freq FROM s1, b1),
+        |l2 AS (SELECT string_split(trim(seq, chr(31)), chr(31) || chr(31)) AS l,
+        |              freq FROM s2),
+        |p2 AS (SELECT p.a AS a, p.b AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+        |       FROM (SELECT unnest(list_transform(range(1, len(l)),
+        |                      i -> {'a': l[i], 'b': l[i+1]})) AS p, freq
+        |             FROM l2)
+        |       GROUP BY 1, 2),
+        |b2 AS (SELECT a, b FROM p2 ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+        |s3 AS (SELECT replace(seq,
+        |                chr(31)||a||chr(31)||chr(31)||b||chr(31),
+        |                chr(31)||a||b||chr(31)) AS seq, freq FROM s2, b2),
+        |l3 AS (SELECT string_split(trim(seq, chr(31)), chr(31) || chr(31)) AS l,
+        |              freq FROM s3),
+        |p3 AS (SELECT p.a AS a, p.b AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+        |       FROM (SELECT unnest(list_transform(range(1, len(l)),
+        |                      i -> {'a': l[i], 'b': l[i+1]})) AS p, freq
+        |             FROM l3)
+        |       GROUP BY 1, 2),
+        |b3 AS (SELECT a, b FROM p3 ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+        |a0 AS (SELECT lang,
+        |              regexp_replace(word, '(?s)(.)',
+        |                             chr(31) || '\1' || chr(31), 'g') AS seq,
+        |              freq FROM wl),
+        |n0 AS (SELECT lang, seq, freq,
+        |              CAST(len(string_split(trim(seq, chr(31)),
+        |                                    chr(31)||chr(31))) AS BIGINT) AS n_pre
+        |       FROM a0),
+        |a1 AS (SELECT lang, replace(seq,
+        |                chr(31)||a||chr(31)||chr(31)||b||chr(31),
+        |                chr(31)||a||b||chr(31)) AS seq, freq, n_pre FROM n0, b1),
+        |a2 AS (SELECT lang, replace(seq,
+        |                chr(31)||a||chr(31)||chr(31)||b||chr(31),
+        |                chr(31)||a||b||chr(31)) AS seq, freq, n_pre FROM a1, b2),
+        |a3 AS (SELECT lang, replace(seq,
+        |                chr(31)||a||chr(31)||chr(31)||b||chr(31),
+        |                chr(31)||a||b||chr(31)) AS seq, freq, n_pre FROM a2, b3),
+        |e AS (SELECT lang, freq, n_pre,
+        |             CAST(len(string_split(trim(seq, chr(31)),
+        |                                   chr(31)||chr(31))) AS BIGINT) AS n_post
+        |      FROM a3),
+        |st AS (SELECT lang, CAST(SUM(freq) AS BIGINT) AS n_words,
+        |              CAST(SUM(freq * n_pre) AS BIGINT) AS n_base,
+        |              CAST(SUM(freq * n_post) AS BIGINT) AS n_tokens
+        |       FROM e GROUP BY 1),
+        |v AS (SELECT lang, CAST(COUNT(DISTINCT sym) AS BIGINT) AS vocab_size
+        |      FROM (SELECT lang, unnest(string_split(trim(seq, chr(31)),
+        |                                             chr(31)||chr(31))) AS sym
+        |            FROM a3)
+        |      GROUP BY 1)
+        |SELECT st.lang, n_words, n_base, n_tokens, vocab_size,
+        |  ((20000 * CAST(n_tokens AS HUGEINT) + n_base)
+        |   // (2 * CAST(n_base AS HUGEINT))) / 10000.0 AS compression
+        |FROM st JOIN v ON st.lang IS NOT DISTINCT FROM v.lang
+        |ORDER BY 1""".stripMargin,
 
     // The oracle replays the budget fill with the naive per-lang window
     // (affordable at sf); arg_max is tie-free because cum_before is

@@ -15,48 +15,40 @@ object TextAnalysis {
   /** Deterministic stopword set for the ratio feature. */
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to")
 
-  /** L53 core — distributed BPE merge-round induction (Sennrich et al.
-    * 2016): the first `rounds` byte-pair-encoding merges learned from the
-    * corpus, each round reporting the winning adjacent-symbol pair, the
-    * merged symbol, and its frequency-weighted count.
-    *
-    * Built on the WORD-FREQUENCY CONTRACTION every production BPE trainer
-    * uses: the corpus collapses once into (word, freq) — vocabulary-sized,
-    * not corpus-sized — and all subsequent rounds run over that table, so
-    * at 100 TB the per-round cost is one vocab-sized hash aggregate on
-    * (a, b) partial counts (map-side combined) plus a map-only merge
-    * rewrite; the corpus is read exactly once. Rounds are inherently
-    * sequential (each merge redefines the pair distribution — the BPE
-    * contract), and per-round driver traffic is ONE row (the argmax pair,
-    * a TakeOrdered(1), never a whole-distribution collect).
-    *
-    * Symbol sequences are kept as strings with each symbol wrapped in a
-    * US (0x1f) sentinel pair — `⟨us⟩sym⟨us⟩` — so a merge of (a, b) is one
-    * literal `replace(seq, ⟨us⟩a⟨us⟩⟨us⟩b⟨us⟩ → ⟨us⟩ab⟨us⟩)`: standard
-    * left-to-right non-overlapping string replace IS BPE's greedy-left
-    * merge ("aaa" under merge (a,a) → [aa, a]), and Spark and DuckDB
-    * implement the identical semantics, which keeps the oracle exact.
-    * Ties in the argmax break lexicographically on (a, b); counts are
-    * integers — deterministic cross-engine.
+  /** Sentinel for BPE symbol framing (US, 0x1f). */
+  private val BpeS = "\u001f"
+
+  /** Corpus → the BPE trainer's word-frequency contraction, grouped by
+    * `extraKeys` (empty for the corpus-wide learn table; `lang` for the
+    * per-language apply table): each word's initial symbol sequence is
+    * every codepoint wrapped in US sentinels ((?s): dot must also take any
+    * newline a whitespace-split token can still contain).
     */
-  def bpeMerges(docs: DataFrame, rounds: Int = 3): DataFrame = {
-    val spark = docs.sparkSession
-    val S = "\u001f"
-    // Corpus → (word, freq), then each word's initial symbol sequence:
-    // every codepoint wrapped in sentinels ((?s): dot must also take any
-    // newline a whitespace-split token can still contain).
-    val words = docs
-      .select(explode(graft.functions.TextFunctions.tokens("lower(text)"))
-        .as("word"))
-      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+  private def bpeWordSeqs(docs: DataFrame, extraKeys: Seq[String]): DataFrame = {
+    val S = BpeS
+    val keys = extraKeys.map(col)
+    docs
+      .select(keys :+ explode(graft.functions.TextFunctions
+        .tokens("lower(text)")).as("word"): _*)
+      .groupBy(keys :+ col("word"): _*).agg(count(lit(1)).as("freq"))
       // A token carrying the sentinel itself would corrupt the framing
       // (⟨us⟩ inside a symbol mis-segments the split) — excluded by
       // contract, identically in the oracle. Real tokenizer trainers
       // strip control characters in exactly this normalization step.
       .filter(!col("word").contains(S))
-      .select(regexp_replace(col("word"), "(?s)(.)", s"$S$$1$S").as("seq"),
-              col("freq"))
-      .localCheckpoint(true) // the single corpus read; rounds are vocab-sized
+      .select(keys ++ Seq(
+        regexp_replace(col("word"), "(?s)(.)", s"$S$$1$S").as("seq"),
+        col("freq")): _*)
+  }
+
+  /** The merge-round learn loop over a (seq, freq) word table: each round
+    * aggregates adjacent-pair counts (vocab-sized, map-side combined),
+    * takes ONE argmax row to the driver, and rewrites the table with the
+    * winning merge. Returns (round, lhs, rhs, merged, pair_count) rows.
+    */
+  private def learnMerges(words: DataFrame,
+                          rounds: Int): Seq[(Long, String, String, String, Long)] = {
+    val S = BpeS
     val out = Seq.newBuilder[(Long, String, String, String, Long)]
     var cur = words
     var r = 1
@@ -89,9 +81,88 @@ object TextAnalysis {
         r += 1
       }
     }
+    out.result()
+  }
+
+  /** L53 core — distributed BPE merge-round induction (Sennrich et al.
+    * 2016): the first `rounds` byte-pair-encoding merges learned from the
+    * corpus, each round reporting the winning adjacent-symbol pair, the
+    * merged symbol, and its frequency-weighted count.
+    *
+    * Built on the WORD-FREQUENCY CONTRACTION every production BPE trainer
+    * uses: the corpus collapses once into (word, freq) — vocabulary-sized,
+    * not corpus-sized — and all subsequent rounds run over that table, so
+    * at 100 TB the per-round cost is one vocab-sized hash aggregate on
+    * (a, b) partial counts (map-side combined) plus a map-only merge
+    * rewrite; the corpus is read exactly once. Rounds are inherently
+    * sequential (each merge redefines the pair distribution — the BPE
+    * contract), and per-round driver traffic is ONE row (the argmax pair,
+    * a TakeOrdered(1), never a whole-distribution collect).
+    *
+    * Symbol sequences are kept as strings with each symbol wrapped in a
+    * US (0x1f) sentinel pair — `⟨us⟩sym⟨us⟩` — so a merge of (a, b) is one
+    * literal `replace(seq, ⟨us⟩a⟨us⟩⟨us⟩b⟨us⟩ → ⟨us⟩ab⟨us⟩)`: standard
+    * left-to-right non-overlapping string replace IS BPE's greedy-left
+    * merge ("aaa" under merge (a,a) → [aa, a]), and Spark and DuckDB
+    * implement the identical semantics, which keeps the oracle exact.
+    * Ties in the argmax break lexicographically on (a, b); counts are
+    * integers — deterministic cross-engine.
+    */
+  def bpeMerges(docs: DataFrame, rounds: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    val words = bpeWordSeqs(docs, Seq.empty)
+      .localCheckpoint(true) // the single corpus read; rounds are vocab-sized
     import spark.implicits._
-    out.result().toDF("round", "lhs", "rhs", "merged", "pair_count")
+    learnMerges(words, rounds)
+      .toDF("round", "lhs", "rhs", "merged", "pair_count")
       .orderBy("round")
+  }
+
+  /** L56 core — BPE APPLICATION (Sennrich et al. 2016 §3, the encode side
+    * of [[bpeMerges]]'s learn side): encode the corpus with the first
+    * `rounds` merges learned from it and report per-language compression —
+    * words, base symbols (codepoints), post-merge tokens, the ROUND(tokens
+    * / base, 4) compression ratio, and the post-merge symbol vocabulary
+    * size. The "how well does the learned vocabulary compress each
+    * language" readout a tokenizer-training pipeline checks before
+    * committing to a merge table.
+    *
+    * Scale shape: ONE corpus read builds the (lang, word, freq)
+    * contraction (vocabulary-sized per language, checkpointed — tiny at
+    * any corpus scale, the l53 contract); the corpus-wide learn table is a
+    * further contraction of it (`groupBy(seq)` — word↔seq is a bijection,
+    * so the pair statistics equal l53's exactly); each learned merge
+    * applies as one narrow codegen'd `replace` over the word table
+    * (greedy-left by the sentinel-string contract — see [[bpeMerges]]);
+    * the rollups are one weighted aggregate plus one distinct-symbol
+    * aggregate, both vocabulary-bounded. Driver traffic stays ONE argmax
+    * row per round.
+    */
+  def bpeApply(docs: DataFrame, rounds: Int = 3): DataFrame = {
+    val S = BpeS
+    val syms = (c: org.apache.spark.sql.Column) => split(trim(c, S), s"$S$S")
+    val wl = bpeWordSeqs(docs, Seq("lang"))
+      .withColumn("n_pre", size(syms(col("seq"))).cast("long"))
+      .localCheckpoint(true) // the single corpus read; all else vocab-sized
+    val corpusWords = wl.groupBy(col("seq")).agg(sum(col("freq")).as("freq"))
+    val merges = learnMerges(corpusWords, rounds)
+    val encoded = merges.foldLeft(wl) { case (acc, (_, a, b, _, _)) =>
+      acc.withColumn("seq",
+        replace(col("seq"), lit(s"$S$a$S$S$b$S"), lit(s"$S$a$b$S")))
+    }.withColumn("n_post", size(syms(col("seq"))).cast("long"))
+    val stats = encoded.groupBy(col("lang"))
+      .agg(sum(col("freq")).as("n_words"),
+           sum(col("freq") * col("n_pre")).as("n_base"),
+           sum(col("freq") * col("n_post")).as("n_tokens"))
+    val vocab = encoded
+      .select(col("lang").as("_vlang"), explode(syms(col("seq"))).as("sym"))
+      .groupBy(col("_vlang"))
+      .agg(countDistinct(col("sym")).as("vocab_size"))
+    stats.join(vocab, col("lang") <=> col("_vlang"))
+      .select(col("lang"), col("n_words"), col("n_base"), col("n_tokens"),
+              col("vocab_size"),
+              Q.round4Ratio(col("n_tokens"), col("n_base")).as("compression"))
+      .orderBy("lang")
   }
 
   /** L43 core — per-source intra-document trigram repetition rollup (the

@@ -599,6 +599,50 @@ class LlmSpec extends SparkSpec {
                        (3L, "aa", "ab", "aaab", 3L)), out.toString)
   }
 
+  test("l56 BPE apply: sentinel-replace encode equals a naive per-word encoder") {
+    // The gate encodes via chained sentinel-string replaces; this pins
+    // that contract against an independent plain-Scala greedy-left BPE
+    // encoder (scan the symbol list left-to-right, merging non-overlapping
+    // adjacent (a,b) occurrences, one learned merge at a time) over the
+    // REAL sf0.001 corpus: per-language word/base/token counts and the
+    // post-merge vocabulary must agree exactly.
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val merges = graft.operators.TextAnalysis.bpeMerges(docs, 3).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    def encode(word: String): Vector[String] = {
+      var syms = word.map(_.toString).toVector
+      for ((a, b) <- merges) {
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.result()
+      }
+      syms
+    }
+    val rows = docs.select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val words = rows.flatMap { case (lang, text) =>
+      text.toLowerCase.split(" ").filter(_.nonEmpty)
+        .filterNot(_.contains('\u001f')).map(w => (lang, w))
+    }
+    val naive = words.groupBy(_._1).map { case (lang, ws) =>
+      val encs = ws.map { case (_, w) => (w, encode(w)) }
+      lang -> ((ws.length.toLong,
+                encs.map(_._1.length.toLong).sum,
+                encs.map(_._2.length.toLong).sum,
+                encs.flatMap(_._2).distinct.length.toLong))
+    }
+    val got = SparkEntry.queries("l56_bpe_apply")(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == naive, s"got=$got naive=$naive")
+  }
+
   test("l54 top-bigram mass: concentration fraction, ties, and <2-token docs") {
     // doc 1: "x y x y x y" -> top bigram "x y" x3, mass 3*3=9 of 11 chars
     //        -> round4(9/11) = 0.8182, flagged (> 0.2).
@@ -789,6 +833,23 @@ class LlmSpec extends SparkSpec {
     // pass trivially (advisor r11: a rows>0 assertion pins nothing).
     assert(rows(capped) != rows(SimilarityOps.pqTopK(emb, q, 5)),
       "codebookEntries=4 must quantize differently than the uncapped codebook")
+  }
+
+  test("l5f ANN recall band: the production-width index clears the declared floor") {
+    // The band gate's teeth (r13 verdict item 4): the oracle replays both
+    // pipelines so the VALUES always hash-match, which means a genuine
+    // quality regression would pass the hash gate with within_band=false
+    // in both engines. This assertion is what actually fails the build —
+    // at the sf0.01 gate scale (where the band was measured: recall@5
+    // 0.78 against the 0.5 floor) the verdict row must say TRUE.
+    val out = SparkEntry.queries("l5f_ann_recall")(
+      spark, "/root/testdata/sf0.01").collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getAs[Long]("n_queries") == 10L)
+    assert(r.getAs[Boolean]("within_band"),
+      s"ANN recall@5 ${r.getAs[Double]("recall")} fell below the declared " +
+        s"${r.getAs[Double]("recall_floor")} floor")
   }
 
   test("l5c/l5d ADC shortlists two-stage: the corpus-wide window is pre-cut per partition") {
