@@ -34,12 +34,13 @@ import org.apache.spark.sql.types.{DataType, IntegerType}
   * broadcast constants, nothing is materialized, and lineage stays intact
   * for fault recovery.
   *
-  * The comparison itself delegates to `RowOrdering.create` over bound
-  * references — Spark's own codegen'd row ordering (interpreted fallback
-  * included), so every orderable type, direction, and null-ordering
-  * combination behaves exactly as the equivalent `ORDER BY`. `eval` and
-  * the generated code share one ordering instance via a codegen reference
-  * object; the generated binary search stays inside whole-stage codegen.
+  * The comparison itself delegates to a `LazilyGeneratedOrdering` over
+  * bound references — Spark's own codegen'd row ordering (serializable:
+  * it ships its SortOrder spec and regenerates on the executor), so every
+  * orderable type, direction, and null-ordering combination behaves
+  * exactly as the equivalent `ORDER BY`. `eval` and the generated code
+  * share one ordering instance via a codegen reference object; the
+  * generated binary search stays inside whole-stage codegen.
   *
   * No counterpart in the reference (its only partitioner is the
   * round-robin HTTP fan-out, `orchestrator/main.py:84-146`).

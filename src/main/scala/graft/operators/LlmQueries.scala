@@ -224,7 +224,10 @@ object LlmQueries {
                                            shortlistFactor = 16,
                                            codebookEntries = 256)
         .select(col("query_id").as("_aq"), col("neighbor_id").as("_an"))
-      val rec = Q.round4Ratio(count(col("_an")), lit(50L))
+      // recall = hits / EXACT rows (counted, not assumed n_queries·k):
+      // a fixture where some query has < k exact neighbors keeps the
+      // verdict row self-consistent instead of silently understating.
+      val rec = Q.round4Ratio(count(col("_an")), count(lit(1)))
       exact.join(broadcast(approx),
           col("query_id") === col("_aq") && col("neighbor_id") === col("_an"),
           "left")
@@ -407,9 +410,11 @@ object LlmQueries {
     // position lands in (64 docs/shard) — the curriculum-ordering /
     // deterministic-shard-writer primitive. The naive plan is a
     // no-PARTITION row_number window = ONE task sorting the corpus;
-    // [[OrderOps.globalOrder]] replaces it with range partitioning + a
-    // P-row offset prefix-sum + per-partition local ranks (see its
-    // Scaladoc for the 100 TB argument). Result is sampler-boundary-
+    // [[OrderOps.globalOrder]] replaces it with deterministic range
+    // buckets (driver-collected sampled boundaries baked into a
+    // binary-search expression — round 14; no materialization, lineage
+    // intact) + a B-row offset prefix-sum + per-bucket local ranks (see
+    // its Scaladoc for the 100 TB argument). Result is sampler-boundary-
     // independent because the sort key is total.
     "l51_global_order" -> { (s, d) =>
       OrderOps.globalOrder(
@@ -470,6 +475,12 @@ object LlmQueries {
     // No cross-doc join: per-doc explode + two hash aggregates (the argmax
     // is a min(struct) agg, not a window), embarrassingly parallel at any
     // corpus size; docs with < 2 tokens carry frac 0 via the left join.
+    // Mass convention (ADVICE r13): cnt·len(top_gram)/n_chars counts every
+    // occurrence's characters in full, so OVERLAPPING occurrences ("a a a"
+    // under top gram "a a": 2·3 = 6 of 5 chars) are double-counted and
+    // frac can exceed 1.0 — the standard Gopher-filter arithmetic (count ×
+    // gram length, no overlap discount), replayed identically by the
+    // oracle; the > 0.2 flag and max_frac read the same on both engines.
     "l54_topgram_mass" -> { (s, d) =>
       val dd = docs(s, d)
       val top = dd
@@ -1390,6 +1401,107 @@ object LlmQueries {
   private def duckCosine(a: String, b: String): String =
     s"ROUND(${duckDot(a, b)} / (sqrt(${duckNormSq(a)}) * sqrt(${duckNormSq(b)})), 4)"
 
+  /** The l5d/l5e/l5f IVF-PQ replay — coarse assignment, subspace encode,
+    * reconstruction, probe list, ADC shortlist, exact re-rank — as ONE
+    * parameterized template (donor-cap predicate + search widths), so the
+    * three gates' oracles cannot silently diverge from each other when
+    * the index pipeline changes (r14 self-review finding: three verbatim
+    * copies of a determinism-critical chain). Expects a CTE `e(vec_id, a)`
+    * in scope; ends with `ranked(query_id, neighbor_id, sim, rank)`.
+    * Returns margin-stripped text for embedding in a `|`-margined literal.
+    */
+  private def duckIvfPqChain(capPred: String, nprobe: Int,
+                             shortlist: Int): String =
+    s"""coarse AS (SELECT vec_id AS cid, a AS cent FROM e
+       |           WHERE vec_id % 50 = 0$capPred),
+       |assigned AS (
+       |  SELECT vec_id, ncid FROM (
+       |    SELECT e.vec_id, c.cid AS ncid,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${duckCosine("e.a", "c.cent")} DESC, c.cid ASC) AS arn
+       |    FROM e, coarse c) WHERE arn = 1),
+       |js AS (SELECT unnest(range(0, 8)) AS j),
+       |cents AS (
+       |  SELECT js.j, e.vec_id AS cid, e.a[js.j*8+1 : js.j*8+8] AS cent
+       |  FROM e, js WHERE e.vec_id % 50 = 0$capPred),
+       |vs AS (SELECT e.vec_id, js.j, e.a[js.j*8+1 : js.j*8+8] AS sv FROM e, js),
+       |enc AS (
+       |  SELECT vec_id, j, cid FROM (
+       |    SELECT vs.vec_id, vs.j, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vs.vec_id, vs.j ORDER BY
+       |        ROUND(list_reduce(list_prepend(0.0,
+       |          list_transform(range(1, 9),
+       |                         i -> (vs.sv[i] - c.cent[i]) * (vs.sv[i] - c.cent[i]))),
+       |          (acc, v) -> acc + v), 4) ASC, c.cid ASC) AS ern
+       |    FROM vs JOIN cents c ON vs.j = c.j) WHERE ern = 1),
+       |recon AS (
+       |  SELECT enc.vec_id, flatten(list(c.cent ORDER BY enc.j)) AS re
+       |  FROM enc JOIN cents c ON enc.j = c.j AND enc.cid = c.cid
+       |  GROUP BY enc.vec_id),
+       |probes AS (
+       |  SELECT query_id, qe, cid FROM (
+       |    SELECT q.vec_id AS query_id, q.a AS qe, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${duckCosine("q.a", "c.cent")} DESC, c.cid ASC) AS prn
+       |    FROM e q, coarse c WHERE q.vec_id <= 9) WHERE prn <= $nprobe),
+       |short AS (
+       |  SELECT query_id, qe, neighbor_id FROM (
+       |    SELECT p.query_id, p.qe, r.vec_id AS neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY
+       |        ${duckCosine("p.qe", "r.re")} DESC, r.vec_id ASC) AS srn
+       |    FROM probes p
+       |    JOIN assigned s ON p.cid = s.ncid
+       |    JOIN recon r ON r.vec_id = s.vec_id
+       |    WHERE s.vec_id != p.query_id)
+       |  WHERE srn <= $shortlist),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |                       ORDER BY sim DESC, neighbor_id ASC) AS rank
+       |  FROM (SELECT s.query_id, s.neighbor_id,
+       |          ${duckCosine("s.qe", "c.a")} AS sim
+       |        FROM short s JOIN e c ON s.neighbor_id = c.vec_id))""".stripMargin
+
+  /** One BPE learn round of the l53/l56 oracle replay — pair explode,
+    * frequency aggregate, (cnt DESC, a, b) argmax, and optionally the
+    * next round's merged sequence table — as one template, so the learn
+    * chains of the two gates cannot silently diverge (r14 self-review).
+    * `withCnt` keeps the count column in bR (l53 reports it); `fallback`
+    * substitutes a NO-OP merge (chr(31), chr(31) — the sentinel can never
+    * be a symbol, so its replace never matches) when no pair exists, which
+    * keeps l56's downstream cross-join apply chain populated on an
+    * exhausted learn, matching the Spark side's early-exit behavior.
+    * Returns margin-stripped text ending in a comma iff `emitNext`.
+    */
+  private def duckBpeRound(r: Int, withCnt: Boolean, fallback: Boolean,
+                           emitNext: Boolean): String = {
+    val cnt = if (withCnt) ", cnt" else ""
+    val b =
+      if (fallback)
+        s"""b$r AS (SELECT a, b$cnt FROM (SELECT a, b$cnt FROM p$r
+           |            ORDER BY cnt DESC, a ASC, b ASC LIMIT 1)
+           |       UNION ALL
+           |       SELECT chr(31), chr(31)${if (withCnt) ", 0" else ""}
+           |       WHERE NOT EXISTS (SELECT 1 FROM p$r))""".stripMargin
+      else
+        s"b$r AS (SELECT a, b$cnt FROM p$r ORDER BY cnt DESC, a ASC, b ASC LIMIT 1)"
+    val next =
+      if (emitNext)
+        s""",
+           |s${r + 1} AS (SELECT replace(seq,
+           |                chr(31)||a||chr(31)||chr(31)||b||chr(31),
+           |                chr(31)||a||b||chr(31)) AS seq, freq FROM s$r, b$r),""".stripMargin
+      else ""
+    s"""l$r AS (SELECT string_split(trim(seq, chr(31)), chr(31) || chr(31)) AS l,
+       |              freq FROM s$r),
+       |p$r AS (SELECT p.a AS a, p.b AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+       |       FROM (SELECT unnest(list_transform(range(1, len(l)),
+       |                      i -> {'a': l[i], 'b': l[i+1]})) AS p, freq
+       |             FROM l$r)
+       |       GROUP BY 1, 2),
+       |$b""".stripMargin + next
+  }
+
   /** The l40/l41 k-means replay: fp quantization, 2 Lloyd rounds from the
     * k-smallest-id seeds, exact integer distances (list lambdas), floor-
     * division means, (dist, cid) argmin windows — step-for-step the
@@ -1772,54 +1884,7 @@ object LlmQueries {
       s"""WITH e AS (SELECT vec_id,
          |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS a
          |           FROM embeddings),
-         |coarse AS (SELECT vec_id AS cid, a AS cent FROM e WHERE vec_id % 50 = 0),
-         |assigned AS (
-         |  SELECT vec_id, ncid FROM (
-         |    SELECT e.vec_id, c.cid AS ncid,
-         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${duckCosine("e.a", "c.cent")} DESC, c.cid ASC) AS arn
-         |    FROM e, coarse c) WHERE arn = 1),
-         |js AS (SELECT unnest(range(0, 8)) AS j),
-         |cents AS (
-         |  SELECT js.j, e.vec_id AS cid, e.a[js.j*8+1 : js.j*8+8] AS cent
-         |  FROM e, js WHERE e.vec_id % 50 = 0),
-         |vs AS (SELECT e.vec_id, js.j, e.a[js.j*8+1 : js.j*8+8] AS sv FROM e, js),
-         |enc AS (
-         |  SELECT vec_id, j, cid FROM (
-         |    SELECT vs.vec_id, vs.j, c.cid,
-         |      ROW_NUMBER() OVER (PARTITION BY vs.vec_id, vs.j ORDER BY
-         |        ROUND(list_reduce(list_prepend(0.0,
-         |          list_transform(range(1, 9),
-         |                         i -> (vs.sv[i] - c.cent[i]) * (vs.sv[i] - c.cent[i]))),
-         |          (acc, v) -> acc + v), 4) ASC, c.cid ASC) AS ern
-         |    FROM vs JOIN cents c ON vs.j = c.j) WHERE ern = 1),
-         |recon AS (
-         |  SELECT enc.vec_id, flatten(list(c.cent ORDER BY enc.j)) AS re
-         |  FROM enc JOIN cents c ON enc.j = c.j AND enc.cid = c.cid
-         |  GROUP BY enc.vec_id),
-         |probes AS (
-         |  SELECT query_id, qe, cid FROM (
-         |    SELECT q.vec_id AS query_id, q.a AS qe, c.cid,
-         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
-         |        ORDER BY ${duckCosine("q.a", "c.cent")} DESC, c.cid ASC) AS prn
-         |    FROM e q, coarse c WHERE q.vec_id <= 9) WHERE prn <= 2),
-         |short AS (
-         |  SELECT query_id, qe, neighbor_id FROM (
-         |    SELECT p.query_id, p.qe, r.vec_id AS neighbor_id,
-         |      ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY
-         |        ${duckCosine("p.qe", "r.re")} DESC, r.vec_id ASC) AS srn
-         |    FROM probes p
-         |    JOIN assigned s ON p.cid = s.ncid
-         |    JOIN recon r ON r.vec_id = s.vec_id
-         |    WHERE s.vec_id != p.query_id)
-         |  WHERE srn <= 20),
-         |ranked AS (
-         |  SELECT query_id, neighbor_id, sim,
-         |    ROW_NUMBER() OVER (PARTITION BY query_id
-         |                       ORDER BY sim DESC, neighbor_id ASC) AS rank
-         |  FROM (SELECT s.query_id, s.neighbor_id,
-         |          ${duckCosine("s.qe", "c.a")} AS sim
-         |        FROM short s JOIN e c ON s.neighbor_id = c.vec_id))
+         |${duckIvfPqChain("", nprobe = 2, shortlist = 20)}
          |SELECT query_id, rank, neighbor_id, sim FROM ranked WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
 
@@ -1832,55 +1897,7 @@ object LlmQueries {
       s"""WITH e AS (SELECT vec_id,
          |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS a
          |           FROM embeddings),
-         |coarse AS (SELECT vec_id AS cid, a AS cent FROM e
-         |           WHERE vec_id % 50 = 0 AND vec_id < 12800),
-         |assigned AS (
-         |  SELECT vec_id, ncid FROM (
-         |    SELECT e.vec_id, c.cid AS ncid,
-         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${duckCosine("e.a", "c.cent")} DESC, c.cid ASC) AS arn
-         |    FROM e, coarse c) WHERE arn = 1),
-         |js AS (SELECT unnest(range(0, 8)) AS j),
-         |cents AS (
-         |  SELECT js.j, e.vec_id AS cid, e.a[js.j*8+1 : js.j*8+8] AS cent
-         |  FROM e, js WHERE e.vec_id % 50 = 0 AND e.vec_id < 12800),
-         |vs AS (SELECT e.vec_id, js.j, e.a[js.j*8+1 : js.j*8+8] AS sv FROM e, js),
-         |enc AS (
-         |  SELECT vec_id, j, cid FROM (
-         |    SELECT vs.vec_id, vs.j, c.cid,
-         |      ROW_NUMBER() OVER (PARTITION BY vs.vec_id, vs.j ORDER BY
-         |        ROUND(list_reduce(list_prepend(0.0,
-         |          list_transform(range(1, 9),
-         |                         i -> (vs.sv[i] - c.cent[i]) * (vs.sv[i] - c.cent[i]))),
-         |          (acc, v) -> acc + v), 4) ASC, c.cid ASC) AS ern
-         |    FROM vs JOIN cents c ON vs.j = c.j) WHERE ern = 1),
-         |recon AS (
-         |  SELECT enc.vec_id, flatten(list(c.cent ORDER BY enc.j)) AS re
-         |  FROM enc JOIN cents c ON enc.j = c.j AND enc.cid = c.cid
-         |  GROUP BY enc.vec_id),
-         |probes AS (
-         |  SELECT query_id, qe, cid FROM (
-         |    SELECT q.vec_id AS query_id, q.a AS qe, c.cid,
-         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
-         |        ORDER BY ${duckCosine("q.a", "c.cent")} DESC, c.cid ASC) AS prn
-         |    FROM e q, coarse c WHERE q.vec_id <= 9) WHERE prn <= 2),
-         |short AS (
-         |  SELECT query_id, qe, neighbor_id FROM (
-         |    SELECT p.query_id, p.qe, r.vec_id AS neighbor_id,
-         |      ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY
-         |        ${duckCosine("p.qe", "r.re")} DESC, r.vec_id ASC) AS srn
-         |    FROM probes p
-         |    JOIN assigned s ON p.cid = s.ncid
-         |    JOIN recon r ON r.vec_id = s.vec_id
-         |    WHERE s.vec_id != p.query_id)
-         |  WHERE srn <= 20),
-         |ranked AS (
-         |  SELECT query_id, neighbor_id, sim,
-         |    ROW_NUMBER() OVER (PARTITION BY query_id
-         |                       ORDER BY sim DESC, neighbor_id ASC) AS rank
-         |  FROM (SELECT s.query_id, s.neighbor_id,
-         |          ${duckCosine("s.qe", "c.a")} AS sim
-         |        FROM short s JOIN e c ON s.neighbor_id = c.vec_id))
+         |${duckIvfPqChain(" AND vec_id < 12800", nprobe = 2, shortlist = 20)}
          |SELECT query_id, rank, neighbor_id, sim FROM ranked WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
 
@@ -1891,57 +1908,9 @@ object LlmQueries {
       s"""WITH e AS (SELECT vec_id,
          |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS a
          |           FROM embeddings),
-         |coarse AS (SELECT vec_id AS cid, a AS cent FROM e
-         |           WHERE vec_id % 50 = 0 AND vec_id < 12800),
-         |assigned AS (
-         |  SELECT vec_id, ncid FROM (
-         |    SELECT e.vec_id, c.cid AS ncid,
-         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${duckCosine("e.a", "c.cent")} DESC, c.cid ASC) AS arn
-         |    FROM e, coarse c) WHERE arn = 1),
-         |js AS (SELECT unnest(range(0, 8)) AS j),
-         |cents AS (
-         |  SELECT js.j, e.vec_id AS cid, e.a[js.j*8+1 : js.j*8+8] AS cent
-         |  FROM e, js WHERE e.vec_id % 50 = 0 AND e.vec_id < 12800),
-         |vs AS (SELECT e.vec_id, js.j, e.a[js.j*8+1 : js.j*8+8] AS sv FROM e, js),
-         |enc AS (
-         |  SELECT vec_id, j, cid FROM (
-         |    SELECT vs.vec_id, vs.j, c.cid,
-         |      ROW_NUMBER() OVER (PARTITION BY vs.vec_id, vs.j ORDER BY
-         |        ROUND(list_reduce(list_prepend(0.0,
-         |          list_transform(range(1, 9),
-         |                         i -> (vs.sv[i] - c.cent[i]) * (vs.sv[i] - c.cent[i]))),
-         |          (acc, v) -> acc + v), 4) ASC, c.cid ASC) AS ern
-         |    FROM vs JOIN cents c ON vs.j = c.j) WHERE ern = 1),
-         |recon AS (
-         |  SELECT enc.vec_id, flatten(list(c.cent ORDER BY enc.j)) AS re
-         |  FROM enc JOIN cents c ON enc.j = c.j AND enc.cid = c.cid
-         |  GROUP BY enc.vec_id),
-         |probes AS (
-         |  SELECT query_id, qe, cid FROM (
-         |    SELECT q.vec_id AS query_id, q.a AS qe, c.cid,
-         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
-         |        ORDER BY ${duckCosine("q.a", "c.cent")} DESC, c.cid ASC) AS prn
-         |    FROM e q, coarse c WHERE q.vec_id <= 9) WHERE prn <= 16),
-         |short AS (
-         |  SELECT query_id, qe, neighbor_id FROM (
-         |    SELECT p.query_id, p.qe, r.vec_id AS neighbor_id,
-         |      ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY
-         |        ${duckCosine("p.qe", "r.re")} DESC, r.vec_id ASC) AS srn
-         |    FROM probes p
-         |    JOIN assigned s ON p.cid = s.ncid
-         |    JOIN recon r ON r.vec_id = s.vec_id
-         |    WHERE s.vec_id != p.query_id)
-         |  WHERE srn <= 80),
+         |${duckIvfPqChain(" AND vec_id < 12800", nprobe = 16, shortlist = 80)},
          |approx AS (
-         |  SELECT query_id, neighbor_id FROM (
-         |    SELECT query_id, neighbor_id,
-         |      ROW_NUMBER() OVER (PARTITION BY query_id
-         |                         ORDER BY sim DESC, neighbor_id ASC) AS rank
-         |    FROM (SELECT s.query_id, s.neighbor_id,
-         |            ${duckCosine("s.qe", "c.a")} AS sim
-         |          FROM short s JOIN e c ON s.neighbor_id = c.vec_id))
-         |  WHERE rank <= 5),
+         |  SELECT query_id, neighbor_id FROM ranked WHERE rank <= 5),
          |exact AS (
          |  SELECT query_id, neighbor_id FROM (
          |    SELECT query_id, neighbor_id,
@@ -1953,13 +1922,14 @@ object LlmQueries {
          |  WHERE rank <= 5),
          |hits AS (
          |  SELECT CAST(COUNT(DISTINCT x.query_id) AS BIGINT) AS n_queries,
-         |         CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits
+         |         CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,
+         |         CAST(COUNT(*) AS BIGINT) AS n_exact
          |  FROM exact x LEFT JOIN approx a
          |    ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id)
          |SELECT n_queries, CAST(5 AS BIGINT) AS k, n_hits,
-         |  ${Q.duckRound4Ratio("n_hits", "50")} AS recall,
+         |  ${Q.duckRound4Ratio("n_hits", "n_exact")} AS recall,
          |  CAST(0.5 AS DOUBLE) AS recall_floor,
-         |  ${Q.duckRound4Ratio("n_hits", "50")} >= 0.5 AS within_band
+         |  ${Q.duckRound4Ratio("n_hits", "n_exact")} >= 0.5 AS within_band
          |FROM hits""".stripMargin,
 
     "l6_label_centroids" ->
@@ -2387,135 +2357,86 @@ object LlmQueries {
     // (cnt DESC, a, b) argmax. The inline (?s) keeps '.' newline-safe in
     // both regex engines.
     "l53_bpe_merges" ->
-      """WITH w0 AS (
-        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
-        |    SELECT unnest(list_filter(string_split(lower(text), ' '),
-        |                              t -> t <> '')) AS word
-        |    FROM documents)
-        |  WHERE NOT contains(word, chr(31))
-        |  GROUP BY 1),
-        |s1 AS (SELECT regexp_replace(word, '(?s)(.)',
-        |                             chr(31) || '\1' || chr(31), 'g') AS seq,
-        |              freq FROM w0),
-        |l1 AS (SELECT string_split(trim(seq, chr(31)), chr(31) || chr(31)) AS l,
-        |              freq FROM s1),
-        |p1 AS (SELECT p.a AS a, p.b AS b, CAST(SUM(freq) AS BIGINT) AS cnt
-        |       FROM (SELECT unnest(list_transform(range(1, len(l)),
-        |                      i -> {'a': l[i], 'b': l[i+1]})) AS p, freq
-        |             FROM l1)
-        |       GROUP BY 1, 2),
-        |b1 AS (SELECT a, b, cnt FROM p1 ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
-        |s2 AS (SELECT replace(seq,
-        |                chr(31)||a||chr(31)||chr(31)||b||chr(31),
-        |                chr(31)||a||b||chr(31)) AS seq, freq FROM s1, b1),
-        |l2 AS (SELECT string_split(trim(seq, chr(31)), chr(31) || chr(31)) AS l,
-        |              freq FROM s2),
-        |p2 AS (SELECT p.a AS a, p.b AS b, CAST(SUM(freq) AS BIGINT) AS cnt
-        |       FROM (SELECT unnest(list_transform(range(1, len(l)),
-        |                      i -> {'a': l[i], 'b': l[i+1]})) AS p, freq
-        |             FROM l2)
-        |       GROUP BY 1, 2),
-        |b2 AS (SELECT a, b, cnt FROM p2 ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
-        |s3 AS (SELECT replace(seq,
-        |                chr(31)||a||chr(31)||chr(31)||b||chr(31),
-        |                chr(31)||a||b||chr(31)) AS seq, freq FROM s2, b2),
-        |l3 AS (SELECT string_split(trim(seq, chr(31)), chr(31) || chr(31)) AS l,
-        |              freq FROM s3),
-        |p3 AS (SELECT p.a AS a, p.b AS b, CAST(SUM(freq) AS BIGINT) AS cnt
-        |       FROM (SELECT unnest(list_transform(range(1, len(l)),
-        |                      i -> {'a': l[i], 'b': l[i+1]})) AS p, freq
-        |             FROM l3)
-        |       GROUP BY 1, 2),
-        |b3 AS (SELECT a, b, cnt FROM p3 ORDER BY cnt DESC, a ASC, b ASC LIMIT 1)
-        |SELECT * FROM (
-        |  SELECT CAST(1 AS BIGINT) AS round, a AS lhs, b AS rhs,
-        |         a||b AS merged, cnt AS pair_count FROM b1
-        |  UNION ALL SELECT 2, a, b, a||b, cnt FROM b2
-        |  UNION ALL SELECT 3, a, b, a||b, cnt FROM b3)
-        |ORDER BY round""".stripMargin,
+      s"""WITH w0 AS (
+         |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+         |    SELECT unnest(list_filter(string_split(lower(text), ' '),
+         |                              t -> t <> '')) AS word
+         |    FROM documents)
+         |  WHERE NOT contains(word, chr(31))
+         |  GROUP BY 1),
+         |s1 AS (SELECT regexp_replace(word, '(?s)(.)',
+         |                             chr(31) || '\\1' || chr(31), 'g') AS seq,
+         |              freq FROM w0),
+         |${duckBpeRound(1, withCnt = true, fallback = false, emitNext = true)}
+         |${duckBpeRound(2, withCnt = true, fallback = false, emitNext = true)}
+         |${duckBpeRound(3, withCnt = true, fallback = false, emitNext = false)}
+         |SELECT * FROM (
+         |  SELECT CAST(1 AS BIGINT) AS round, a AS lhs, b AS rhs,
+         |         a||b AS merged, cnt AS pair_count FROM b1
+         |  UNION ALL SELECT 2, a, b, a||b, cnt FROM b2
+         |  UNION ALL SELECT 3, a, b, a||b, cnt FROM b3)
+         |ORDER BY round""".stripMargin,
 
     // Replays l53's 3 learn rounds (corpus-wide word contraction — the
     // per-lang table re-grouped by seq, a word↔seq bijection) then APPLIES
     // the 3 winning merges to the per-language word table with the same
     // left-to-right replace, and rolls up words / base symbols / tokens /
-    // distinct post-merge symbols per language.
+    // distinct post-merge symbols per language. Each bN falls back to a
+    // NO-OP merge (chr(31), chr(31)) when no pair exists — the sentinel
+    // can never appear as a symbol (sentinel-carrying words are filtered),
+    // so the replace never matches and the apply chain stays populated,
+    // matching the Spark side's early-exhaustion behavior (merges learned
+    // so far applied, stats still emitted) instead of emptying every
+    // downstream CTE through the cross join.
     "l56_bpe_apply" ->
-      """WITH wl AS (
-        |  SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
-        |    SELECT lang, unnest(list_filter(string_split(lower(text), ' '),
-        |                                    t -> t <> '')) AS word
-        |    FROM documents)
-        |  WHERE NOT contains(word, chr(31))
-        |  GROUP BY 1, 2),
-        |s1 AS (SELECT regexp_replace(word, '(?s)(.)',
-        |                             chr(31) || '\1' || chr(31), 'g') AS seq,
-        |              CAST(SUM(freq) AS BIGINT) AS freq
-        |       FROM wl GROUP BY 1),
-        |l1 AS (SELECT string_split(trim(seq, chr(31)), chr(31) || chr(31)) AS l,
-        |              freq FROM s1),
-        |p1 AS (SELECT p.a AS a, p.b AS b, CAST(SUM(freq) AS BIGINT) AS cnt
-        |       FROM (SELECT unnest(list_transform(range(1, len(l)),
-        |                      i -> {'a': l[i], 'b': l[i+1]})) AS p, freq
-        |             FROM l1)
-        |       GROUP BY 1, 2),
-        |b1 AS (SELECT a, b FROM p1 ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
-        |s2 AS (SELECT replace(seq,
-        |                chr(31)||a||chr(31)||chr(31)||b||chr(31),
-        |                chr(31)||a||b||chr(31)) AS seq, freq FROM s1, b1),
-        |l2 AS (SELECT string_split(trim(seq, chr(31)), chr(31) || chr(31)) AS l,
-        |              freq FROM s2),
-        |p2 AS (SELECT p.a AS a, p.b AS b, CAST(SUM(freq) AS BIGINT) AS cnt
-        |       FROM (SELECT unnest(list_transform(range(1, len(l)),
-        |                      i -> {'a': l[i], 'b': l[i+1]})) AS p, freq
-        |             FROM l2)
-        |       GROUP BY 1, 2),
-        |b2 AS (SELECT a, b FROM p2 ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
-        |s3 AS (SELECT replace(seq,
-        |                chr(31)||a||chr(31)||chr(31)||b||chr(31),
-        |                chr(31)||a||b||chr(31)) AS seq, freq FROM s2, b2),
-        |l3 AS (SELECT string_split(trim(seq, chr(31)), chr(31) || chr(31)) AS l,
-        |              freq FROM s3),
-        |p3 AS (SELECT p.a AS a, p.b AS b, CAST(SUM(freq) AS BIGINT) AS cnt
-        |       FROM (SELECT unnest(list_transform(range(1, len(l)),
-        |                      i -> {'a': l[i], 'b': l[i+1]})) AS p, freq
-        |             FROM l3)
-        |       GROUP BY 1, 2),
-        |b3 AS (SELECT a, b FROM p3 ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
-        |a0 AS (SELECT lang,
-        |              regexp_replace(word, '(?s)(.)',
-        |                             chr(31) || '\1' || chr(31), 'g') AS seq,
-        |              freq FROM wl),
-        |n0 AS (SELECT lang, seq, freq,
-        |              CAST(len(string_split(trim(seq, chr(31)),
-        |                                    chr(31)||chr(31))) AS BIGINT) AS n_pre
-        |       FROM a0),
-        |a1 AS (SELECT lang, replace(seq,
-        |                chr(31)||a||chr(31)||chr(31)||b||chr(31),
-        |                chr(31)||a||b||chr(31)) AS seq, freq, n_pre FROM n0, b1),
-        |a2 AS (SELECT lang, replace(seq,
-        |                chr(31)||a||chr(31)||chr(31)||b||chr(31),
-        |                chr(31)||a||b||chr(31)) AS seq, freq, n_pre FROM a1, b2),
-        |a3 AS (SELECT lang, replace(seq,
-        |                chr(31)||a||chr(31)||chr(31)||b||chr(31),
-        |                chr(31)||a||b||chr(31)) AS seq, freq, n_pre FROM a2, b3),
-        |e AS (SELECT lang, freq, n_pre,
-        |             CAST(len(string_split(trim(seq, chr(31)),
-        |                                   chr(31)||chr(31))) AS BIGINT) AS n_post
-        |      FROM a3),
-        |st AS (SELECT lang, CAST(SUM(freq) AS BIGINT) AS n_words,
-        |              CAST(SUM(freq * n_pre) AS BIGINT) AS n_base,
-        |              CAST(SUM(freq * n_post) AS BIGINT) AS n_tokens
-        |       FROM e GROUP BY 1),
-        |v AS (SELECT lang, CAST(COUNT(DISTINCT sym) AS BIGINT) AS vocab_size
-        |      FROM (SELECT lang, unnest(string_split(trim(seq, chr(31)),
-        |                                             chr(31)||chr(31))) AS sym
-        |            FROM a3)
-        |      GROUP BY 1)
-        |SELECT st.lang, n_words, n_base, n_tokens, vocab_size,
-        |  ((20000 * CAST(n_tokens AS HUGEINT) + n_base)
-        |   // (2 * CAST(n_base AS HUGEINT))) / 10000.0 AS compression
-        |FROM st JOIN v ON st.lang IS NOT DISTINCT FROM v.lang
-        |ORDER BY 1""".stripMargin,
+      s"""WITH wl AS (
+         |  SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+         |    SELECT lang, unnest(list_filter(string_split(lower(text), ' '),
+         |                                    t -> t <> '')) AS word
+         |    FROM documents)
+         |  WHERE NOT contains(word, chr(31))
+         |  GROUP BY 1, 2),
+         |s1 AS (SELECT regexp_replace(word, '(?s)(.)',
+         |                             chr(31) || '\\1' || chr(31), 'g') AS seq,
+         |              CAST(SUM(freq) AS BIGINT) AS freq
+         |       FROM wl GROUP BY 1),
+         |${duckBpeRound(1, withCnt = false, fallback = true, emitNext = true)}
+         |${duckBpeRound(2, withCnt = false, fallback = true, emitNext = true)}
+         |${duckBpeRound(3, withCnt = false, fallback = true, emitNext = false)},
+         |a0 AS (SELECT lang,
+         |              regexp_replace(word, '(?s)(.)',
+         |                             chr(31) || '\\1' || chr(31), 'g') AS seq,
+         |              freq FROM wl),
+         |n0 AS (SELECT lang, seq, freq,
+         |              CAST(len(string_split(trim(seq, chr(31)),
+         |                                    chr(31)||chr(31))) AS BIGINT) AS n_pre
+         |       FROM a0),
+         |a1 AS (SELECT lang, replace(seq,
+         |                chr(31)||a||chr(31)||chr(31)||b||chr(31),
+         |                chr(31)||a||b||chr(31)) AS seq, freq, n_pre FROM n0, b1),
+         |a2 AS (SELECT lang, replace(seq,
+         |                chr(31)||a||chr(31)||chr(31)||b||chr(31),
+         |                chr(31)||a||b||chr(31)) AS seq, freq, n_pre FROM a1, b2),
+         |a3 AS (SELECT lang, replace(seq,
+         |                chr(31)||a||chr(31)||chr(31)||b||chr(31),
+         |                chr(31)||a||b||chr(31)) AS seq, freq, n_pre FROM a2, b3),
+         |e AS (SELECT lang, freq, n_pre,
+         |             CAST(len(string_split(trim(seq, chr(31)),
+         |                                   chr(31)||chr(31))) AS BIGINT) AS n_post
+         |      FROM a3),
+         |st AS (SELECT lang, CAST(SUM(freq) AS BIGINT) AS n_words,
+         |              CAST(SUM(freq * n_pre) AS BIGINT) AS n_base,
+         |              CAST(SUM(freq * n_post) AS BIGINT) AS n_tokens
+         |       FROM e GROUP BY 1),
+         |v AS (SELECT lang, CAST(COUNT(DISTINCT sym) AS BIGINT) AS vocab_size
+         |      FROM (SELECT lang, unnest(string_split(trim(seq, chr(31)),
+         |                                             chr(31)||chr(31))) AS sym
+         |            FROM a3)
+         |      GROUP BY 1)
+         |SELECT st.lang, n_words, n_base, n_tokens, vocab_size,
+         |  ${Q.duckRound4Ratio("n_tokens", "n_base")} AS compression
+         |FROM st JOIN v ON st.lang IS NOT DISTINCT FROM v.lang
+         |ORDER BY 1""".stripMargin,
 
     // The oracle replays the budget fill with the naive per-lang window
     // (affordable at sf); arg_max is tie-free because cum_before is

@@ -44,8 +44,7 @@ object GraftSqlShim {
       catalyst.expressions.SortOrder(
         classic.ExpressionUtils.expression(Column(child)), d, no, Seq.empty)
     case _ =>
-      catalyst.expressions.SortOrder(
-        classic.ExpressionUtils.expression(c),
+      catalyst.expressions.SortOrder(expression(c),
         catalyst.expressions.Ascending)
   }
 }

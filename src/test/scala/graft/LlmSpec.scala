@@ -611,7 +611,10 @@ class LlmSpec extends SparkSpec {
     val merges = graft.operators.TextAnalysis.bpeMerges(docs, 3).collect()
       .map(r => (r.getString(1), r.getString(2)))
     def encode(word: String): Vector[String] = {
-      var syms = word.map(_.toString).toVector
+      // Codepoint segmentation, not UTF-16 units: the engine/oracle regex
+      // '(?s)(.)' wraps full codepoints (a surrogate pair is ONE symbol).
+      var syms = word.codePoints().toArray.toVector
+        .map(cp => new String(Character.toChars(cp)))
       for ((a, b) <- merges) {
         val out = Vector.newBuilder[String]
         var i = 0
@@ -633,7 +636,8 @@ class LlmSpec extends SparkSpec {
     val naive = words.groupBy(_._1).map { case (lang, ws) =>
       val encs = ws.map { case (_, w) => (w, encode(w)) }
       lang -> ((ws.length.toLong,
-                encs.map(_._1.length.toLong).sum,
+                encs.map { case (w, _) =>
+                  w.codePointCount(0, w.length).toLong }.sum,
                 encs.map(_._2.length.toLong).sum,
                 encs.flatMap(_._2).distinct.length.toLong))
     }
