@@ -1244,6 +1244,81 @@ object DedupOps {
     clusteredPairs(docs,
       reps => minhashPairs(reps, threshold, n, numHashes, rowsPerBand = 4))
 
+  /** MinHash estimator CALIBRATION over the true near-dup pairs (the L57
+    * gate) — the dedup-family counterpart of the ANN ladder's recall band
+    * (l5f): LSH gates so far prove the banded path returns the right PAIRS,
+    * but never measure how well the signature itself estimates Jaccard,
+    * which is what every production tuning decision (bands × rows, number
+    * of hashes) is computed FROM. For every exact near-dup representative
+    * pair (raw Jaccard ≥ `threshold` over distinct `n`-char shingles,
+    * exact-dup contraction first, same engine as l2), emit the exact
+    * overlap (|∩|, |∪|, round4 Jaccard) next to the k-lane MinHash
+    * estimate (matching signature positions, est = matches/k) and an
+    * integer-exact ±0.2 error-band verdict:
+    *
+    *   |matches/k − c/u| ≤ 0.2  ⟺  |5·matches·u − 320·c| ≤ 64·u   (k = 64)
+    *
+    * — cross-multiplied so the band comparison never touches a float and
+    * both engines replay it exactly (the products stay far below 2^63:
+    * matches ≤ 64, u < 2^20 at any document length). The declared band is
+    * ~4 standard errors at j ≈ 0.8 (σ = √(j(1−j)/64) ≈ 0.05), so a
+    * mis-seeded/broken hash family fails the gate while honest sampling
+    * noise never does.
+    *
+    * 100 TB posture: the pair set is l2's output (banded/blocked, never
+    * quadratic); signatures are computed array-locally per doc AFTER a
+    * left-semi contraction to the docs that actually appear in a pair, so
+    * the persisted frame is match-sized, not corpus-sized. All per-pair
+    * work (`array_intersect`, `zip_with`) is row-local codegen.
+    */
+  def minhashCalibration(docs: DataFrame, threshold: Double,
+                         n: Int = 3, numHashes: Int = 64): DataFrame = {
+    require(numHashes == 64, "the integer band arithmetic is derived for k=64")
+    val h = docs.select(col("doc_id"), col("text"),
+                        sha2(col("text"), 256).as("ch"))
+    val reps = h.groupBy(col("ch")).agg(min(col("doc_id")).as("doc_id"))
+      .join(h.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .select(col("doc_id"), col("text"))
+    val pairs = prefixJaccardPairs(reps, threshold, n)
+      .select(col("da"), col("db"))
+    val ids = pairs.select(col("da").as("doc_id"))
+      .unionByName(pairs.select(col("db").as("doc_id"))).distinct()
+    // Same affine lane family as [[minhashSignatures]] (seed-free, DuckDB-
+    // replayable), evaluated as one array-local projection per doc; codes
+    // are the doc's DISTINCT shingle set, so array_min / array_intersect /
+    // size are all order-insensitive — collect_list order cannot leak.
+    val sig = shingles(reps, n)
+      .join(ids, Seq("doc_id"), "left_semi")
+      .groupBy(col("doc_id")).agg(collect_list(col("code")).as("codes"))
+      .select(col("doc_id"), col("codes"),
+        expr("""transform(sequence(0, 63),
+                  k -> array_min(transform(codes,
+                    c -> (c * (k * 2 + 3) + (k * k + k * 7 + 1))
+                         % 2147483647)))""").as("sig"))
+      .persist()
+    try materialize(
+      pairs
+        .join(sig.select(col("doc_id").as("da"), col("codes").as("ca"),
+                         col("sig").as("sa")), Seq("da"))
+        .join(sig.select(col("doc_id").as("db"), col("codes").as("cb"),
+                         col("sig").as("sb")), Seq("db"))
+        .select(col("da"), col("db"),
+          size(array_intersect(col("ca"), col("cb"))).cast("long").as("n_inter"),
+          (size(col("ca")) + size(col("cb"))).cast("long").as("nab"),
+          size(expr("filter(zip_with(sa, sb, (x, y) -> x = y), b -> b)"))
+            .cast("long").as("n_matches"))
+        .withColumn("n_union", col("nab") - col("n_inter"))
+        .select(col("da"), col("db"), col("n_inter"), col("n_union"),
+          col("n_matches"),
+          graft.Q.round4Ratio(col("n_inter"), col("n_union")).as("jaccard"),
+          graft.Q.round4Ratio(col("n_matches"), lit(64L)).as("est_j"),
+          lit(0.2).as("err_band"),
+          (abs(lit(5L) * col("n_matches") * col("n_union") -
+               lit(320L) * col("n_inter")) <=
+            lit(64L) * col("n_union")).as("within_band")))
+    finally sig.unpersist(blocking = false)
+  }
+
   /** The exact-duplicate contraction shared by the clustered near-dup
     * variants: collapse identical texts (sha2 group-by), run `repPairs`
     * over unique representatives only, expand representative pairs back

@@ -91,4 +91,55 @@ object GraphOps {
       oriented.select(col("s").as("t1"), col("t").as("t2")), Seq("t1", "t2"))
       .select(col("s").as("x"), col("t1").as("y"), col("t2").as("z"))
   }
+
+  /** Fixed-point PageRank over an undirected pair graph (the L59 gate) —
+    * the quality-propagation primitive of web-corpus curation (host- and
+    * page-rank priors are standard CommonCrawl curation features, cf. the
+    * URL-level quality signals in CCNet/RefinedWeb): a doc embedded in a
+    * dense near-dup neighborhood concentrates rank, a peripheral one
+    * doesn't — information the per-node degree alone (l16/l33) misses.
+    *
+    * Made EXACTLY reproducible the l40-kmeans way: ranks live in
+    * 1e-6-scaled LONGs (rank×N units, r₀ = SCALE), every division is an
+    * integer floor, and the damping update is
+    *
+    *   r'ᵢ = (15·SCALE + 85·Σ_{j∈N(i)} (r_j div deg_j)) div 100
+    *
+    * so five iterations produce identical bits on any engine, partitioning,
+    * or cluster size — floats would drift by summation order and could
+    * never hash-gate. Restricting to nodes WITH at least one edge (the
+    * match graph) removes the dangling-mass term: every node both emits
+    * and receives, so no rank is silently lost to a missing group.
+    *
+    * Scale shape: the edge frame is the DEDUP MATCH GRAPH (banded
+    * candidate output — corpus-sized pair sets mean the corpus is one
+    * giant dup cluster and dedup has bigger problems), persisted once with
+    * its degree column and consumed by each of the `iters` shuffle-join +
+    * hash-aggregate rounds. The iteration count is FIXED (5), so the plan
+    * is a bounded chain — no convergence probe, no driver loop on data.
+    * LONG headroom: r_j ≤ N·SCALE, so 85·Σ stays below 2^63 for any match
+    * graph under ~10¹⁰ nodes.
+    */
+  def pageRank(pairs: DataFrame, iters: Int = 5,
+               scale: Long = 1000000L): DataFrame = {
+    val e = pairs.select(col("da").as("s"), col("db").as("t"))
+      .unionByName(pairs.select(col("db").as("s"), col("da").as("t")))
+    val deg = e.groupBy(col("s")).agg(count(lit(1)).as("d"))
+    val eD = e.join(deg, Seq("s")).persist()
+    try {
+      var r = eD.select(col("s").as("id")).distinct()
+        .select(col("id"), lit(scale).as("r"))
+      for (_ <- 1 to iters)
+        r = eD.join(r, col("s") === col("id"))
+          .select(col("t"), expr("r div d").as("c"))
+          .groupBy(col("t"))
+          .agg(expr(s"(${15L * scale} + 85 * sum(c)) div 100").as("r"))
+          .select(col("t").as("id"), col("r"))
+      // Eager tiny result so unpersist can't re-trigger the 5-round chain.
+      r.join(deg.select(col("s").as("id"), col("d").as("degree")), Seq("id"))
+        .select(col("id").as("doc_id"), col("degree"),
+                col("r").as("pr_scaled"))
+        .localCheckpoint(true)
+    } finally eD.unpersist(blocking = false)
+  }
 }

@@ -554,6 +554,39 @@ object LlmQueries {
     // vocabulary-bounded).
     "l56_bpe_apply" -> ((s, d) => TextAnalysis.bpeApply(docs(s, d), 3)),
 
+    // L57 — MinHash estimator calibration (round 14): the dedup-family
+    // counterpart of l5f's recall band. For every exact near-dup pair
+    // (l2's contract) the gate puts the 64-lane MinHash ESTIMATE next to
+    // the exact Jaccard and hash-enforces an integer-exact ±0.2 error
+    // band — the signature-quality readout every bands×rows tuning is
+    // computed from, which the pair gates (l2b) never measure. See
+    // [[DedupOps.minhashCalibration]] for the cross-multiplied band
+    // arithmetic and the match-sized (not corpus-sized) persist.
+    "l57_minhash_calibration" -> ((s, d) =>
+      DedupOps.minhashCalibration(docs(s, d), 0.8).orderBy("da", "db")),
+
+    // L58 — count-min-sketch heavy hitters (round 14): per-language exact
+    // top-5 tokens probed against Spark's `count_min_sketch` aggregate,
+    // with the CMS guarantee (exact ≤ est ≤ exact + ⌈N/1000⌉) hash-
+    // enforced as a verdict band — the third mergeable-sketch family
+    // (GK quantiles l13b, HLL r30, CMS here). See
+    // [[SketchOps.cmsHeavyHitters]] for the integer band arithmetic and
+    // the bounded driver-side sketch collect.
+    "l58_cms_heavyhitters" -> ((s, d) =>
+      SketchOps.cmsHeavyHitters(docs(s, d))),
+
+    // L59 — fixed-point PageRank over the SimHash ≤1 near-dup graph
+    // (round 14): the quality-propagation readout on the graph l16
+    // clusters and l33 triangulates — which docs sit at the CENTER of
+    // their dup neighborhood vs its periphery. Integer-scaled damped
+    // iteration (5 rounds), bit-identical on any partitioning; see
+    // [[GraphOps.pageRank]]. The oracle replays the l14 fingerprint
+    // construction and unrolls the same five integer updates.
+    "l59_pagerank" -> ((s, d) =>
+      GraphOps.pageRank(
+        DedupOps.simhashPairs(docs(s, d), maxHamming = 1)
+          .select(col("da"), col("db"))).orderBy("doc_id")),
+
     // L15 — deterministic dataset split assignment: every doc lands in
     // train/val/test (8/1/1) via a pure multiplicative hash of doc_id —
     // reproducible across runs, engines, and cluster sizes, which is the
@@ -2437,6 +2470,125 @@ object LlmQueries {
          |  ${Q.duckRound4Ratio("n_tokens", "n_base")} AS compression
          |FROM st JOIN v ON st.lang IS NOT DISTINCT FROM v.lang
          |ORDER BY 1""".stripMargin,
+
+    // Replays BOTH sides of the calibration: exact pairs over the rep
+    // contraction (quadratic shared-shingle join — the semantic
+    // definition, affordable at sf) AND the 64-lane affine MinHash
+    // (same seed-free formula as DedupOps.minhashSignatures), then the
+    // cross-multiplied integer band — so a broken hash family, a wrong
+    // lane count, or a drifted estimate all hash-fail.
+    "l57_minhash_calibration" ->
+      s"""WITH reps AS (
+         |  SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text),
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |    ascii(substring(s, 1, 1)) * 65536 +
+         |    ascii(substring(s, 2, 1)) * 256 +
+         |    ascii(substring(s, 3, 1)) AS code
+         |  FROM (SELECT doc_id,
+         |          unnest(list_transform(range(1, length(text) - 1),
+         |                                i -> substring(text, i, 3))) AS s
+         |        FROM reps WHERE length(text) >= 3)),
+         |sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
+         |  FROM sh a JOIN sh b ON a.code = b.code AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT da, db, c, sa.nsh + sb.nsh - c AS u
+         |  FROM inter
+         |  JOIN sizes sa ON sa.doc_id = da
+         |  JOIN sizes sb ON sb.doc_id = db
+         |  WHERE CAST(c AS DOUBLE) / (sa.nsh + sb.nsh - c) >= 0.8),
+         |mh AS (
+         |  SELECT doc_id, k.range AS k,
+         |    MIN((code * (k.range * 2 + 3)
+         |         + (k.range * k.range + k.range * 7 + 1))
+         |        % 2147483647) AS mh
+         |  FROM sh CROSS JOIN range(64) k GROUP BY 1, 2),
+         |m AS (
+         |  SELECT p.da, p.db, p.c, p.u,
+         |    CAST(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_matches
+         |  FROM pairs p
+         |  JOIN mh a ON a.doc_id = p.da
+         |  JOIN mh b ON b.doc_id = p.db AND b.k = a.k
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT da, db, CAST(c AS BIGINT) AS n_inter,
+         |  CAST(u AS BIGINT) AS n_union, n_matches,
+         |  ${Q.duckRound4Ratio("c", "u")} AS jaccard,
+         |  ${Q.duckRound4Ratio("n_matches", "64")} AS est_j,
+         |  CAST(0.2 AS DOUBLE) AS err_band,
+         |  abs(5 * n_matches * u - 320 * c) <= 64 * u AS within_band
+         |FROM m ORDER BY da, db""".stripMargin,
+
+    // Verdict shape (r30/l13b): the CMS estimate depends on Spark's hash
+    // family, so the oracle replays the EXACT heavy-hitter side — counts,
+    // totals, the integer ⌈N/1000⌉ band — and asserts the verdict
+    // literally; an out-of-band sketch flips within_band and hash-fails.
+    "l58_cms_heavyhitters" ->
+      """WITH toks AS (
+        |  SELECT lang,
+        |    unnest(list_filter(string_split(text, ' '), t -> t != '')) AS token
+        |  FROM documents),
+        |c AS (SELECT lang, token, COUNT(*) AS cnt FROM toks GROUP BY 1, 2),
+        |tot AS (SELECT lang, COUNT(*) AS n_tokens FROM toks GROUP BY 1),
+        |r AS (SELECT lang, token, cnt,
+        |        ROW_NUMBER() OVER (PARTITION BY lang
+        |                           ORDER BY cnt DESC, token ASC) AS rnk
+        |      FROM c)
+        |SELECT r.lang, rnk, token, cnt, n_tokens,
+        |  cnt + (n_tokens + 999) // 1000 AS cms_bound,
+        |  true AS within_band
+        |FROM r JOIN tot ON r.lang = tot.lang
+        |WHERE rnk <= 5
+        |ORDER BY 1, 2""".stripMargin,
+
+    // Replays the l14 fingerprint + exact pair join, then UNROLLS the five
+    // integer damped-rank updates — generated from one template so the
+    // iteration arithmetic can never drift between rounds (the r13
+    // lockstep-copy lesson). All divisions are integer floors on positive
+    // values, so both engines agree bit-for-bit.
+    "l59_pagerank" -> {
+      val rounds = (1 to 5).map { i =>
+        s"""r$i AS (
+           |  SELECT ed.t AS id,
+           |    CAST((15000000 + 85 * SUM(p.r // ed.d)) // 100 AS BIGINT) AS r
+           |  FROM ed JOIN r${i - 1} p ON ed.s = p.id GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    unnest(list_filter(string_split(text, ' '), t -> t != '')) AS tok
+         |  FROM documents),
+         |h AS (
+         |  SELECT doc_id,
+         |    list_reduce(
+         |      list_prepend(CAST(0 AS BIGINT),
+         |        list_transform(range(1, length(tok) + 1),
+         |                       i -> CAST(ascii(substring(tok, i, 1)) AS BIGINT))),
+         |      (acc, c) -> (acc * 31 + c) % 1000003) AS h
+         |  FROM toks),
+         |votes AS (
+         |  SELECT doc_id, b.range AS b,
+         |    SUM(CASE WHEN (h // (1 << b.range)) % 2 = 1 THEN 1 ELSE -1 END) AS s
+         |  FROM h, range(16) b GROUP BY 1, 2),
+         |fp AS (
+         |  SELECT doc_id,
+         |    CAST(SUM(CASE WHEN s > 0 THEN CAST(1 << b AS BIGINT) ELSE 0 END) AS BIGINT) AS f
+         |  FROM votes GROUP BY 1),
+         |pr AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db
+         |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.f, b.f)) <= 1),
+         |e AS (SELECT da AS s, db AS t FROM pr
+         |      UNION ALL SELECT db AS s, da AS t FROM pr),
+         |deg AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY 1),
+         |ed AS (SELECT e.s, e.t, deg.d FROM e JOIN deg ON e.s = deg.s),
+         |r0 AS (SELECT s AS id, CAST(1000000 AS BIGINT) AS r FROM deg),
+         |$rounds
+         |SELECT r5.id AS doc_id, deg.d AS degree, r5.r AS pr_scaled
+         |FROM r5 JOIN deg ON deg.s = r5.id ORDER BY doc_id""".stripMargin
+    },
 
     // The oracle replays the budget fill with the naive per-lang window
     // (affordable at sf); arg_max is tie-free because cum_before is

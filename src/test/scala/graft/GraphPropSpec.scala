@@ -151,4 +151,42 @@ class GraphPropSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == (0L until n).map(i => (i, 0L)).toSet)
   }
+
+  test("pageRank equals a naive driver fixed-point on random graphs") {
+    // The integer update is exactly reproducible by construction; this
+    // pins the distributed join/aggregate loop against a direct adjacency
+    // map evaluation, including degree handling and node coverage (only
+    // nodes WITH edges participate).
+    val genCase = for {
+      n <- Gen.choose(2, 20)
+      nEdges <- Gen.choose(1, 2 * n)
+      edges <- Gen.listOfN(nEdges, for {
+        a <- Gen.choose(0, n - 1)
+        b <- Gen.choose(0, n - 1)
+      } yield (math.min(a, b).toLong, math.max(a, b).toLong))
+    } yield edges.filter(e => e._1 != e._2).distinct
+
+    val prop = Prop.forAllNoShrink(genCase) { edges =>
+      if (edges.isEmpty) true
+      else {
+        val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+          .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+        val deg = adj.map { case (k, v) => k -> v.size.toLong }
+        var r = adj.keys.map(_ -> 1000000L).toMap
+        for (_ <- 1 to 5)
+          r = adj.map { case (i, ns) =>
+            i -> ((15000000L + 85L * ns.map(j => r(j) / deg(j)).sum) / 100L)
+          }
+        val got = graft.operators.GraphOps.pageRank(
+            edges.toDF("da", "db")).collect()
+          .map(x => (x.getAs[Long]("doc_id"),
+                     (x.getAs[Long]("degree"), x.getAs[Long]("pr_scaled"))))
+          .toMap
+        got == adj.keys.map(i => i -> ((deg(i), r(i)))).toMap
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8),
+                           prop)
+    assert(res.passed, res.status.toString)
+  }
 }

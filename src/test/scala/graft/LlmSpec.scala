@@ -647,6 +647,55 @@ class LlmSpec extends SparkSpec {
     assert(got == naive, s"got=$got naive=$naive")
   }
 
+  test("l57 minhash calibration: lanes match a naive Scala minhash, band holds") {
+    // Independent re-derivation of BOTH sides: distinct-3-shingle sets for
+    // the exact overlap, and the 64-lane affine family for the estimate —
+    // so a drifted seed formula, lane count, or zip_with mismatch fails
+    // here even though the DuckDB oracle replays the same construction.
+    val out = DedupOps.minhashCalibration(corpus, 0.8).collect()
+    assert(out.nonEmpty)
+    assert(out.exists(r => r.getAs[Long]("da") == 0L &&
+                           r.getAs[Long]("db") == 2L),
+      "the fox/cat near-dup rep pair must calibrate")
+    def shingleSet(t: String): Set[Long] =
+      if (t.length < 3) Set.empty
+      else (0 to t.length - 3).map(i => t.substring(i, i + 3)).toSet[String]
+        .map(s => s(0).toLong * 65536 + s(1).toLong * 256 + s(2).toLong)
+    def sig(codes: Set[Long]): Seq[Long] =
+      (0 until 64).map { k =>
+        codes.map(c => (c * (k * 2 + 3) + (k.toLong * k + k * 7 + 1))
+          % 2147483647L).min
+      }
+    val texts = corpus.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { r =>
+      val sa = shingleSet(texts(r.getAs[Long]("da")))
+      val sb = shingleSet(texts(r.getAs[Long]("db")))
+      assert(r.getAs[Long]("n_inter") == (sa intersect sb).size.toLong)
+      assert(r.getAs[Long]("n_union") == (sa union sb).size.toLong)
+      val m = sig(sa).zip(sig(sb)).count { case (x, y) => x == y }.toLong
+      assert(r.getAs[Long]("n_matches") == m,
+        s"pair (${r.getAs[Long]("da")}, ${r.getAs[Long]("db")})")
+      assert(r.getAs[Boolean]("within_band"))
+    }
+  }
+
+  test("l58 CMS heavy hitters: probes sit in the declared band, ranks total-ordered") {
+    val out = SparkEntry.queries("l58_cms_heavyhitters")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getAs[Boolean]("within_band"),
+      s"CMS estimate out of band for (${r.getAs[String]("lang")}, " +
+        s"${r.getAs[String]("token")})"))
+    out.groupBy(_.getAs[String]("lang")).foreach { case (lang, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("rnk"))
+      assert(sorted.map(_.getAs[Long]("rnk")).toSeq ==
+        (1L to sorted.length.toLong), s"ranks not contiguous for $lang")
+      assert(sorted.map(_.getAs[Long]("cnt")).toSeq
+        .sliding(2).filter(_.length == 2).forall(p => p(0) >= p(1)),
+        s"counts not non-increasing for $lang")
+    }
+  }
+
   test("l54 top-bigram mass: concentration fraction, ties, and <2-token docs") {
     // doc 1: "x y x y x y" -> top bigram "x y" x3, mass 3*3=9 of 11 chars
     //        -> round4(9/11) = 0.8182, flagged (> 0.2).
