@@ -1276,9 +1276,12 @@ object DedupOps {
     require(numHashes == 64, "the integer band arithmetic is derived for k=64")
     val h = docs.select(col("doc_id"), col("text"),
                         sha2(col("text"), 256).as("ch"))
+    // Persisted: the rep frame is consumed by the pair engine (twice — a
+    // routing count plus the shingle explode) and the signature path.
     val reps = h.groupBy(col("ch")).agg(min(col("doc_id")).as("doc_id"))
       .join(h.select(col("doc_id"), col("text")), Seq("doc_id"))
       .select(col("doc_id"), col("text"))
+      .persist()
     val pairs = prefixJaccardPairs(reps, threshold, n)
       .select(col("da"), col("db"))
     val ids = pairs.select(col("da").as("doc_id"))
@@ -1287,8 +1290,8 @@ object DedupOps {
     // replayable), evaluated as one array-local projection per doc; codes
     // are the doc's DISTINCT shingle set, so array_min / array_intersect /
     // size are all order-insensitive — collect_list order cannot leak.
-    val sig = shingles(reps, n)
-      .join(ids, Seq("doc_id"), "left_semi")
+    // Contract BEFORE shingling: only pair participants re-explode.
+    val sig = shingles(reps.join(ids, Seq("doc_id"), "left_semi"), n)
       .groupBy(col("doc_id")).agg(collect_list(col("code")).as("codes"))
       .select(col("doc_id"), col("codes"),
         expr("""transform(sequence(0, 63),
@@ -1316,7 +1319,10 @@ object DedupOps {
           (abs(lit(5L) * col("n_matches") * col("n_union") -
                lit(320L) * col("n_inter")) <=
             lit(64L) * col("n_union")).as("within_band")))
-    finally sig.unpersist(blocking = false)
+    finally {
+      sig.unpersist(blocking = false)
+      reps.unpersist(blocking = false)
+    }
   }
 
   /** The exact-duplicate contraction shared by the clustered near-dup
@@ -1402,6 +1408,75 @@ object DedupOps {
     */
   private def fpClasses(fp: DataFrame, bits: Int = 16): DataFrame =
     fp.groupBy(col(s"simhash$bits")).agg(min(col("doc_id")).as("cid"))
+
+  /** PageRank over the SimHash ≤`maxHamming` doc graph, evaluated on the
+    * fingerprint-class QUOTIENT (the l59 gate) — same contraction l16/l33
+    * ride: docs sharing a fingerprint are structurally interchangeable
+    * (identical neighbor sets), so by symmetry they carry identical rank
+    * and the whole damped iteration collapses onto the class graph with
+    * integer weights:
+    *
+    *   d_C        = (c_C − 1) + Σ_{D ~ C} c_D          (every doc in C)
+    *   contrib_C  = (c_C − 1)·(r_C div d_C) + Σ_{D ~ C} c_D·(r_D div d_D)
+    *   r'_C       = (15·SCALE + 85·contrib_C) div 100
+    *
+    * — exactly [[graft.operators.GraphOps.pageRank]]'s update summed
+    * class-wise (the spec pins the equality), but the per-round join +
+    * aggregate runs over Σ class-adjacency edges instead of Σ doc pairs.
+    * At sf0.1 that is ~20 k weighted edges standing in for 1.16 M directed
+    * doc edges × 5 rounds; at 100 TB the quotient is bounded by the
+    * fingerprint space while the doc graph is bounded by nothing.
+    * Output is doc-level — (doc_id, degree, pr_scaled), identical bits to
+    * the generic operator on [[simhashPairs]] — via one class→doc join.
+    */
+  def simhashPageRank(docs: DataFrame, maxHamming: Int = 1, bits: Int = 16,
+                      iters: Int = 5, scale: Long = 1000000L): DataFrame = {
+    val fpCol = s"simhash$bits"
+    val fp = simhash(docs, bits).persist()
+    val cls = fpClasses(fp, bits)
+      .join(fp.groupBy(col(fpCol)).agg(count(lit(1)).as("csize")), fpCol)
+      .persist() // (fpCol, cid, csize) — bounded by the fingerprint space
+    try {
+      val cp = classPairs(cls.select(col(fpCol), col("cid")), maxHamming, bits)
+        .select(col("ca"), col("cb"))
+      val cs = cls.select(col("cid"), col("csize"))
+      // Weighted quotient edges: cross-class both directions carry the
+      // SOURCE class size; a class's own twins contribute via a self-loop
+      // of weight c_C − 1 (hamming-0 edges of the doc graph).
+      val e = cp.select(col("ca").as("s"), col("cb").as("t"))
+        .unionByName(cp.select(col("cb").as("s"), col("ca").as("t")))
+        .join(cs.withColumnRenamed("cid", "s"), Seq("s"))
+        .select(col("s"), col("t"), col("csize").as("w"))
+        .unionByName(cs.filter(col("csize") >= 2)
+          .select(col("cid").as("s"), col("cid").as("t"),
+                  (col("csize") - 1).as("w")))
+      val deg = e.groupBy(col("t")).agg(sum(col("w")).as("d"))
+        .select(col("t").as("cid"), col("d"))
+      val eD = e.join(deg.select(col("cid").as("s"), col("d")), Seq("s"))
+        .localCheckpoint(true) // class-space-sized; consumed by every round
+      // The rank vector is class-space-sized (≤ 2^bits rows ≤ 65 536 at the
+      // default width) — broadcast it each round so the only exchange per
+      // iteration is the small contribution aggregate, not an eD re-shuffle.
+      // Wider fingerprints (unbounded class spaces) keep the shuffle join.
+      val bc: DataFrame => DataFrame =
+        if (bits <= 16) broadcast(_) else identity
+      var r = deg.select(col("cid").as("id"), lit(scale).as("r"))
+      for (_ <- 1 to iters)
+        r = eD.join(bc(r), col("s") === col("id"))
+          .select(col("t"), (col("w") * expr("r div d")).as("c"))
+          .groupBy(col("t"))
+          .agg(expr(s"(${15L * scale} + 85 * sum(c)) div 100").as("r"))
+          .select(col("t").as("id"), col("r"))
+      materialize(
+        fp.join(cls.select(col(fpCol), col("cid")), Seq(fpCol))
+          .join(r.join(deg, col("id") === deg("cid")).drop("id"), Seq("cid"))
+          .select(col("doc_id"), col("d").as("degree"),
+                  col("r").as("pr_scaled")))
+    } finally {
+      cls.unpersist(blocking = false)
+      fp.unpersist(blocking = false)
+    }
+  }
 
   /** Verified fingerprint-class pairs within `maxHamming`, via pigeonhole
     * banding (Manku/Jain/Sarma WWW'07): d+1 disjoint bit blocks — a ≤d pair

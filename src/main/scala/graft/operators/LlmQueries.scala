@@ -579,13 +579,15 @@ object LlmQueries {
     // (round 14): the quality-propagation readout on the graph l16
     // clusters and l33 triangulates — which docs sit at the CENTER of
     // their dup neighborhood vs its periphery. Integer-scaled damped
-    // iteration (5 rounds), bit-identical on any partitioning; see
-    // [[GraphOps.pageRank]]. The oracle replays the l14 fingerprint
-    // construction and unrolls the same five integer updates.
+    // iteration (5 rounds), bit-identical on any partitioning, evaluated
+    // on the fingerprint-class QUOTIENT ([[DedupOps.simhashPageRank]]:
+    // ~20k weighted class edges stand in for 1.16M directed doc edges per
+    // round at sf0.1 — measured 10.7 → ~3 s; a spec pins quotient ≡ the
+    // generic edge-list [[GraphOps.pageRank]]). The oracle replays the
+    // l14 fingerprint construction and unrolls the same five integer
+    // updates on the doc graph.
     "l59_pagerank" -> ((s, d) =>
-      GraphOps.pageRank(
-        DedupOps.simhashPairs(docs(s, d), maxHamming = 1)
-          .select(col("da"), col("db"))).orderBy("doc_id")),
+      DedupOps.simhashPageRank(docs(s, d)).orderBy("doc_id")),
 
     // L15 — deterministic dataset split assignment: every doc lands in
     // train/val/test (8/1/1) via a pure multiplicative hash of doc_id —

@@ -679,6 +679,25 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("l59 quotient pagerank equals the generic edge-list pagerank on real docs") {
+    // The class-quotient evaluation (DedupOps.simhashPageRank) must be
+    // bit-identical to GraphOps.pageRank over the expanded doc graph —
+    // the symmetry argument (same-fingerprint docs have identical
+    // neighbor sets, hence identical rank) checked end-to-end on the
+    // sf0.001 corpus, whose graph has both hamming-0 twins (self-loop
+    // weights) and cross-class edges.
+    val docsDf = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def m(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("degree"), r.getAs[Long]("pr_scaled")))).toMap
+    val generic = m(graft.operators.GraphOps.pageRank(
+      DedupOps.simhashPairs(docsDf, maxHamming = 1)
+        .select(col("da"), col("db"))).collect())
+    val quotient = m(DedupOps.simhashPageRank(docsDf).collect())
+    assert(generic.nonEmpty, "fixture graph unexpectedly empty")
+    assert(quotient == generic)
+  }
+
   test("l58 CMS heavy hitters: probes sit in the declared band, ranks total-ordered") {
     val out = SparkEntry.queries("l58_cms_heavyhitters")(
       spark, "/root/testdata/sf0.001").collect()
