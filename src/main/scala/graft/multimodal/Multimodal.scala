@@ -38,6 +38,47 @@ object Multimodal {
   def withPayload(docs: DataFrame): DataFrame =
     docs.withColumn("payload", encode(col("text"), "UTF-8"))
 
+  /** Difference-hash fingerprint of a binary payload (the mm5 gate):
+    * `bits`+1 evenly-spaced byte probes o_i = ⌊i·(n−1)/bits⌋, bit i set
+    * iff probe_i > probe_{i+1} — the dHash recipe (gradient SIGNS survive
+    * uniform brightness/volume shifts, which is why perceptual pipelines
+    * prefer them to raw-byte bits), applied to the opaque payload the way
+    * a real build applies it to a decoded luminance grid. Emitted with the
+    * SimHash column convention (`simhash\$bits`) so the banded pair
+    * machinery ([[graft.operators.DedupOps.fingerprintPairs]]) rides
+    * unchanged. The 16-bit default mirrors l14's replayable-width
+    * convention (the fixture payloads cluster usefully there; a real
+    * image pipeline runs 64). Iterator-to-iterator typed mapPartitions
+    * like the other mm gates — binary byte access is codec plumbing, not
+    * a Catalyst expression. Empty payloads emit nothing (no media, no
+    * fingerprint — the [[frameSample]] convention).
+    */
+  def dHash(docsWithPayload: DataFrame, bits: Int = 16): DataFrame = {
+    require(bits >= 1 && bits <= 64, s"bits must be in [1, 64]; got $bits")
+    val spark = docsWithPayload.sparkSession
+    import spark.implicits._
+    docsWithPayload.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val n = bytes.length
+          if (n == 0) Iterator.empty
+          else {
+            var fp = 0L
+            var i = 0
+            while (i < bits) {
+              val a = bytes(((i.toLong * (n - 1)) / bits).toInt) & 0xff
+              val b = bytes((((i + 1).toLong * (n - 1)) / bits).toInt) & 0xff
+              if (a > b) fp |= (1L << i)
+              i += 1
+            }
+            Iterator((id, n.toLong, fp))
+          }
+        }
+      }
+      .toDF("doc_id", "n_bytes", s"simhash$bits")
+  }
+
   /** One sampled "frame" of a media payload: position and content probe. */
   case class FrameMeta(doc_id: Long, frame_idx: Int, frame_off: Long,
                        frame_byte: Int)

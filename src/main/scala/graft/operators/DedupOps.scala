@@ -1374,9 +1374,21 @@ object DedupOps {
     * 16-bit default keeps the oracle replayable in small-integer SQL.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 1,
-                   bits: Int = 16): DataFrame = {
+                   bits: Int = 16): DataFrame =
+    fingerprintPairs(simhash(docs, bits), maxHamming, bits)
+
+  /** [[simhashPairs]] over a PRECOMPUTED fingerprint frame
+    * `(doc_id, simhash\$bits)` — the banding/class machinery is
+    * fingerprint-agnostic (pigeonhole blocks + class contraction +
+    * membership expansion), so any 16/32/48/64-bit hash rides it: SimHash
+    * (l14/l14b), the payload dHash (mm5). Same output contract:
+    * `(da < db, hamming)`, exact (every candidate verified by
+    * `bit_count(xor)`), eagerly materialized.
+    */
+  def fingerprintPairs(fp0: DataFrame, maxHamming: Int,
+                       bits: Int): DataFrame = {
     val fpCol = s"simhash$bits"
-    val fp = simhash(docs, bits).persist()
+    val fp = fp0.select(col("doc_id"), col(fpCol)).persist()
     val classes = fpClasses(fp, bits).persist()
     val cp = classPairs(classes, maxHamming, bits)
     // Expand class pairs to document pairs via fingerprint membership,

@@ -337,6 +337,20 @@ object LlmQueries {
       Multimodal.patchGrid(Multimodal.withPayload(docs(s, d)))
         .toDF.orderBy("doc_id", "patch_idx")),
 
+    // MM5 — payload near-dup pairs via difference-hash (round 14): the
+    // perceptual-dedup shape (pHash/dHash banding is how image corpora
+    // dedup at scale) over the opaque binary payloads — 16-bit gradient
+    // fingerprint ([[Multimodal.dHash]]) ridden through the SAME banded
+    // pair machinery as the SimHash text gates
+    // ([[DedupOps.fingerprintPairs]]: pigeonhole blocks, class
+    // contraction, exact bit_count verify). Completes the multimodal
+    // family with its dedup crossover: decode → fingerprint → banded
+    // join, never all-pairs.
+    "mm5_phash_pairs" -> ((s, d) =>
+      DedupOps.fingerprintPairs(
+        Multimodal.dHash(Multimodal.withPayload(docs(s, d))),
+        maxHamming = 1, bits = 16).orderBy("da", "db")),
+
     // L14 — SimHash near-dup pairs at Hamming ≤ 1: pigeonhole-banded
     // candidates (two 8-bit blocks; a ≤1-distance pair must agree exactly
     // on one block) + exact bit_count verification — the scale companion
@@ -3167,6 +3181,38 @@ object LlmQueries {
         |     + (strpos('0123456789ABCDEF', substring(hx, CAST(2*off + 2 AS INT), 1)) - 1)
         |    AS INT) AS probe_byte
         |FROM o ORDER BY doc_id, patch_idx""".stripMargin,
+
+    // Replays Multimodal.dHash (17 evenly-spaced byte probes of the UTF-8
+    // payload via hex, bit i = probe_i > probe_{i+1}) and then the exact
+    // quadratic pair join the banded engine must reproduce — same shape
+    // as the l14 oracle, over payload bytes instead of token hashes.
+    "mm5_phash_pairs" ->
+      """WITH b AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |         octet_length(encode(text)) AS n
+        |  FROM documents WHERE octet_length(encode(text)) > 0),
+        |pb AS (
+        |  SELECT doc_id, i.range AS i,
+        |    (strpos('0123456789ABCDEF',
+        |       substring(hx, CAST(2 * ((i.range * (n - 1)) // 16) + 1 AS INT), 1)) - 1) * 16
+        |    + (strpos('0123456789ABCDEF',
+        |       substring(hx, CAST(2 * ((i.range * (n - 1)) // 16) + 2 AS INT), 1)) - 1) AS p
+        |  FROM b, range(17) i),
+        |bits AS (
+        |  SELECT a.doc_id, a.i AS bit,
+        |    CASE WHEN a.p > c.p THEN 1 ELSE 0 END AS v
+        |  FROM pb a JOIN pb c ON a.doc_id = c.doc_id AND c.i = a.i + 1
+        |  WHERE a.i < 16),
+        |fp AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN v = 1 THEN CAST(1 AS BIGINT) << bit
+        |                  ELSE 0 END) AS BIGINT) AS f
+        |  FROM bits GROUP BY 1)
+        |SELECT a.doc_id AS da, b.doc_id AS db,
+        |       CAST(bit_count(xor(a.f, b.f)) AS BIGINT) AS hamming
+        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.f, b.f)) <= 1
+        |ORDER BY da, db""".stripMargin,
 
     // Replays Multimodal.resize: StubCodec dims (w = n%640+1,
     // h = (first_byte&127)+1), 1e6 fixed-point downscale fit, and the

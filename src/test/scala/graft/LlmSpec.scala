@@ -698,6 +698,33 @@ class LlmSpec extends SparkSpec {
     assert(quotient == generic)
   }
 
+  test("mm5 dHash pairs equal a naive byte-probe quadratic implementation") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("mm5_phash_pairs")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"),
+                 r.getAs[Long]("hamming"))).toSet
+    def fp(text: String): Long = {
+      val bytes = text.getBytes("UTF-8"); val n = bytes.length
+      var f = 0L
+      for (i <- 0 until 16) {
+        val a = bytes(((i.toLong * (n - 1)) / 16).toInt) & 0xff
+        val b = bytes((((i + 1).toLong * (n - 1)) / 16).toInt) & 0xff
+        if (a > b) f |= (1L << i)
+      }
+      f
+    }
+    val fps = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .filter(_.getString(1).nonEmpty)
+      .map(r => r.getLong(0) -> fp(r.getString(1)))
+    val naive = (for {
+      (ia, fa) <- fps; (ib, fb) <- fps if ia < ib
+      h = java.lang.Long.bitCount(fa ^ fb).toLong if h <= 1
+    } yield (ia, ib, h)).toSet
+    assert(naive.nonEmpty, "fixture fingerprint graph unexpectedly empty")
+    assert(got == naive)
+  }
+
   test("l58 CMS heavy hitters: probes sit in the declared band, ranks total-ordered") {
     val out = SparkEntry.queries("l58_cms_heavyhitters")(
       spark, "/root/testdata/sf0.001").collect()
