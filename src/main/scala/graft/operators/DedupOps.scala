@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.collection.mutable.ArrayBuffer
+
 import graft.functions.TextFunctions
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
@@ -1607,6 +1609,106 @@ object DedupOps {
     * over the full [[simhashPairs]] graph (unit-tested), but the iterative
     * state is one row per distinct fingerprint instead of per document.
     */
+  /** k-core peel of the SimHash ≤`maxHamming` near-dup graph (the L60
+    * gate): iteratively remove every doc whose surviving degree is below
+    * k until a fixed point — the density-based graph filter (Seidman 1983
+    * "Network structure and minimum degree"; the web-graph spam/quality
+    * peel of Batagelj–Zaveršnik's O(m) algorithm, round-synchronous here).
+    * In a curation pipeline the deep core is the templated/boilerplate
+    * heart of a duplication neighborhood (docs whose near-dup degree
+    * survives every peel), while peel_round stratifies the periphery —
+    * the axis component membership (l16) and centrality (l59) both miss:
+    * a sprawling low-density component has a large cluster but an EMPTY
+    * core.
+    *
+    * k is not fixed a priori (degree scales with corpus duplication) but
+    * derived from the data: the lower median of the fingerprinted docs'
+    * degrees — smallest d with 2·|{deg ≤ d}| ≥ N — an integer-exact,
+    * engine-independent threshold (no cume_dist doubles; the r37 lesson).
+    *
+    * Scale design — the same fingerprint-class QUOTIENT l16/l33/l59 ride:
+    * docs sharing a fingerprint have identical neighbor sets, hence
+    * identical degree at every round, hence identical peel fate — the
+    * whole peel collapses onto the class graph with node weights
+    * (deg(doc ∈ A) = (w_A − 1) + Σ_{B~A, B alive} w_B). The class space
+    * is bounded by the fingerprint width (≤ 2^bits nodes, ≤ (d+1)-banded
+    * adjacency), so the class table and its adjacency collect to the
+    * driver in KBs AT ANY CORPUS SIZE and the peel itself is a bounded
+    * in-memory loop — the distributed work is one fingerprint pass, one
+    * class aggregate, the banded class-pair join, and one broadcast join
+    * back to docs. Nothing iterative touches a corpus-sized frame (vs the
+    * doc-level peel: rounds × full-graph degree aggregates).
+    *
+    * Output: (doc_id, deg0, k, peel_round) over docs with ≥1 token (the
+    * fingerprint universe); peel_round = 0 means the doc survives to the
+    * k-core, t ≥ 1 the synchronous round that removed it. Deterministic:
+    * round-synchronous removal has no tie-ordering freedom.
+    */
+  def simhashKCore(docs: DataFrame, maxHamming: Int = 1,
+                   bits: Int = 16): DataFrame = {
+    val fpCol = s"simhash$bits"
+    val fp = simhash(docs, bits).persist()
+    try {
+      val cls = fpClasses(fp, bits)
+        .join(fp.groupBy(col(fpCol)).agg(count(lit(1)).as("csize")), fpCol)
+        .persist() // ≤ 2^bits rows — bounded by the fingerprint space
+      try {
+        val classRows = cls.select(col("cid"), col("csize")).collect()
+        val adjRows = classPairs(cls.select(col(fpCol), col("cid")),
+            maxHamming, bits)
+          .select(col("ca"), col("cb")).collect()
+        val size = classRows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val nbrs = scala.collection.mutable.Map
+          .empty[Long, ArrayBuffer[Long]]
+        adjRows.foreach { r =>
+          val a = r.getLong(0); val b = r.getLong(1)
+          nbrs.getOrElseUpdate(a, ArrayBuffer.empty) += b
+          nbrs.getOrElseUpdate(b, ArrayBuffer.empty) += a
+        }
+        val deg0 = size.map { case (c, w) =>
+          c -> (w - 1 + nbrs.getOrElse(c, ArrayBuffer.empty[Long])
+                  .iterator.map(size).sum)
+        }
+        // Lower median over DOCS (classes weighted by csize): smallest
+        // degree d with 2·|{docs: deg ≤ d}| ≥ N. Integer comparisons only.
+        val n = size.values.sum
+        val k = {
+          var cum = 0L
+          deg0.toSeq.map { case (c, d) => (d, size(c)) }.groupBy(_._1)
+            .view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+            .collectFirst { case (d, w) if { cum += w; 2 * cum >= n } => d }
+            .getOrElse(0L)
+        }
+        // Round-synchronous peel to the fixed point on the class quotient.
+        val cur = scala.collection.mutable.Map(deg0.toSeq: _*)
+        val alive = scala.collection.mutable.Set(size.keys.toSeq: _*)
+        val peeled = scala.collection.mutable.Map.empty[Long, Long]
+        var round = 0L
+        var removed = alive.filter(cur(_) < k).toSeq
+        while (removed.nonEmpty) {
+          round += 1
+          removed.foreach { c => peeled(c) = round; alive -= c }
+          removed.foreach { c =>
+            nbrs.getOrElse(c, ArrayBuffer.empty[Long]).foreach { u =>
+              if (alive(u)) cur(u) -= size(c)
+            }
+          }
+          removed = alive.filter(cur(_) < k).toSeq
+        }
+        val spark = docs.sparkSession
+        import spark.implicits._
+        val peelDF = size.keys.toSeq
+          .map(c => (c, deg0(c), peeled.getOrElse(c, 0L)))
+          .toDF("cid", "deg0", "peel_round")
+        materialize(
+          fp.join(cls.select(col(fpCol), col("cid")), Seq(fpCol))
+            .join(broadcast(peelDF), Seq("cid"))
+            .select(col("doc_id"), col("deg0"), lit(k).as("k"),
+                    col("peel_round")))
+      } finally cls.unpersist(blocking = false)
+    } finally fp.unpersist(blocking = false)
+  }
+
   def simhashComponents(docs: DataFrame, maxHamming: Int = 1,
                         bits: Int = 16): DataFrame = {
     val fp = simhash(docs, bits).persist()

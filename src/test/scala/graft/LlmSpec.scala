@@ -698,6 +698,102 @@ class LlmSpec extends SparkSpec {
     assert(quotient == generic)
   }
 
+  test("l60 quotient k-core peel equals a naive doc-level peel on real docs") {
+    // The class-quotient peel (DedupOps.simhashKCore) must equal the
+    // textbook round-synchronous doc-level peel — same symmetry argument
+    // as l59 (same-fingerprint docs share degree at every round), checked
+    // end-to-end: naive adjacency from the already-spec'd pair engine,
+    // lower-median k, peel to fixpoint, all in plain Scala.
+    val docsDf = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val nodes = DedupOps.simhash(docsDf).select("doc_id")
+      .collect().map(_.getLong(0))
+    val adj = scala.collection.mutable.Map(
+      nodes.map(_ -> scala.collection.mutable.Set.empty[Long]).toSeq: _*)
+    DedupOps.simhashPairs(docsDf, maxHamming = 1).select("da", "db")
+      .collect().foreach { r =>
+        adj(r.getLong(0)) += r.getLong(1); adj(r.getLong(1)) += r.getLong(0)
+      }
+    val deg0 = nodes.map(v => v -> adj(v).size.toLong).toMap
+    val n = nodes.length
+    val k = deg0.values.toSeq.sorted
+      .zipWithIndex.collectFirst { case (d, i) if 2 * (i + 1) >= n => d }.get
+    val cur = scala.collection.mutable.Map(deg0.toSeq: _*)
+    val alive = scala.collection.mutable.Set(nodes.toSeq: _*)
+    val peelRound = scala.collection.mutable.Map.empty[Long, Long]
+    var t = 0L
+    var rm = alive.filter(cur(_) < k).toSeq
+    while (rm.nonEmpty) {
+      t += 1
+      rm.foreach { v => peelRound(v) = t; alive -= v }
+      rm.foreach(v => adj(v).foreach(u => if (alive(u)) cur(u) -= 1))
+      rm = alive.filter(cur(_) < k).toSeq
+    }
+    val got = DedupOps.simhashKCore(docsDf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("deg0"), r.getAs[Long]("k"),
+          r.getAs[Long]("peel_round")))).toMap
+    val want = nodes.map(v =>
+      v -> ((deg0(v), k, peelRound.getOrElse(v, 0L)))).toMap
+    assert(t >= 1, "fixture corpus unexpectedly peels nothing")
+    assert(alive.nonEmpty, "fixture corpus unexpectedly has an empty core")
+    assert(got == want)
+  }
+
+  test("BottomK aggregator equals sorted-distinct-take-k across partitionings") {
+    // The KMV state must be a pure function of the input SET: same result
+    // for any partitioning (merge path) and any duplication pattern.
+    val rng = new scala.util.Random(42)
+    val vals = Seq.fill(5000)(rng.nextLong(100000L))
+    for (k <- Seq(1, 16, 256); parts <- Seq(1, 7)) {
+      val bk = udaf(new graft.functions.BottomK(k),
+        org.apache.spark.sql.Encoders.scalaLong)
+      val got = vals.toDF("v").repartition(parts)
+        .agg(bk(col("v")).as("bk"))
+        .collect()(0).getSeq[Long](0)
+      val want = vals.distinct.sorted.take(k)
+      assert(got == want, s"k=$k parts=$parts")
+    }
+  }
+
+  test("l61 source overlap equals a naive union-find rollup on real docs") {
+    val dir = "/root/testdata/sf0.001"
+    val dd = spark.read.parquet(s"$dir/documents.parquet")
+    val pairs = DedupOps.jaccardPairs(dd, 0.8).select("da", "db")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val src = dd.select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val parent = scala.collection.mutable.Map(src.keys.map(d => d -> d).toSeq: _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val byComp = src.keys.groupBy(find).values.filter(_.size >= 2)
+    val want = scala.collection.mutable.Map
+      .empty[(String, String), (Long, Long)].withDefaultValue((0L, 0L))
+    byComp.foreach { ds =>
+      val bySrc = ds.groupBy(src).view.mapValues(_.size.toLong).toMap
+      val ss = bySrc.keys.toSeq.sorted
+      for (i <- ss.indices; j <- i until ss.length) {
+        val (sa, sb) = (ss(i), ss(j))
+        val np = if (i == j) bySrc(sa) * (bySrc(sa) - 1) / 2
+                 else bySrc(sa) * bySrc(sb)
+        if (i != j || bySrc(sa) >= 2) {
+          val (c, p) = want((sa, sb)); want((sa, sb)) = (c + 1, p + np)
+        }
+      }
+    }
+    val got = SparkEntry.queries("l61_source_overlap")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("n_components"), r.getAs[Long]("n_doc_pairs")))).toMap
+    assert(want.nonEmpty, "fixture corpus unexpectedly has no dup clusters")
+    assert(got == want.toMap)
+  }
+
   test("mm5 dHash pairs equal a naive byte-probe quadratic implementation") {
     val dir = "/root/testdata/sf0.001"
     val got = SparkEntry.queries("mm5_phash_pairs")(spark, dir).collect()
