@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import graft.functions.TextFunctions
 import graft.streaming.EventStreams
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -747,6 +748,64 @@ object EventQueries {
       } finally prev.fold(s.conf.unset(key))(v => s.conf.set(key, v))
     },
 
+    // S28 — STREAMING FINGERPRINT DEDUP INDEX: the streaming twin of
+    // l23's incremental ingest. Documents split into a base file (even
+    // doc_id) and an increment file (odd), streamed OLDEST-FIRST one
+    // file per micro-batch (pinned modification times), each row mapped
+    // to its l11 rolling fingerprint (row-local — no aggregation before
+    // the stateful op), and classified by a transformWithState
+    // ValueState index keyed on the fingerprint: first arrival claims
+    // the slot (`first`, canonical id), every later arrival — same or
+    // later batch — emits `dup` against the stored canonical. The
+    // increment batch classifying against state built by the base batch
+    // is the cross-batch index lookup a production ingest runs; the
+    // oracle replays it in closed form (canonical = min even doc_id if
+    // the fingerprint appears in the base, else min doc_id).
+    "s28_fp_index_stream" -> { (s, d) =>
+      import s.implicits._
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+                      "RocksDBStateStoreProvider")
+      try {
+        val raw = s.read.parquet(s"$d/documents.parquet")
+          .select(col("doc_id"), col("text"))
+        val dir = java.nio.file.Files.createTempDirectory("graft-fpstream-")
+        val tmp = java.nio.file.Files.createTempDirectory("graft-fpstream-tmp-")
+        try {
+          def writeOne(df: DataFrame, name: String, mtime: Long): Unit = {
+            val out = tmp.resolve(name + "-out").toString
+            df.coalesce(1).write.parquet(out)
+            val part = new java.io.File(out).listFiles()
+              .find(_.getName.endsWith(".parquet")).get
+            val dst = dir.resolve(name)
+            java.nio.file.Files.copy(part.toPath, dst)
+            require(dst.toFile.setLastModified(mtime),
+              s"cannot pin mtime of $dst — batch order would be undefined")
+          }
+          val now = System.currentTimeMillis()
+          writeOne(raw.filter(col("doc_id") % 2 === 0), "0_base.parquet",
+                   now - 60000)
+          writeOne(raw.filter(col("doc_id") % 2 === 1), "1_inc.parquet",
+                   now - 30000)
+          val stream = s.readStream.schema(raw.schema)
+            .option("pathGlobFilter", "*.parquet")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(dir.toString)
+            .select(TextFunctions.rollingFingerprint("text").as("fingerprint"),
+                    col("doc_id"))
+            .as[EventStreams.FpDoc]
+          val statuses = EventStreams.fpIndexStatuses(stream).toDF
+          EventStreams.runToCompletion(s, statuses, "s28_sink",
+                                       mode = "append")
+            .orderBy("doc_id")
+        } finally {
+          EventStreams.deleteRecursively(tmp)
+          EventStreams.deleteRecursively(dir)
+        }
+      } finally prev.fold(s.conf.unset(key))(v => s.conf.set(key, v))
+    },
+
     // S12 — LEFT OUTER stream-stream join: the interval join (S6) in its
     // outer form, where an unmatched click must STILL emit (null view
     // side) — and may only do so once the watermark proves no match can
@@ -1165,6 +1224,37 @@ object EventQueries {
     // cents checksum: rn·cents summed over the session replays the
     // ListState buffer's sorted digest exactly. Any lost, duplicated, or
     // mis-ordered append changes some event's rn and breaks the hash.
+    // Closed-form replay of the two-batch index accretion: the base
+    // (even doc_id) batch runs first, so a fingerprint seen in the base
+    // has canonical = min even doc_id and every odd arrival is a dup;
+    // a fingerprint born in the increment elects min odd. The
+    // fingerprint expression is l11's rolling min-hash replay.
+    "s28_fp_index_stream" ->
+      """WITH fpt AS (
+        |  SELECT doc_id,
+        |  CASE WHEN length(text) >= 8 THEN
+        |    list_min(list_transform(range(1, length(text) - 6), i ->
+        |      (CAST(ascii(substring(text, i,     1)) AS BIGINT) * 27512614111
+        |     + CAST(ascii(substring(text, i + 1, 1)) AS BIGINT) * 887503681
+        |     + CAST(ascii(substring(text, i + 2, 1)) AS BIGINT) * 28629151
+        |     + CAST(ascii(substring(text, i + 3, 1)) AS BIGINT) * 923521
+        |     + CAST(ascii(substring(text, i + 4, 1)) AS BIGINT) * 29791
+        |     + CAST(ascii(substring(text, i + 5, 1)) AS BIGINT) * 961
+        |     + CAST(ascii(substring(text, i + 6, 1)) AS BIGINT) * 31
+        |     + CAST(ascii(substring(text, i + 7, 1)) AS BIGINT)) % 1000000007))
+        |  ELSE CAST(-1 AS BIGINT) END AS fingerprint
+        |  FROM documents),
+        |canon AS (
+        |  SELECT fingerprint,
+        |    COALESCE(MIN(CASE WHEN doc_id % 2 = 0 THEN doc_id END),
+        |             MIN(doc_id)) AS canonical_id
+        |  FROM fpt GROUP BY 1)
+        |SELECT f.doc_id, f.fingerprint, c.canonical_id,
+        |  CASE WHEN f.doc_id = c.canonical_id THEN 'first' ELSE 'dup' END
+        |    AS status
+        |FROM fpt f JOIN canon c ON c.fingerprint = f.fingerprint
+        |ORDER BY f.doc_id""".stripMargin,
+
     "s27_tws_liststate" ->
       """WITH marked AS (
         |  SELECT user_id, event_id, ts, value,

@@ -809,6 +809,73 @@ object EventStreams {
     spark.read.parquet(outDir)
   }
 
+  /** STREAMING FINGERPRINT DEDUP INDEX (the s28 gate) — the steady-state
+    * form of l23's incremental ingest: documents arrive as a stream, each
+    * carrying a row-local content fingerprint (l11's rolling min-hash —
+    * computable without aggregation, so the stateless map stays
+    * pipelined), and a `transformWithState` ValueState keyed BY THE
+    * FINGERPRINT is the persistent dedup index. First arrival under a
+    * fingerprint claims the index slot (`first`) and becomes the
+    * canonical id; every later arrival — same micro-batch or any later
+    * one — emits `dup` against the stored canonical. That cross-batch
+    * lookup is exactly the "classify the increment against the existing
+    * index" step a production ingest runs continuously, here as state
+    * the engine owns (checkpointed, restart-safe) instead of an external
+    * KV store.
+    *
+    * Determinism: within one batch a key's rows are classified by
+    * doc_id order (sorted locally — rows-per-(key, batch) is small by
+    * construction), so the emitted statuses are independent of arrival
+    * order inside the batch; across batches the file source's
+    * modification-time order (pinned by the gate) decides who wins the
+    * slot. At 100 TB the state is one LONG per distinct fingerprint —
+    * the minimal possible index — partitioned by the shuffle hash,
+    * RocksDB-backed, merged map-side like any keyed state.
+    */
+  def fpIndexStatuses(docs: org.apache.spark.sql.Dataset[EventStreams.FpDoc])
+      : org.apache.spark.sql.Dataset[EventStreams.FpStatus] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.groupByKey(_.fingerprint)
+      .transformWithState(new FpIndexProcessor,
+                          TimeMode.None, OutputMode.Append)
+  }
+
+  /** Per-fingerprint index slot for [[fpIndexStatuses]]: one ValueState
+    * LONG (the canonical doc_id), no timers — the smallest stateful
+    * processor the arbitrary-state API admits, which is the point: a
+    * dedup index is pure keyed memory.
+    */
+  private class FpIndexProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, EventStreams.FpDoc, EventStreams.FpStatus] {
+    import org.apache.spark.sql.streaming.{OutputMode, TTLConfig, TimeMode,
+      TimerValues, ValueState}
+    @transient private var canon: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      canon = getHandle.getValueState[Long]("canon",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(fp: Long, rows: Iterator[FpDoc],
+                                 timers: TimerValues): Iterator[FpStatus] = {
+      val ids = rows.map(_.doc_id).toArray.sorted
+      if (ids.isEmpty) return Iterator.empty
+      val existing = canon.exists
+      val c = if (existing) canon.get else ids.head
+      if (!existing) canon.update(c)
+      ids.iterator.map(id => FpStatus(id, fp, c,
+        if (!existing && id == c) "first" else "dup"))
+    }
+  }
+
+  /** Typed input row for [[fpIndexStatuses]]. */
+  case class FpDoc(fingerprint: Long, doc_id: Long)
+  /** One classified arrival: the index verdict for a streamed document. */
+  case class FpStatus(doc_id: Long, fingerprint: Long,
+                      canonical_id: Long, status: String)
+
   /** Typed input row for [[customSessions]]. */
   case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   /** Typed input row for [[twsSessionDigests]] (adds the unique event_id

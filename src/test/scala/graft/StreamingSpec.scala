@@ -179,6 +179,35 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty && got.toSeq == want.toSeq)
   }
 
+  test("s28 fingerprint index: cross-batch state classifies the increment") {
+    val d = "/root/testdata/sf0.001"
+    val got = graft.operators.EventQueries.queries("s28_fp_index_stream")(spark, d)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    // Independent batch derivation: canonical = min even doc_id when the
+    // fingerprint appears in the base batch, else min doc_id overall.
+    val fps = spark.read.parquet(s"$d/documents.parquet")
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.rollingFingerprint("text").as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val canon = fps.groupBy(_._2).map { case (fp, ds) =>
+      val ids = ds.map(_._1)
+      fp -> ids.filter(_ % 2 == 0).minOption.getOrElse(ids.min)
+    }
+    val want = fps.map { case (id, fp) =>
+      id -> ((fp, canon(fp), if (id == canon(fp)) "first" else "dup"))
+    }.toMap
+    assert(got == want)
+    // The interesting case must exist in the fixture: an odd (increment)
+    // doc classified dup against an EVEN canonical — state built in batch
+    // 1 consulted in batch 2. Without it the gate degenerates to
+    // within-batch dedup.
+    assert(want.exists { case (id, (_, c, st)) =>
+      id % 2 == 1 && c % 2 == 0 && st == "dup" },
+      "fixture has no cross-batch dup — the gate would not exercise state")
+  }
+
   test("s26 changelog restart equals the whole-input batch") {
     val d = "/root/testdata/sf0.001"
     val got = graft.operators.EventQueries.queries("s26_changelog_restart")(spark, d)
