@@ -206,6 +206,23 @@ class StreamingSpec extends SparkSpec {
     assert(want.exists { case (id, (_, c, st)) =>
       id % 2 == 1 && c % 2 == 0 && st == "dup" },
       "fixture has no cross-batch dup — the gate would not exercise state")
+    // ORDER-sensitivity proof: a fingerprint whose smallest doc_id is ODD
+    // must still elect its smallest EVEN doc (the base batch ran first).
+    // If the two files collapsed into one batch — or processed
+    // newest-first — the min-id-overall rule would elect the odd doc and
+    // these keys would diverge (25 such fingerprints at this sf).
+    val orderSensitive = fps.groupBy(_._2).filter { case (_, ds) =>
+      val ids = ds.map(_._1)
+      ids.exists(_ % 2 == 0) && ids.min % 2 == 1
+    }
+    assert(orderSensitive.nonEmpty,
+      "fixture has no order-sensitive fingerprint — batch order unpinned")
+    orderSensitive.foreach { case (fp, ds) =>
+      val evenMin = ds.map(_._1).filter(_ % 2 == 0).min
+      ds.foreach { case (id, _) =>
+        assert(got(id)._2 == evenMin, s"fp $fp: doc $id elected ${got(id)._2}")
+      }
+    }
   }
 
   test("s26 changelog restart equals the whole-input batch") {
