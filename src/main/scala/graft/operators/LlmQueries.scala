@@ -705,6 +705,71 @@ object LlmQueries {
         .orderBy("lang")
     },
 
+    // L63 — KMV SET ALGEBRA (round 14): the capability l62's SURVEY row
+    // advertises as the reason KMV ships beside HLL — two groups'
+    // sketches COMBINE into union and intersection estimates without
+    // touching the data again. For every language pair: the union sketch
+    // is the bottom-k of the two sketch SETS (a valid KMV sketch of
+    // Da ∪ Db by construction — the k smallest of the union's hashes are
+    // all present in one of the operand sketches), est_union from its
+    // k-th min, and est_inter = |S∪ ∩ Sa ∩ Sb| · est_union div k (the
+    // Beyer'07 ρ·n̂∪ estimator, integer arithmetic end-to-end). Exact
+    // sides replayed per pair; both verdict bands hash-enforced. All
+    // sketch combination happens on G sketch ROWS (one per language,
+    // k·8 bytes each) — at 100 TB the pairwise set-overlap matrix costs
+    // G²·k array ops, no second corpus pass, which is the operational
+    // point. The pair join is a G-row broadcast nested loop (G = #langs,
+    // dimension-bounded), never data-sized.
+    "l63_kmv_setops" -> { (s, d) =>
+      val K = 256
+      val M = 2147483647L
+      val bottomK = udaf(new graft.functions.BottomK(K),
+        org.apache.spark.sql.Encoders.scalaLong)
+      val h = docs(s, d)
+        .select(col("lang"), expr("word_ngrams(text, 3)").as("g"))
+        .select(col("lang"),
+                ((TextFunctions.tokenHash("g") * 2654435761L) % M).as("h2"))
+      val sk = h.groupBy(col("lang")).agg(bottomK(col("h2")).as("bk"))
+      val dist = h.distinct()
+      val ex = dist.groupBy(col("lang"))
+        .agg(count(lit(1)).as("nd"))
+      val a = sk.join(ex, "lang")
+        .select(col("lang").as("lang_a"), col("bk").as("ba"),
+                col("nd").as("na"))
+      val b = sk.join(ex, "lang")
+        .select(col("lang").as("lang_b"), col("bk").as("bb"),
+                col("nd").as("nb"))
+      val inter = dist.as("x").join(dist.as("y"),
+          col("x.h2") === col("y.h2") && col("x.lang") < col("y.lang"))
+        .groupBy(col("x.lang").as("lang_a"), col("y.lang").as("lang_b"))
+        .agg(count(lit(1)).as("exact_inter"))
+      a.join(b, col("lang_a") < col("lang_b"))
+        .join(inter, Seq("lang_a", "lang_b"), "left")
+        .na.fill(0L, Seq("exact_inter"))
+        .withColumn("mu",
+          expr(s"slice(array_sort(array_distinct(concat(ba, bb))), 1, $K)"))
+        .select(col("lang_a"), col("lang_b"), col("mu"),
+          (col("na") + col("nb") - col("exact_inter")).as("exact_union"),
+          col("exact_inter"),
+          expr(s"case when size(mu) < $K then cast(size(mu) as bigint)" +
+               s" else ${(K - 1).toLong} * ${M}L div element_at(mu, -1)" +
+               " end").as("est_union"),
+          expr(s"size(array_intersect(array_intersect(mu, ba), bb))")
+            .cast("long").as("k_both"))
+        .withColumn("est_inter",
+          expr(s"case when size(mu) < $K then k_both" +
+               s" else k_both * est_union div $K end"))
+        .drop("mu")
+        .withColumn("union_in_band",
+          lit(100) * abs(col("est_union") - col("exact_union"))
+            <= lit(25) * col("exact_union"))
+        .withColumn("inter_in_band",
+          lit(100) * abs(col("est_inter") - col("exact_inter"))
+            <= lit(15) * col("exact_union"))
+        .drop("k_both")
+        .orderBy("lang_a", "lang_b")
+    },
+
     // L15 — deterministic dataset split assignment: every doc lands in
     // train/val/test (8/1/1) via a pure multiplicative hash of doc_id —
     // reproducible across runs, engines, and cluster sizes, which is the
@@ -2515,6 +2580,79 @@ object LlmQueries {
         |  100 * abs(est_distinct - exact_distinct) <= 25 * exact_distinct
         |    AS within_band
         |FROM est ORDER BY lang""".stripMargin,
+
+    // Exact replay of the sketch ALGEBRA: per-language bottom-256, the
+    // pairwise union sketch as the bottom-256 of the two sketch sets,
+    // |S∪ ∩ Sa ∩ Sb|, and the same integer estimators and bands. The
+    // unsaturated branch (size < k ⇒ sketches are exact) mirrors the
+    // engine's CASE.
+    "l63_kmv_setops" ->
+      """WITH w AS (
+        |  SELECT lang, list_filter(string_split(text, ' '), t -> t != '') AS ws
+        |  FROM documents),
+        |grams AS (
+        |  SELECT lang, unnest(list_transform(range(1, len(ws) - 1),
+        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
+        |  FROM w WHERE len(ws) >= 3),
+        |h AS (
+        |  SELECT lang,
+        |    (list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |       list_transform(range(1, length(g) + 1),
+        |                      i -> CAST(ascii(substring(g, i, 1)) AS BIGINT))),
+        |     (acc, c) -> (acc * 31 + c) % 1000003) * 2654435761) % 2147483647
+        |      AS h2
+        |  FROM grams),
+        |d AS (SELECT DISTINCT lang, h2 FROM h),
+        |ex AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS nd FROM d GROUP BY 1),
+        |bk AS (SELECT lang, h2,
+        |         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h2) AS rn
+        |       FROM d),
+        |sk AS (SELECT lang, h2 FROM bk WHERE rn <= 256),
+        |ix AS (SELECT x.lang AS lang_a, y.lang AS lang_b,
+        |         CAST(COUNT(*) AS BIGINT) AS exact_inter
+        |       FROM d x JOIN d y ON x.h2 = y.h2 AND x.lang < y.lang
+        |       GROUP BY 1, 2),
+        |pr AS (SELECT a.lang AS lang_a, a.nd AS na, b.lang AS lang_b,
+        |              b.nd AS nb
+        |       FROM ex a JOIN ex b ON a.lang < b.lang),
+        |mem AS (SELECT DISTINCT p.lang_a, p.lang_b, s.h2
+        |        FROM pr p JOIN sk s ON s.lang = p.lang_a OR s.lang = p.lang_b),
+        |mu AS (SELECT lang_a, lang_b, h2,
+        |         ROW_NUMBER() OVER (PARTITION BY lang_a, lang_b
+        |                            ORDER BY h2) AS rn
+        |       FROM mem),
+        |musz AS (SELECT lang_a, lang_b, CAST(COUNT(*) AS BIGINT) AS m,
+        |                CAST(MAX(h2) AS BIGINT) AS hk
+        |         FROM mu WHERE rn <= 256 GROUP BY 1, 2),
+        |kb AS (SELECT u.lang_a, u.lang_b, CAST(COUNT(*) AS BIGINT) AS k_both
+        |       FROM mu u
+        |       JOIN sk sa ON sa.lang = u.lang_a AND sa.h2 = u.h2
+        |       JOIN sk sb ON sb.lang = u.lang_b AND sb.h2 = u.h2
+        |       WHERE u.rn <= 256 GROUP BY 1, 2),
+        |est AS (
+        |  SELECT p.lang_a, p.lang_b,
+        |    p.na + p.nb - COALESCE(ix.exact_inter, 0) AS exact_union,
+        |    COALESCE(ix.exact_inter, 0) AS exact_inter,
+        |    CASE WHEN z.m < 256 THEN z.m
+        |         ELSE (CAST(255 AS BIGINT) * 2147483647) // z.hk END
+        |      AS est_union,
+        |    COALESCE(kb.k_both, 0) AS k_both, z.m
+        |  FROM pr p
+        |  JOIN musz z ON z.lang_a = p.lang_a AND z.lang_b = p.lang_b
+        |  LEFT JOIN ix ON ix.lang_a = p.lang_a AND ix.lang_b = p.lang_b
+        |  LEFT JOIN kb ON kb.lang_a = p.lang_a AND kb.lang_b = p.lang_b),
+        |fin AS (
+        |  SELECT lang_a, lang_b, exact_union, exact_inter, est_union,
+        |    CASE WHEN m < 256 THEN k_both
+        |         ELSE k_both * est_union // 256 END AS est_inter
+        |  FROM est)
+        |SELECT lang_a, lang_b, exact_union, exact_inter, est_union,
+        |  est_inter,
+        |  100 * abs(est_union - exact_union) <= 25 * exact_union
+        |    AS union_in_band,
+        |  100 * abs(est_inter - exact_inter) <= 15 * exact_union
+        |    AS inter_in_band
+        |FROM fin ORDER BY lang_a, lang_b""".stripMargin,
 
     // The oracle IS the naive single-partition window the engine refuses
     // to run — row_number over the corpus-wide total order; DuckDB's `//`

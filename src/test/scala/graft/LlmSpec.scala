@@ -794,6 +794,49 @@ class LlmSpec extends SparkSpec {
     assert(got == want.toMap)
   }
 
+  test("l63 sketch set-algebra equals a naive Scala replay on real docs") {
+    // Independent end-to-end replay: hash fold, per-lang distinct sets,
+    // bottom-256 sketches, pairwise union-sketch combination, and the
+    // integer estimators — all in plain Scala off the raw corpus.
+    val dir = "/root/testdata/sf0.001"
+    val M = 2147483647L
+    def h2(gram: String): Long = {
+      var acc = 0L
+      gram.foreach { c => acc = (acc * 31 + c.toLong) % 1000003L }
+      (acc * 2654435761L) % M
+    }
+    val byLang = spark.read.parquet(s"$dir/documents.parquet")
+      .select("lang", "text").collect()
+      .groupBy(_.getString(0)).view.mapValues { rows =>
+        rows.flatMap { r =>
+          val ts = r.getString(1).split(' ').filter(_.nonEmpty)
+          ts.sliding(3).filter(_.length == 3).map(g => h2(g.mkString(" ")))
+        }.toSet
+      }.toMap
+    val sk = byLang.view.mapValues(_.toSeq.sorted.take(256)).toMap
+    val want = (for {
+      la <- byLang.keys.toSeq.sorted; lb <- byLang.keys.toSeq.sorted
+      if la < lb
+    } yield {
+      val (da, db) = (byLang(la), byLang(lb))
+      val exInter = (da intersect db).size.toLong
+      val exUnion = da.size.toLong + db.size - exInter
+      val mu = (sk(la) ++ sk(lb)).distinct.sorted.take(256)
+      val estU = if (mu.size < 256) mu.size.toLong
+                 else 255L * M / mu.last
+      val kBoth = mu.count(v => sk(la).contains(v) && sk(lb).contains(v)).toLong
+      val estI = if (mu.size < 256) kBoth else kBoth * estU / 256
+      (la, lb) -> ((exUnion, exInter, estU, estI))
+    }).toMap
+    val got = SparkEntry.queries("l63_kmv_setops")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("exact_union"), r.getAs[Long]("exact_inter"),
+          r.getAs[Long]("est_union"), r.getAs[Long]("est_inter")))).toMap
+    assert(want.nonEmpty && got == want)
+    // The set-expression claim needs a genuinely overlapping pair.
+    assert(want.exists(_._2._2 > 0), "no overlapping language pair in fixture")
+  }
+
   test("mm5 dHash pairs equal a naive byte-probe quadratic implementation") {
     val dir = "/root/testdata/sf0.001"
     val got = SparkEntry.queries("mm5_phash_pairs")(spark, dir).collect()
