@@ -51,7 +51,9 @@ object PlanAudit {
     "l43_intra_doc_repetition", "l44_mixture_sample", "l45_importance_resample",
     "io22_rowgroup_stats", "l46_perplexity_buckets", "l47_collocation_lift",
     "r39_trailing_window", "l48_ngram_novelty", "r40_var_stddev",
-    "l49_mix_independence")
+    "l49_mix_independence",
+    "l60_kcore", "l61_source_overlap", "l62_kmv_distinct",
+    "l63_kmv_setops")
 
   /** Execute `df` (noop traversal — AQE's final plan only exists after
     * execution) and compute the anti-pattern flags from the executed plan.

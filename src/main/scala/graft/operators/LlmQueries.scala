@@ -743,7 +743,7 @@ object LlmQueries {
           col("x.h2") === col("y.h2") && col("x.lang") < col("y.lang"))
         .groupBy(col("x.lang").as("lang_a"), col("y.lang").as("lang_b"))
         .agg(count(lit(1)).as("exact_inter"))
-      a.join(b, col("lang_a") < col("lang_b"))
+      a.join(broadcast(b), col("lang_a") < col("lang_b"))
         .join(inter, Seq("lang_a", "lang_b"), "left")
         .na.fill(0L, Seq("exact_inter"))
         .withColumn("mu",

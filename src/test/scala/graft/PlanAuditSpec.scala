@@ -187,7 +187,23 @@ class PlanAuditSpec extends SparkSpec {
     // One narrow projection + one hash aggregate of exact moments.
     "r40_var_stddev" -> Set("WholeStageCodegen"),
     // The margin dims must BROADCAST onto the cells.
-    "l49_mix_independence" -> Set("WholeStageCodegen", "BroadcastHashJoin"))
+    "l49_mix_independence" -> Set("WholeStageCodegen", "BroadcastHashJoin"),
+    // The gate returns a materialized (localCheckpoint-backed) frame —
+    // the joined plan's features are cut with the lineage (the io18
+    // precedent), so only the cartesian flag is assertable here; the
+    // broadcast of the ≤ 2^16-row class verdicts is structural
+    // (explicit broadcast() in DedupOps.simhashKCore).
+    "l60_kcore" -> Set.empty[String],
+    // Pair engine + components + source rollup — codegen'd projections,
+    // no cartesian (the per-component self-join is source-bounded).
+    "l61_source_overlap" -> Set("WholeStageCodegen"),
+    // Generator + hash fold stay codegen'd around the ObjectHashAggregate
+    // the typed BottomK Aggregator plans as.
+    "l62_kmv_distinct" -> Set("WholeStageCodegen"),
+    // Sketch combination over G-row frames; the gram/hash pass stays
+    // codegen'd. The G-row pair join is a broadcast nested loop by
+    // design — bounded by the language dimension, never data-sized.
+    "l63_kmv_setops" -> Set("WholeStageCodegen"))
 
   test("every audited gated query is cartesian-free with its required plan features") {
     // Keep the spec's coverage locked to the audit's default set — adding a
