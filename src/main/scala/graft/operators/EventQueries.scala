@@ -806,6 +806,64 @@ object EventQueries {
       } finally prev.fold(s.conf.unset(key))(v => s.conf.set(key, v))
     },
 
+    // S29 — STREAMING KMV CARDINALITY MONITOR: l62's bottom-k distinct
+    // sketch as accreting stream state. Documents stream base-then-
+    // increment (the s28 two-file setup), each micro-batch folds its
+    // word-3-gram hashes into a per-language ValueState sketch, and the
+    // post-batch estimate is emitted with a phase counter — the
+    // "distinct-universe growth" dashboard of a continuous ingest, with
+    // no history rescans (k·8 bytes of state per language). Because the
+    // KMV state is a pure set function, phase 1 must equal the batch
+    // sketch of the even docs and phase 2 the batch sketch of the whole
+    // corpus (l62's own values) — which is exactly what the oracle
+    // replays; any cross-batch state loss or double-fold hash-fails.
+    "s29_kmv_monitor_stream" -> { (s, d) =>
+      import s.implicits._
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+                      "RocksDBStateStoreProvider")
+      try {
+        val raw = s.read.parquet(s"$d/documents.parquet")
+          .select(col("doc_id"), col("lang"), col("text"))
+        val dir = java.nio.file.Files.createTempDirectory("graft-kmvstream-")
+        val tmp = java.nio.file.Files.createTempDirectory("graft-kmvstream-tmp-")
+        try {
+          def writeOne(df: DataFrame, name: String, mtime: Long): Unit = {
+            val out = tmp.resolve(name + "-out").toString
+            df.coalesce(1).write.parquet(out)
+            val part = new java.io.File(out).listFiles()
+              .find(_.getName.endsWith(".parquet")).get
+            val dst = dir.resolve(name)
+            java.nio.file.Files.copy(part.toPath, dst)
+            require(dst.toFile.setLastModified(mtime),
+              s"cannot pin mtime of $dst — batch order would be undefined")
+          }
+          val now = System.currentTimeMillis()
+          writeOne(raw.filter(col("doc_id") % 2 === 0), "0_base.parquet",
+                   now - 60000)
+          writeOne(raw.filter(col("doc_id") % 2 === 1), "1_inc.parquet",
+                   now - 30000)
+          val grams = s.readStream.schema(raw.schema)
+            .option("pathGlobFilter", "*.parquet")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(dir.toString)
+            .select(col("lang"), expr("word_ngrams(text, 3)").as("g"))
+            .select(col("lang"),
+              ((TextFunctions.tokenHash("g") * 2654435761L) % 2147483647L)
+                .as("h2"))
+            .as[EventStreams.LangHash]
+          val phases = EventStreams.kmvMonitor(grams).toDF
+          EventStreams.runToCompletion(s, phases, "s29_sink",
+                                       mode = "append")
+            .orderBy("lang", "phase")
+        } finally {
+          EventStreams.deleteRecursively(tmp)
+          EventStreams.deleteRecursively(dir)
+        }
+      } finally prev.fold(s.conf.unset(key))(v => s.conf.set(key, v))
+    },
+
     // S12 — LEFT OUTER stream-stream join: the interval join (S6) in its
     // outer form, where an unmatched click must STILL emit (null view
     // side) — and may only do so once the watermark proves no match can
@@ -1224,6 +1282,49 @@ object EventQueries {
     // cents checksum: rn·cents summed over the session replays the
     // ListState buffer's sorted digest exactly. Any lost, duplicated, or
     // mis-ordered append changes some event's rn and breaks the hash.
+    // The KMV state is a pure set function, so the streaming accretion
+    // is replayed in closed form: phase 1 = the batch bottom-256 of the
+    // even (base-file) docs' gram hashes, phase 2 = of the whole corpus;
+    // same integer estimator as l62.
+    "s29_kmv_monitor_stream" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split(text, ' '), t -> t != '') AS ws
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, lang, unnest(list_transform(range(1, len(ws) - 1),
+        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
+        |  FROM w WHERE len(ws) >= 3),
+        |h AS (
+        |  SELECT doc_id, lang,
+        |    (list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |       list_transform(range(1, length(g) + 1),
+        |                      i -> CAST(ascii(substring(g, i, 1)) AS BIGINT))),
+        |     (acc, c) -> (acc * 31 + c) % 1000003) * 2654435761) % 2147483647
+        |      AS h2
+        |  FROM grams),
+        |p1 AS (SELECT DISTINCT lang, h2 FROM h WHERE doc_id % 2 = 0),
+        |p2 AS (SELECT DISTINCT lang, h2 FROM h),
+        |b1 AS (SELECT lang, h2,
+        |         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h2) AS rn
+        |       FROM p1),
+        |b2 AS (SELECT lang, h2,
+        |         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h2) AS rn
+        |       FROM p2),
+        |u AS (
+        |  SELECT lang, CAST(1 AS BIGINT) AS phase,
+        |    CAST(COUNT(*) AS BIGINT) AS n_sketch, CAST(MAX(h2) AS BIGINT) AS hk
+        |  FROM b1 WHERE rn <= 256 GROUP BY 1
+        |  UNION ALL
+        |  SELECT lang, CAST(2 AS BIGINT),
+        |    CAST(COUNT(*) AS BIGINT), CAST(MAX(h2) AS BIGINT)
+        |  FROM b2 WHERE rn <= 256 GROUP BY 1)
+        |SELECT lang, phase, n_sketch, hk,
+        |  CASE WHEN n_sketch < 256 THEN n_sketch
+        |       ELSE (CAST(255 AS BIGINT) * 2147483647) // hk END
+        |    AS est_distinct
+        |FROM u ORDER BY lang, phase""".stripMargin,
+
     // Closed-form replay of the two-batch index accretion: the base
     // (even doc_id) batch runs first, so a fingerprint seen in the base
     // has canonical = min even doc_id and every odd arrival is a dup;

@@ -870,6 +870,79 @@ object EventStreams {
     }
   }
 
+  /** STREAMING KMV CARDINALITY MONITOR (the s29 gate): the l62 bottom-k
+    * distinct sketch as ACCRETING stream state — per language, a
+    * `transformWithState` ValueState holds the k smallest distinct gram
+    * hashes seen so far, each micro-batch folds its arrivals in (the
+    * same insert/merge arithmetic as [[graft.functions.BottomK]], state
+    * is a pure function of the input SET so arrival order inside a
+    * batch cannot matter), and the post-batch estimate is emitted with
+    * a per-key phase counter. This is the "how big is the distinct
+    * universe getting" dashboard a continuous ingest runs: the sketch
+    * never rescans history (fixed k·8-byte state per group), yet every
+    * emitted row is exactly the batch sketch of everything seen so far
+    * — the phase-2 row must equal l62's batch sketch bit-for-bit, which
+    * is what the oracle checks.
+    */
+  def kmvMonitor(grams: org.apache.spark.sql.Dataset[EventStreams.LangHash],
+                 k: Int = 256)
+      : org.apache.spark.sql.Dataset[EventStreams.KmvPhase] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = grams.sparkSession
+    import spark.implicits._
+    grams.groupByKey(_.lang)
+      .transformWithState(new KmvMonitorProcessor(k),
+                          TimeMode.None, OutputMode.Append)
+  }
+
+  /** Per-language sketch state machine for [[kmvMonitor]]: one
+    * ValueState[Array[Long]] (the sorted distinct bottom-k) + a phase
+    * counter; no timers. The fold delegates to [[graft.functions
+    * .BottomK]]'s reduce so stream state and the batch aggregate can
+    * never drift apart arithmetically.
+    */
+  private class KmvMonitorProcessor(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, EventStreams.LangHash, EventStreams.KmvPhase] {
+    import org.apache.spark.sql.streaming.{OutputMode, TTLConfig, TimeMode,
+      TimerValues, ValueState}
+    @transient private var sketch: ValueState[Array[Long]] = _
+    @transient private var phase: ValueState[Long] = _
+    private val M = 2147483647L
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      sketch = getHandle.getValueState[Array[Long]]("sketch",
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]](),
+        TTLConfig.NONE)
+      phase = getHandle.getValueState[Long]("phase",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(lang: String,
+                                 rows: Iterator[LangHash],
+                                 timers: TimerValues): Iterator[KmvPhase] = {
+      val agg = new graft.functions.BottomK(k)
+      var buf = graft.functions.BottomK.Buf(
+        if (sketch.exists) sketch.get else Array.emptyLongArray)
+      var any = false
+      rows.foreach { r => any = true; buf = agg.reduce(buf, r.h2) }
+      if (!any) return Iterator.empty
+      sketch.update(buf.values)
+      val p = (if (phase.exists) phase.get else 0L) + 1L
+      phase.update(p)
+      val m = buf.values.length
+      val hk = if (m == 0) -1L else buf.values(m - 1)
+      val est = if (m < k) m.toLong else (k - 1).toLong * M / hk
+      Iterator.single(KmvPhase(lang, p, m.toLong, hk, est))
+    }
+  }
+
+  /** Typed input row for [[kmvMonitor]]. */
+  case class LangHash(lang: String, h2: Long)
+  /** One post-batch sketch reading: the running distinct estimate. */
+  case class KmvPhase(lang: String, phase: Long, n_sketch: Long,
+                      hk: Long, est_distinct: Long)
+
   /** Typed input row for [[fpIndexStatuses]]. */
   case class FpDoc(fingerprint: Long, doc_id: Long)
   /** One classified arrival: the index verdict for a streamed document. */

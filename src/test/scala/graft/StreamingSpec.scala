@@ -225,6 +225,45 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("s29 KMV monitor: per-batch sketch readings equal the phase replays") {
+    val d = "/root/testdata/sf0.001"
+    val M = 2147483647L
+    def h2(gram: String): Long = {
+      var acc = 0L
+      gram.foreach { c => acc = (acc * 31 + c.toLong) % 1000003L }
+      (acc * 2654435761L) % M
+    }
+    val rows = spark.read.parquet(s"$d/documents.parquet")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def phaseSketch(keep: Long => Boolean): Map[String, Seq[Long]] =
+      rows.filter(t => keep(t._1)).groupBy(_._2).view.mapValues { rs =>
+        rs.flatMap { case (_, _, text) =>
+          val ts = text.split(' ').filter(_.nonEmpty)
+          ts.sliding(3).filter(_.length == 3).map(g => h2(g.mkString(" ")))
+        }.toSet.toSeq.sorted.take(256)
+      }.toMap
+    def reading(lang: String, phase: Long, sk: Seq[Long]) = {
+      val est = if (sk.size < 256) sk.size.toLong else 255L * M / sk.last
+      (lang, phase) -> ((sk.size.toLong, sk.last, est))
+    }
+    val want =
+      phaseSketch(_ % 2 == 0).map { case (l, s) => reading(l, 1L, s) } ++
+      phaseSketch(_ => true).map { case (l, s) => reading(l, 2L, s) }
+    val got = graft.operators.EventQueries.queries("s29_kmv_monitor_stream")(
+        spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getAs[Long]("n_sketch"), r.getAs[Long]("hk"),
+          r.getAs[Long]("est_distinct")))).toMap
+    assert(got == want)
+    // Both the saturated-estimator path and genuine phase-2 growth must
+    // be exercised, or the gate degenerates.
+    assert(want.values.exists(_._1 == 256L), "no saturated sketch in fixture")
+    assert(want.exists { case ((l, p), (_, hk1, _)) =>
+      p == 1L && hk1 != want((l, 2L))._2
+    }, "no language's sketch changed between phases — accretion untested")
+  }
+
   test("s26 changelog restart equals the whole-input batch") {
     val d = "/root/testdata/sf0.001"
     val got = graft.operators.EventQueries.queries("s26_changelog_restart")(spark, d)
