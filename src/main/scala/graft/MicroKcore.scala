@@ -34,52 +34,13 @@ object MicroKcore {
 
   /** The contraction-free peel: doc-level edges from the same banded pair
     * engine, then round-synchronous degree-threshold removal with one
-    * distributed degree aggregate per round. k is derived exactly as the
-    * operator does (lower median of doc degrees) from a degree HISTOGRAM
-    * (distinct-degree-sized — the only driver traffic besides the
-    * convergence counts).
+    * distributed degree aggregate per round. Since round 15 this IS the
+    * operator's own wide-fingerprint route ([[DedupOps.docKCore]] — the
+    * r14 ADVICE driver-OOM guard), so the probe times the shipped code,
+    * not a probe-only reimplementation.
     */
-  private def docLevelKCore(docs: DataFrame): DataFrame = {
-    val pr = DedupOps.simhashPairs(docs, maxHamming = 1).select("da", "db")
-    val e = pr.select(col("da").as("s"), col("db").as("t"))
-      .unionByName(pr.select(col("db").as("s"), col("da").as("t")))
-      .localCheckpoint(true)
-    val nodes = DedupOps.simhash(docs).select("doc_id").localCheckpoint(true)
-    val deg0 = nodes.join(e, nodes("doc_id") === e("s"), "left")
-      .groupBy(col("doc_id")).agg(count(col("t")).as("deg0"))
-      .localCheckpoint(true)
-    val hist = deg0.groupBy(col("deg0").as("d")).agg(count(lit(1)).as("c"))
-      .orderBy("d").collect()
-    val n = hist.map(_.getLong(1)).sum
-    var cum = 0L
-    val k = hist.collectFirst {
-      case r if { cum += r.getLong(1); 2 * cum >= n } => r.getLong(0)
-    }.getOrElse(0L)
-    var surv = deg0.select(col("doc_id")).localCheckpoint(true)
-    var peeled = surv.select(col("doc_id"), lit(0L).as("peel_round"))
-      .limit(0).localCheckpoint(true)
-    var round = 0L
-    var done = false
-    while (!done) {
-      round += 1
-      val d = surv.join(
-          e.join(surv.select(col("doc_id").as("t")), Seq("t")),
-          surv("doc_id") === col("s"), "left")
-        .groupBy(surv("doc_id")).agg(count(col("t")).as("deg"))
-      val rm = d.filter(col("deg") < k).select(col("doc_id"))
-        .localCheckpoint(true)
-      if (rm.count() == 0L) done = true
-      else {
-        peeled = peeled.unionByName(
-            rm.select(col("doc_id"), lit(round).as("peel_round")))
-          .localCheckpoint(true)
-        surv = surv.join(rm, Seq("doc_id"), "left_anti").localCheckpoint(true)
-      }
-    }
-    deg0.join(peeled, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("deg0"), lit(k).as("k"),
-              coalesce(col("peel_round"), lit(0L)).as("peel_round"))
-  }
+  private def docLevelKCore(docs: DataFrame): DataFrame =
+    DedupOps.docKCore(docs, maxHamming = 1, bits = 16)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

@@ -25,6 +25,13 @@ import org.apache.spark.sql.expressions.Aggregator
   * state is a pure FUNCTION of the input SET (order-free, duplicate-free),
   * so the sketch — unlike a sample — is partitioning- and engine-
   * independent, which is what lets l62 hash-gate its full contents.
+  *
+  * Estimator contract (r14 ADVICE): the (k−1)·M div h_k estimator divides
+  * by the k-th minimum, which a k=1 sketch saturated by hash value 0 makes
+  * zero. The Aggregator itself permits any k ≥ 1 (the sketch state is
+  * well-defined); every estimator APPLICATION in the engine (l62, l63,
+  * s29's KmvMonitorProcessor) therefore guards h_k > 0 and falls back to
+  * the sketch size — unreachable at the shipped k=256, never relied upon.
   */
 class BottomK(k: Int)
     extends Aggregator[Long, BottomK.Buf, Seq[Long]] {

@@ -1643,9 +1643,19 @@ object DedupOps {
     * fingerprint universe); peel_round = 0 means the doc survives to the
     * k-core, t ≥ 1 the synchronous round that removed it. Deterministic:
     * round-synchronous removal has no tie-ordering freedom.
+    *
+    * WIDTH ROUTING (round 15, r14 ADVICE): the driver peel's "class table
+    * collects in KBs" bound holds only while the class space is bounded by
+    * the fingerprint width — at bits > 16 it is corpus-sized and the
+    * collect would OOM the driver, so wide fingerprints route to
+    * [[docKCore]], the distributed round-synchronous doc-level peel
+    * (one degree aggregate + one anti filter per round, no driver-sized
+    * state) — the same guard shape as [[simhashPageRank]]'s
+    * broadcast-vs-shuffle pick.
     */
   def simhashKCore(docs: DataFrame, maxHamming: Int = 1,
                    bits: Int = 16): DataFrame = {
+    if (bits > 16) return docKCore(docs, maxHamming, bits)
     val fpCol = s"simhash$bits"
     val fp = simhash(docs, bits).persist()
     try {
@@ -1707,6 +1717,61 @@ object DedupOps {
                     col("peel_round")))
       } finally cls.unpersist(blocking = false)
     } finally fp.unpersist(blocking = false)
+  }
+
+  /** Distributed round-synchronous k-core peel at DOC level — the wide-
+    * fingerprint route of [[simhashKCore]] (bits > 16, where the class
+    * space is corpus-sized and the driver peel's collect would OOM), and
+    * the A/B control `graft.MicroKcore` measures the quotient against.
+    * Same contract: (doc_id, deg0, k, peel_round), k = the lower-median
+    * doc degree (integer-exact, from a distinct-degree-sized histogram —
+    * the only driver traffic besides per-round convergence counts). Each
+    * round is one degree aggregate over the surviving subgraph + one
+    * anti-join removal, frames pinned per round ([[connectedComponents]]'
+    * iterative-state pattern); rounds are bounded by the peel depth, and
+    * every per-round frame is match-graph-sized, never collected.
+    */
+  def docKCore(docs: DataFrame, maxHamming: Int = 1,
+               bits: Int = 16): DataFrame = {
+    val pr = simhashPairs(docs, maxHamming, bits).select("da", "db")
+    val e = pr.select(col("da").as("s"), col("db").as("t"))
+      .unionByName(pr.select(col("db").as("s"), col("da").as("t")))
+      .localCheckpoint(true)
+    val nodes = simhash(docs, bits).select("doc_id").localCheckpoint(true)
+    val deg0 = nodes.join(e, nodes("doc_id") === e("s"), "left")
+      .groupBy(col("doc_id")).agg(count(col("t")).as("deg0"))
+      .localCheckpoint(true)
+    val hist = deg0.groupBy(col("deg0").as("d")).agg(count(lit(1)).as("c"))
+      .orderBy("d").collect()
+    val n = hist.map(_.getLong(1)).sum
+    var cum = 0L
+    val k = hist.collectFirst {
+      case r if { cum += r.getLong(1); 2 * cum >= n } => r.getLong(0)
+    }.getOrElse(0L)
+    var surv = deg0.select(col("doc_id")).localCheckpoint(true)
+    var peeled = surv.select(col("doc_id"), lit(0L).as("peel_round"))
+      .limit(0).localCheckpoint(true)
+    var round = 0L
+    var done = false
+    while (!done) {
+      round += 1
+      val dg = surv.join(
+          e.join(surv.select(col("doc_id").as("t")), Seq("t")),
+          surv("doc_id") === col("s"), "left")
+        .groupBy(surv("doc_id")).agg(count(col("t")).as("deg"))
+      val rm = dg.filter(col("deg") < k).select(col("doc_id"))
+        .localCheckpoint(true)
+      if (rm.count() == 0L) done = true
+      else {
+        peeled = peeled.unionByName(
+            rm.select(col("doc_id"), lit(round).as("peel_round")))
+          .localCheckpoint(true)
+        surv = surv.join(rm, Seq("doc_id"), "left_anti").localCheckpoint(true)
+      }
+    }
+    deg0.join(peeled, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("deg0"), lit(k).as("k"),
+              coalesce(col("peel_round"), lit(0L)).as("peel_round"))
   }
 
   def simhashComponents(docs: DataFrame, maxHamming: Int = 1,

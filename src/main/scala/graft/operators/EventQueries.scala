@@ -1329,7 +1329,9 @@ object EventQueries {
     // (even doc_id) batch runs first, so a fingerprint seen in the base
     // has canonical = min even doc_id and every odd arrival is a dup;
     // a fingerprint born in the increment elects min odd. The
-    // fingerprint expression is l11's rolling min-hash replay.
+    // fingerprint expression is l11's rolling min-hash replay. Sub-window
+    // texts (fingerprint −1) bypass the index: canonical = self, 'nofp'
+    // (round 15 — the sentinel-collapse fix from the r14 ADVICE).
     "s28_fp_index_stream" ->
       """WITH fpt AS (
         |  SELECT doc_id,
@@ -1349,11 +1351,14 @@ object EventQueries {
         |  SELECT fingerprint,
         |    COALESCE(MIN(CASE WHEN doc_id % 2 = 0 THEN doc_id END),
         |             MIN(doc_id)) AS canonical_id
-        |  FROM fpt GROUP BY 1)
-        |SELECT f.doc_id, f.fingerprint, c.canonical_id,
-        |  CASE WHEN f.doc_id = c.canonical_id THEN 'first' ELSE 'dup' END
+        |  FROM fpt WHERE fingerprint != -1 GROUP BY 1)
+        |SELECT f.doc_id, f.fingerprint,
+        |  CASE WHEN f.fingerprint = -1 THEN f.doc_id
+        |       ELSE c.canonical_id END AS canonical_id,
+        |  CASE WHEN f.fingerprint = -1 THEN 'nofp'
+        |       WHEN f.doc_id = c.canonical_id THEN 'first' ELSE 'dup' END
         |    AS status
-        |FROM fpt f JOIN canon c ON c.fingerprint = f.fingerprint
+        |FROM fpt f LEFT JOIN canon c ON c.fingerprint = f.fingerprint
         |ORDER BY f.doc_id""".stripMargin,
 
     "s27_tws_liststate" ->

@@ -135,11 +135,16 @@ object GraphOps {
           .groupBy(col("t"))
           .agg(expr(s"(${15L * scale} + 85 * sum(c)) div 100").as("r"))
           .select(col("t").as("id"), col("r"))
-      // Eager tiny result so unpersist can't re-trigger the 5-round chain.
-      r.join(deg.select(col("s").as("id"), col("d").as("degree")), Seq("id"))
+      // Eager tiny result (persist + count, NOT localCheckpoint: lineage
+      // stays intact for replay/recovery) so unpersisting eD below can't
+      // re-trigger the 5-round chain on a later action.
+      val out = r
+        .join(deg.select(col("s").as("id"), col("d").as("degree")), Seq("id"))
         .select(col("id").as("doc_id"), col("degree"),
                 col("r").as("pr_scaled"))
-        .localCheckpoint(true)
+        .persist()
+      out.count()
+      out
     } finally eD.unpersist(blocking = false)
   }
 }

@@ -696,7 +696,12 @@ object LlmQueries {
              bottomK(col("h2")).as("bk"))
         .select(col("lang"), col("exact_distinct"),
                 element_at(col("bk"), -1).as("hk"),
-                expr(s"case when size(bk) < $K then cast(size(bk) as bigint)" +
+                // h_k > 0 guard (r14 ADVICE): a k=1 sketch saturated by
+                // hash 0 would divide by zero (null). Unreachable at
+                // k=256 (256 distinct non-negatives force h_k ≥ 255),
+                // but the estimator must not rely on that.
+                expr(s"case when size(bk) < $K or element_at(bk, -1) <= 0" +
+                     s" then cast(size(bk) as bigint)" +
                      s" else ${(K - 1).toLong} * ${M}L div element_at(bk, -1)" +
                      " end").as("est_distinct"))
         .withColumn("within_band",
@@ -751,7 +756,9 @@ object LlmQueries {
         .select(col("lang_a"), col("lang_b"), col("mu"),
           (col("na") + col("nb") - col("exact_inter")).as("exact_union"),
           col("exact_inter"),
-          expr(s"case when size(mu) < $K then cast(size(mu) as bigint)" +
+          // Same h_k > 0 estimator guard as l62 (r14 ADVICE).
+          expr(s"case when size(mu) < $K or element_at(mu, -1) <= 0" +
+               s" then cast(size(mu) as bigint)" +
                s" else ${(K - 1).toLong} * ${M}L div element_at(mu, -1)" +
                " end").as("est_union"),
           expr(s"size(array_intersect(array_intersect(mu, ba), bb))")

@@ -823,6 +823,15 @@ object EventStreams {
     * the engine owns (checkpointed, restart-safe) instead of an external
     * KV store.
     *
+    * SENTINEL PASS-THROUGH (round 15, r14 ADVICE): the rolling min-hash
+    * emits −1 for texts shorter than its 8-char window — a sentinel, not
+    * a content hash. Routing those through the index would collapse every
+    * short doc onto ONE state key (content-blind mutual "dups", and the
+    * rows-per-(key, batch) smallness bound breaks for that key), so −1
+    * rows bypass the stateful op entirely and emit status `nofp` with
+    * canonical = self: the index claims no dedup verdict it has no
+    * fingerprint evidence for.
+    *
     * Determinism: within one batch a key's rows are classified by
     * doc_id order (sorted locally — rows-per-(key, batch) is small by
     * construction), so the emitted statuses are independent of arrival
@@ -837,9 +846,13 @@ object EventStreams {
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.groupByKey(_.fingerprint)
+    val indexed = docs.filter(_.fingerprint != -1L)
+      .groupByKey(_.fingerprint)
       .transformWithState(new FpIndexProcessor,
                           TimeMode.None, OutputMode.Append)
+    val nofp = docs.filter(_.fingerprint == -1L)
+      .map(d => FpStatus(d.doc_id, -1L, d.doc_id, "nofp"))
+    indexed.union(nofp)
   }
 
   /** Per-fingerprint index slot for [[fpIndexStatuses]]: one ValueState
@@ -932,7 +945,9 @@ object EventStreams {
       phase.update(p)
       val m = buf.values.length
       val hk = if (m == 0) -1L else buf.values(m - 1)
-      val est = if (m < k) m.toLong else (k - 1).toLong * M / hk
+      // h_k > 0 guard (r14 ADVICE): k=1 + hash 0 would divide by zero;
+      // unreachable at the shipped k=256 but never relied upon.
+      val est = if (m < k || hk <= 0) m.toLong else (k - 1).toLong * M / hk
       Iterator.single(KmvPhase(lang, p, m.toLong, hk, est))
     }
   }

@@ -698,18 +698,19 @@ class LlmSpec extends SparkSpec {
     assert(quotient == generic)
   }
 
-  test("l60 quotient k-core peel equals a naive doc-level peel on real docs") {
-    // The class-quotient peel (DedupOps.simhashKCore) must equal the
-    // textbook round-synchronous doc-level peel — same symmetry argument
-    // as l59 (same-fingerprint docs share degree at every round), checked
-    // end-to-end: naive adjacency from the already-spec'd pair engine,
-    // lower-median k, peel to fixpoint, all in plain Scala.
-    val docsDf = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    val nodes = DedupOps.simhash(docsDf).select("doc_id")
+  /** Textbook round-synchronous doc-level peel in plain Scala, adjacency
+    * from the already-spec'd pair engine, lower-median k — the reference
+    * both simhashKCore routes (quotient at bits ≤ 16, distributed
+    * doc-level at bits > 16) must reproduce. Returns (per-doc map, peel
+    * rounds, core-nonempty).
+    */
+  private def naiveKCore(docsDf: org.apache.spark.sql.DataFrame, bits: Int)
+      : (Map[Long, (Long, Long, Long)], Long, Boolean) = {
+    val nodes = DedupOps.simhash(docsDf, bits).select("doc_id")
       .collect().map(_.getLong(0))
     val adj = scala.collection.mutable.Map(
       nodes.map(_ -> scala.collection.mutable.Set.empty[Long]).toSeq: _*)
-    DedupOps.simhashPairs(docsDf, maxHamming = 1).select("da", "db")
+    DedupOps.simhashPairs(docsDf, maxHamming = 1, bits).select("da", "db")
       .collect().foreach { r =>
         adj(r.getLong(0)) += r.getLong(1); adj(r.getLong(1)) += r.getLong(0)
       }
@@ -728,15 +729,41 @@ class LlmSpec extends SparkSpec {
       rm.foreach(v => adj(v).foreach(u => if (alive(u)) cur(u) -= 1))
       rm = alive.filter(cur(_) < k).toSeq
     }
-    val got = DedupOps.simhashKCore(docsDf).collect()
-      .map(r => r.getAs[Long]("doc_id") ->
-        ((r.getAs[Long]("deg0"), r.getAs[Long]("k"),
-          r.getAs[Long]("peel_round")))).toMap
-    val want = nodes.map(v =>
-      v -> ((deg0(v), k, peelRound.getOrElse(v, 0L)))).toMap
-    assert(t >= 1, "fixture corpus unexpectedly peels nothing")
-    assert(alive.nonEmpty, "fixture corpus unexpectedly has an empty core")
-    assert(got == want)
+    (nodes.map(v => v -> ((deg0(v), k, peelRound.getOrElse(v, 0L)))).toMap,
+     t, alive.nonEmpty)
+  }
+
+  private def kCoreMap(df: org.apache.spark.sql.DataFrame)
+      : Map[Long, (Long, Long, Long)] =
+    df.collect().map(r => r.getAs[Long]("doc_id") ->
+      ((r.getAs[Long]("deg0"), r.getAs[Long]("k"),
+        r.getAs[Long]("peel_round")))).toMap
+
+  test("l60 quotient k-core peel equals a naive doc-level peel on real docs") {
+    // The class-quotient peel (DedupOps.simhashKCore at the default
+    // 16-bit width) must equal the textbook round-synchronous doc-level
+    // peel — same symmetry argument as l59 (same-fingerprint docs share
+    // degree at every round).
+    val docsDf = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val (want, rounds, coreNonEmpty) = naiveKCore(docsDf, bits = 16)
+    assert(rounds >= 1, "fixture corpus unexpectedly peels nothing")
+    assert(coreNonEmpty, "fixture corpus unexpectedly has an empty core")
+    assert(kCoreMap(DedupOps.simhashKCore(docsDf)) == want)
+  }
+
+  test("l60 width routing: bits > 16 peels distributed, never a driver collect") {
+    // r14 ADVICE: the driver peel's '≤ 2^bits classes' bound only holds
+    // at bits ≤ 16 — wider fingerprints must route to the distributed
+    // doc-level peel (DedupOps.docKCore) instead of OOMing the driver.
+    // Same contract at the wide width, checked against the naive peel.
+    val docsDf = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val (want, _, _) = naiveKCore(docsDf, bits = 32)
+    assert(kCoreMap(DedupOps.simhashKCore(docsDf, maxHamming = 1, bits = 32))
+             == want)
+    // And the route target agrees with the quotient at the narrow width
+    // (the MicroKcore A/B equality, pinned in-suite).
+    assert(kCoreMap(DedupOps.docKCore(docsDf, maxHamming = 1, bits = 16))
+             == kCoreMap(DedupOps.simhashKCore(docsDf)))
   }
 
   test("BottomK aggregator equals sorted-distinct-take-k across partitionings") {

@@ -191,12 +191,15 @@ class StreamingSpec extends SparkSpec {
       .select(col("doc_id"),
         graft.functions.TextFunctions.rollingFingerprint("text").as("fp"))
       .collect().map(r => r.getLong(0) -> r.getLong(1))
-    val canon = fps.groupBy(_._2).map { case (fp, ds) =>
+    val canon = fps.filter(_._2 != -1L).groupBy(_._2).map { case (fp, ds) =>
       val ids = ds.map(_._1)
       fp -> ids.filter(_ % 2 == 0).minOption.getOrElse(ids.min)
     }
+    // Sentinel rows (fp = −1, sub-window texts) bypass the index: 'nofp',
+    // canonical = self (round 15).
     val want = fps.map { case (id, fp) =>
-      id -> ((fp, canon(fp), if (id == canon(fp)) "first" else "dup"))
+      id -> (if (fp == -1L) ((fp, id, "nofp"))
+             else ((fp, canon(fp), if (id == canon(fp)) "first" else "dup")))
     }.toMap
     assert(got == want)
     // The interesting case must exist in the fixture: an odd (increment)
@@ -223,6 +226,40 @@ class StreamingSpec extends SparkSpec {
         assert(got(id)._2 == evenMin, s"fp $fp: doc $id elected ${got(id)._2}")
       }
     }
+  }
+
+  test("fp index sentinel: sub-window docs pass through as nofp, never dups") {
+    // r14 ADVICE: rollingFingerprint emits −1 for texts shorter than its
+    // 8-char window; routing those through the index would collapse ALL
+    // short docs onto one state key and classify them as mutual dups
+    // regardless of content. They must bypass the stateful op: status
+    // 'nofp', canonical = self — in the same batch AND across batches.
+    import graft.streaming.EventStreams.{FpDoc, FpStatus}
+    implicit val sq = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+                        "RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[FpDoc]
+      val statuses = EventStreams.fpIndexStatuses(ms.toDS())
+      val q = statuses.writeStream
+        .format("memory").queryName("t_fp_nofp").outputMode("append").start()
+      try {
+        // Batch 1: two distinct short docs (both fp −1) + one real fp.
+        ms.addData(Seq(FpDoc(-1L, 10), FpDoc(-1L, 11), FpDoc(42L, 12)))
+        q.processAllAvailable()
+        // Batch 2: another short doc + a real dup of fp 42.
+        ms.addData(Seq(FpDoc(-1L, 20), FpDoc(42L, 21)))
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table("t_fp_nofp").as[FpStatus].collect()
+        .map(s => s.doc_id -> ((s.canonical_id, s.status))).toMap
+      assert(got == Map(
+        10L -> ((10L, "nofp")), 11L -> ((11L, "nofp")),
+        12L -> ((12L, "first")), 20L -> ((20L, "nofp")),
+        21L -> ((12L, "dup"))), s"got $got")
+    } finally prev.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
   }
 
   test("s29 KMV monitor: per-batch sketch readings equal the phase replays") {
