@@ -1275,7 +1275,6 @@ object DedupOps {
     */
   def minhashCalibration(docs: DataFrame, threshold: Double,
                          n: Int = 3, numHashes: Int = 64): DataFrame = {
-    require(numHashes == 64, "the integer band arithmetic is derived for k=64")
     val h = docs.select(col("doc_id"), col("text"),
                         sha2(col("text"), 256).as("ch"))
     // Persisted: the rep frame is consumed by the pair engine (twice — a
@@ -1284,8 +1283,22 @@ object DedupOps {
       .join(h.select(col("doc_id"), col("text")), Seq("doc_id"))
       .select(col("doc_id"), col("text"))
       .persist()
-    val pairs = prefixJaccardPairs(reps, threshold, n)
-      .select(col("da"), col("db"))
+    try calibrationFromPairs(reps, prefixJaccardPairs(reps, threshold, n),
+                             n, numHashes)
+    finally reps.unpersist(blocking = false)
+  }
+
+  /** The signature/estimate stage of [[minhashCalibration]] over a
+    * PRECOMPUTED representative frame and verified rep-pair set — the
+    * staged-artifact path (l64d) feeds it the [[MatchGraph]] `rep_pairs`
+    * Parquet so only the match-sized signature work runs; the pair engine
+    * never re-executes. `n` must match the shingle width the pairs were
+    * verified at.
+    */
+  def calibrationFromPairs(reps: DataFrame, pairs0: DataFrame,
+                           n: Int = 3, numHashes: Int = 64): DataFrame = {
+    require(numHashes == 64, "the integer band arithmetic is derived for k=64")
+    val pairs = pairs0.select(col("da"), col("db"))
     val ids = pairs.select(col("da").as("doc_id"))
       .unionByName(pairs.select(col("db").as("doc_id"))).distinct()
     // Same affine lane family as [[minhashSignatures]] (seed-free, DuckDB-
@@ -1321,10 +1334,7 @@ object DedupOps {
           (abs(lit(5L) * col("n_matches") * col("n_union") -
                lit(320L) * col("n_inter")) <=
             lit(64L) * col("n_union")).as("within_band")))
-    finally {
-      sig.unpersist(blocking = false)
-      reps.unpersist(blocking = false)
-    }
+    finally sig.unpersist(blocking = false)
   }
 
   /** The exact-duplicate contraction shared by the clustered near-dup
