@@ -240,6 +240,52 @@ object LlmQueries {
                 col("within_band"))
     },
 
+    // L5g — ANN RECALL AT SCALE-AWARE WIDTHS (round 15, r14 verdict item
+    // 2): l5f measures recall at FIXED production widths (nprobe 16,
+    // shortlist 80) and its own curve shows those widths are not
+    // scale-free — 0.78 → 0.60 across one decade, crossing the 0.5 floor
+    // extrapolated one more. This gate derives the widths FROM THE
+    // CORPUS by the integer-exact rules [[SimilarityOps.scaledNprobe]]
+    // (min(C, max(16, ⌈1.6·√C⌉)) — the Jégou'11 grow-with-cell-count
+    // convention, floored at the tuned production width so the search is
+    // never narrower than l5f's, normalized to hit 16 at C = 100) and
+    // [[SimilarityOps.scaledShortlistFactor]] (16·√(N/5000), floored at
+    // 16), runs the l5e fixed-256 index at those widths, and emits the
+    // l5f verdict row EXTENDED with (n_vectors, n_cells, nprobe,
+    // shortlist) so the derived widths are themselves hash-gated. The
+    // oracle re-derives the widths in SQL (integer range-scan minima —
+    // no float boundary) and replays both pipelines; the 0.5 floor here
+    // holds BY the scaling rule at every corpus size (measured: the
+    // MicroAnn ladder, SURVEY §6), not by the fixture's luck.
+    "l5g_ann_recall_scaled" -> { (s, d) =>
+      val e = emb(s, d)
+      val n = e.count()
+      val cells = SimilarityOps.donorCount(e)
+      val np = SimilarityOps.scaledNprobe(cells)
+      val slf = SimilarityOps.scaledShortlistFactor(n)
+      val q = e.filter(col("vec_id") <= 9)
+      val exact = SimilarityOps.bruteTopK(e, q, 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = SimilarityOps.ivfPqTopK(e, q, 5, nprobe = np,
+                                           shortlistFactor = slf,
+                                           codebookEntries = 256)
+        .select(col("query_id").as("_aq"), col("neighbor_id").as("_an"))
+      val rec = Q.round4Ratio(count(col("_an")), count(lit(1)))
+      exact.join(broadcast(approx),
+          col("query_id") === col("_aq") && col("neighbor_id") === col("_an"),
+          "left")
+        .agg(countDistinct(col("query_id")).as("n_queries"),
+             count(col("_an")).as("n_hits"),
+             rec.as("recall"),
+             (rec >= 0.5).as("within_band"))
+        .select(lit(n).as("n_vectors"), lit(cells).as("n_cells"),
+                lit(np.toLong).as("nprobe"),
+                lit(5L * slf).as("shortlist"),
+                col("n_queries"), lit(5L).as("k"), col("n_hits"),
+                col("recall"), lit(0.5).as("recall_floor"),
+                col("within_band"))
+    },
+
     // L8 — document quality scoring: token counts, average token length,
     // stopword ratio, alpha-space purity, composite keep/drop flag. One
     // narrow projection pass — the shape of a 100 TB quality filter.
@@ -1723,9 +1769,12 @@ object LlmQueries {
     * copies of a determinism-critical chain). Expects a CTE `e(vec_id, a)`
     * in scope; ends with `ranked(query_id, neighbor_id, sim, rank)`.
     * Returns margin-stripped text for embedding in a `|`-margined literal.
+    * Widths are SQL text: integer literals for the fixed-width gates,
+    * scalar subqueries (e.g. `(SELECT np FROM widths)`) for l5g's
+    * data-derived scaled widths.
     */
-  private def duckIvfPqChain(capPred: String, nprobe: Int,
-                             shortlist: Int): String =
+  private def duckIvfPqChain(capPred: String, nprobe: String,
+                             shortlist: String): String =
     s"""coarse AS (SELECT vec_id AS cid, a AS cent FROM e
        |           WHERE vec_id % 50 = 0$capPred),
        |assigned AS (
@@ -2212,7 +2261,7 @@ object LlmQueries {
       s"""WITH e AS (SELECT vec_id,
          |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS a
          |           FROM embeddings),
-         |${duckIvfPqChain("", nprobe = 2, shortlist = 20)}
+         |${duckIvfPqChain("", nprobe = "2", shortlist = "20")}
          |SELECT query_id, rank, neighbor_id, sim FROM ranked WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
 
@@ -2225,7 +2274,7 @@ object LlmQueries {
       s"""WITH e AS (SELECT vec_id,
          |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS a
          |           FROM embeddings),
-         |${duckIvfPqChain(" AND vec_id < 12800", nprobe = 2, shortlist = 20)}
+         |${duckIvfPqChain(" AND vec_id < 12800", nprobe = "2", shortlist = "20")}
          |SELECT query_id, rank, neighbor_id, sim FROM ranked WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
 
@@ -2236,7 +2285,7 @@ object LlmQueries {
       s"""WITH e AS (SELECT vec_id,
          |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS a
          |           FROM embeddings),
-         |${duckIvfPqChain(" AND vec_id < 12800", nprobe = 16, shortlist = 80)},
+         |${duckIvfPqChain(" AND vec_id < 12800", nprobe = "16", shortlist = "80")},
          |approx AS (
          |  SELECT query_id, neighbor_id FROM ranked WHERE rank <= 5),
          |exact AS (
@@ -2259,6 +2308,55 @@ object LlmQueries {
          |  CAST(0.5 AS DOUBLE) AS recall_floor,
          |  ${Q.duckRound4Ratio("n_hits", "n_exact")} >= 0.5 AS within_band
          |FROM hits""".stripMargin,
+
+    // The scaled-width replay: widths re-derived in SQL as integer
+    // range-scan minima — np = LEAST(C, GREATEST(16, smallest p with
+    // 25p² ≥ 64C)), smallest f ≥ 16 with 625f² ≥ 32N — exactly the
+    // engine's integer rules, then the same four-stage chain at (np, 5f).
+    "l5g_ann_recall_scaled" ->
+      s"""WITH e AS (SELECT vec_id,
+         |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS a
+         |           FROM embeddings),
+         |stats AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(CASE WHEN vec_id % 50 = 0 AND vec_id < 12800
+         |             THEN 1 ELSE 0 END) AS BIGINT) AS c
+         |  FROM e),
+         |widths AS (
+         |  SELECT n, c,
+         |    LEAST(c, GREATEST(16,
+         |      (SELECT MIN(p) FROM range(1, 1000000) t(p)
+         |       WHERE 25*p*p >= 64*(SELECT c FROM stats)))) AS np,
+         |    (SELECT MIN(f) FROM range(16, 1000000) t(f)
+         |     WHERE 625*f*f >= 32*(SELECT n FROM stats)) AS slf
+         |  FROM stats),
+         |${duckIvfPqChain(" AND vec_id < 12800",
+                           nprobe = "(SELECT np FROM widths)",
+                           shortlist = "(SELECT 5 * slf FROM widths)")},
+         |approx AS (
+         |  SELECT query_id, neighbor_id FROM ranked WHERE rank <= 5),
+         |exact AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id
+         |                         ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |    FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |            ${duckCosine("q.a", "c.a")} AS sim
+         |          FROM e q JOIN e c ON q.vec_id <= 9 AND c.vec_id != q.vec_id))
+         |  WHERE rank <= 5),
+         |hits AS (
+         |  SELECT CAST(COUNT(DISTINCT x.query_id) AS BIGINT) AS n_queries,
+         |         CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,
+         |         CAST(COUNT(*) AS BIGINT) AS n_exact
+         |  FROM exact x LEFT JOIN approx a
+         |    ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id)
+         |SELECT w.n AS n_vectors, w.c AS n_cells,
+         |  CAST(w.np AS BIGINT) AS nprobe, CAST(5 * w.slf AS BIGINT) AS shortlist,
+         |  n_queries, CAST(5 AS BIGINT) AS k, n_hits,
+         |  ${Q.duckRound4Ratio("n_hits", "n_exact")} AS recall,
+         |  CAST(0.5 AS DOUBLE) AS recall_floor,
+         |  ${Q.duckRound4Ratio("n_hits", "n_exact")} >= 0.5 AS within_band
+         |FROM hits, widths w""".stripMargin,
 
     "l6_label_centroids" ->
       s"""WITH e AS (

@@ -212,6 +212,52 @@ object SimilarityOps {
         col("vec_id") < lit(centroidStride * entries)
     else col("vec_id") % centroidStride === 0
 
+  /** Coarse cell count of the production-shape index (the l5e/l5f capped
+    * donor rule) — the input to the [[scaledNprobe]] width rule.
+    */
+  def donorCount(corpus: DataFrame, centroidStride: Long = 50,
+                 entries: Int = 256): Long =
+    corpus.filter(donorFilter(centroidStride, entries)).count()
+
+  /** SCALE-AWARE IVF probe width (round 15, r14 verdict item 2): l5f's
+    * recall@5 at FIXED nprobe = 16 fell 0.78 → 0.60 from sf0.01 → sf0.1
+    * because the cell count C grows with the corpus (donors ∝ N/50 until
+    * the 256 cap) while the probed fraction nprobe/C shrinks — fixed
+    * widths are not scale-free, and extrapolated one more decade they
+    * cross the 0.5 floor. The Jégou'11 convention grows the probe list
+    * with the cell count; this rule is nprobe = min(C, max(16, ⌈1.6·√C⌉)):
+    * the √C term is normalized to hit the production width at the C = 100
+    * reference (⌈1.6·√100⌉ = 16), the 16 floor means the search is NEVER
+    * narrower than the tuned production point (small indexes probe all
+    * their cells — exact IVF), and the C clamp caps at probing
+    * everything. The √C core is computed in INTEGER arithmetic — the
+    * smallest p with 25·p² ≥ 64·C, i.e. p² ≥ (1.6)²·C — so both engines
+    * derive identical widths with no float-boundary hazard (the r37
+    * lesson). Measured (MicroAnn, SURVEY §6): recall@5 ≥ the fixed-width
+    * gate at every rung, 1.00 vs 0.84 at the 50k synthetic rung where
+    * fixed widths have begun their decay.
+    */
+  def scaledNprobe(nCells: Long): Int = {
+    require(nCells >= 1, s"need at least one coarse cell, got $nCells")
+    var p = 1L
+    while (25L * p * p < 64L * nCells) p += 1
+    math.min(nCells, math.max(16L, p)).toInt
+  }
+
+  /** Scale-aware ADC shortlist factor (companion of [[scaledNprobe]]):
+    * at fixed factor 16 the shortlist is a shrinking fraction of the
+    * probed candidates as cell occupancy grows, so PQ distortion evicts
+    * true neighbors before the exact re-rank. Rule: the smallest f ≥ 16
+    * with 625·f² ≥ 32·N (integer form of f = max(16, 16·√(N/5000)) — the
+    * sf0.1 reference point keeps f = 16 exactly: 625·256 = 160 000 =
+    * 32·5000).
+    */
+  def scaledShortlistFactor(nVectors: Long): Int = {
+    var f = 16L
+    while (625L * f * f < 32L * nVectors) f += 1
+    f.toInt
+  }
+
   /** Product-quantization ANN — the third rung of the ladder (brute →
     * IVF → PQ), the shape that scales past what an inverted file alone
     * can hold: vectors are stored as `m` small codebook indices instead

@@ -1117,6 +1117,36 @@ class LlmSpec extends SparkSpec {
         s"${r.getAs[Double]("recall_floor")} floor")
   }
 
+  test("l5g scaled-width recall: floor holds and widths follow the rule") {
+    // The scale-aware twin of the l5f floor assertion (r14 verdict item
+    // 2): the gate's widths must be exactly what the integer rule derives
+    // from the corpus, the search must never be narrower than l5f's
+    // production point, and the floor must hold AT those derived widths.
+    val out = SparkEntry.queries("l5g_ann_recall_scaled")(
+      spark, "/root/testdata/sf0.01").collect()
+    assert(out.length == 1)
+    val r = out(0)
+    val cells = r.getAs[Long]("n_cells")
+    val n = r.getAs[Long]("n_vectors")
+    assert(r.getAs[Long]("nprobe") ==
+      graft.operators.SimilarityOps.scaledNprobe(cells).toLong)
+    assert(r.getAs[Long]("shortlist") ==
+      5L * graft.operators.SimilarityOps.scaledShortlistFactor(n))
+    // Never narrower than the production reference (16 probes or every
+    // cell, whichever is smaller; shortlist ≥ 80).
+    assert(r.getAs[Long]("nprobe") >= math.min(cells, 16L))
+    assert(r.getAs[Long]("shortlist") >= 80L)
+    assert(r.getAs[Boolean]("within_band"),
+      s"scaled-width recall@5 ${r.getAs[Double]("recall")} fell below " +
+        s"${r.getAs[Double]("recall_floor")}")
+    // Rule sanity at the measured MicroAnn rungs: the reference point
+    // reproduces the production width, the capped index widens.
+    import graft.operators.SimilarityOps.{scaledNprobe, scaledShortlistFactor}
+    assert(scaledNprobe(100) == 16 && scaledShortlistFactor(5000) == 16)
+    assert(scaledNprobe(256) == 26 && scaledShortlistFactor(50000) == 51)
+    assert(scaledNprobe(10) == 10) // clamp: probe every cell, exact IVF
+  }
+
   test("l5c/l5d ADC shortlists two-stage: the corpus-wide window is pre-cut per partition") {
     // The r10 verdict's one `weak`: pqTopK's shortlist ranked the FULL
     // |corpus|·|queries| ADC frame through a single per-query row_number
