@@ -952,6 +952,147 @@ object EventStreams {
     }
   }
 
+  /** STREAMING NEAR-DUP LSH INDEX (the s30 gate) — the BANDING twin of
+    * [[fpIndexStatuses]]: s28 classifies EXACT fingerprint identity
+    * across batches; the production ingest loop also needs "is this
+    * arrival a NEAR-dup of anything already indexed". Each arriving
+    * document carries its row-local 64-lane MinHash signature (computed
+    * statelessly from its own shingle set — no aggregation before the
+    * stateful op) and is exploded into 16 band rows (l2b's t = 0.8
+    * tuning: 16 bands × 4 rows, S-curve midpoint (1/16)^(1/4) ≈ 0.5);
+    * the grouping key IS the band content (band index + the 4 lane
+    * values — exact band equality, no bucket-hash collisions), and a
+    * `transformWithState` ListState per bucket is the persistent LSH
+    * index. An arrival is compared against every doc already in its
+    * bucket — earlier batches via state, same batch via doc_id order —
+    * and a verified pair (signature agreement ≥ 52/64 lanes, the
+    * integer form of estimate ≥ 0.8125) is emitted the moment the later
+    * doc arrives; the arrival is then appended to the bucket. This is
+    * the streaming form of l2b the way s29 is of l62.
+    *
+    * Contract note: verification here is SIGNATURE-estimate similarity
+    * (what the index holds), not l2b's exact shingle Jaccard — raw text
+    * never enters state. The pair criterion — shares ≥ 1 exact band AND
+    * ≥ 52 matching lanes — is a pure function of the input SET of
+    * signatures, so pair EXISTENCE is arrival-order-free and the oracle
+    * replays it in closed form; only detection TIME depends on order
+    * (the spec pins cross-batch detection).
+    *
+    * State size: Σ_buckets docs-per-bucket = bands × N entries of
+    * (LONG + 64 LONGs) — the classic multi-table LSH index memory,
+    * match-bounded per BUCKET (a bucket is a near-dup candidate class;
+    * corpus-sized buckets mean the corpus is one dup cluster), RocksDB-
+    * backed and shuffle-partitioned like any keyed state. Per-batch
+    * work per bucket is arrivals × stored — candidate-class-sized,
+    * never corpus-quadratic.
+    */
+  def lshIndexPairs(rows: org.apache.spark.sql.Dataset[EventStreams.BandRow])
+      : org.apache.spark.sql.Dataset[EventStreams.LshPair] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.groupByKey(r => (r.band, r.l0, r.l1, r.l2, r.l3))
+      .transformWithState(new LshIndexProcessor,
+                          TimeMode.None, OutputMode.Append)
+  }
+
+  /** Per-bucket index for [[lshIndexPairs]]: one ListState of
+    * (doc_id, signature) entries, no timers. Within a batch arrivals
+    * process in doc_id order, so emitted pairs are independent of
+    * arrival order inside the batch (the [[FpIndexProcessor]]
+    * determinism convention).
+    */
+  private class LshIndexProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        (Int, Long, Long, Long, Long), EventStreams.BandRow,
+        EventStreams.LshPair] {
+    import org.apache.spark.sql.streaming.{ListState, OutputMode, TTLConfig,
+      TimeMode, TimerValues}
+
+    @transient private var idx: ListState[SigEntry] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      idx = getHandle.getListState[SigEntry]("idx",
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[SigEntry](),
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: (Int, Long, Long, Long, Long),
+                                 rows: Iterator[BandRow],
+                                 timers: TimerValues): Iterator[LshPair] = {
+      val arrivals = rows.toArray.sortBy(_.doc_id)
+      if (arrivals.isEmpty) return Iterator.empty
+      val seen = scala.collection.mutable.ArrayBuffer.empty[SigEntry]
+      idx.get().foreach(seen += _)
+      val out = scala.collection.mutable.ArrayBuffer.empty[LshPair]
+      arrivals.foreach { a =>
+        seen.foreach { e =>
+          if (e.doc_id != a.doc_id) {
+            var m = 0; var i = 0
+            while (i < 64) { if (e.sig(i) == a.sig(i)) m += 1; i += 1 }
+            if (m >= 52)
+              out += LshPair(math.min(e.doc_id, a.doc_id),
+                             math.max(e.doc_id, a.doc_id), m.toLong)
+          }
+        }
+        val entry = SigEntry(a.doc_id, a.sig)
+        seen += entry
+        idx.appendValue(entry)
+      }
+      out.iterator
+    }
+  }
+
+  /** Row-local banding for [[lshIndexPairs]]: distinct word 3-grams →
+    * poly-hash codes (the [[graft.functions.PolyTokenHash]] fold,
+    * (acc·31 + codepoint) mod 1000003 — the arithmetic every oracle
+    * replays with `list_reduce`) → 64-lane MinHash (the
+    * [[graft.operators.DedupOps.minhashSignatures]] affine family
+    * h_k(x) = ((2k+3)x + k²+7k+1) mod 2³¹−1) → 16 four-lane band rows.
+    * A typed map, not an expression chain: the exploded projection would
+    * re-evaluate the whole signature per band row (measured 29.4 s →
+    * 4.9 s at sf0.01 for the s30 gate), while this computes each doc's
+    * signature exactly once. Docs with fewer than 3 tokens have no grams
+    * and emit nothing.
+    */
+  def bandRows(docId: Long, text: String): Seq[BandRow] = {
+    val toks = text.split(" ").filter(_.nonEmpty)
+    if (toks.length < 3) return Nil
+    val grams = (0 to toks.length - 3)
+      .map(i => s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}").distinct
+    val codes = grams.map { g =>
+      var acc = 0L
+      var i = 0
+      while (i < g.length) {
+        val cp = g.codePointAt(i)
+        acc = (acc * 31L + cp) % 1000003L
+        i += Character.charCount(cp)
+      }
+      acc
+    }.toArray
+    val sig = Array.tabulate(64) { k =>
+      var m = Long.MaxValue
+      codes.foreach { c =>
+        val h = (c * (2L * k + 3L) + (k.toLong * k + 7L * k + 1L)) %
+          2147483647L
+        if (h < m) m = h
+      }
+      m
+    }
+    (0 until 16).map(b =>
+      BandRow(b, sig(b * 4), sig(b * 4 + 1), sig(b * 4 + 2), sig(b * 4 + 3),
+              docId, sig))
+  }
+
+  /** One banded arrival for [[lshIndexPairs]]: band index, the band's 4
+    * lane values (the bucket key — exact band equality), and the full
+    * signature for in-processor verification. */
+  case class BandRow(band: Int, l0: Long, l1: Long, l2: Long, l3: Long,
+                     doc_id: Long, sig: Array[Long])
+  /** One stored index entry in [[LshIndexProcessor]]'s ListState. */
+  case class SigEntry(doc_id: Long, sig: Array[Long])
+  /** One verified near-dup pair, emitted when the later doc arrives. */
+  case class LshPair(da: Long, db: Long, n_matches: Long)
+
   /** Typed input row for [[kmvMonitor]]. */
   case class LangHash(lang: String, h2: Long)
   /** One post-batch sketch reading: the running distinct estimate. */

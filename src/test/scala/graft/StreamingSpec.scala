@@ -262,6 +262,78 @@ class StreamingSpec extends SparkSpec {
     } finally prev.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
   }
 
+  test("s30 LSH index: gate pairs equal an independent replay, cross-batch") {
+    val d = "/root/testdata/sf0.001"
+    val got = graft.operators.EventQueries.queries("s30_lsh_index_stream")(spark, d)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // Independent replay in plain Scala: word 3-grams, the poly fold,
+    // the 64-lane affine family, band agreement, >= 52-lane verify.
+    val docsArr = spark.read.parquet(s"$d/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    def sigOf(text: String): Option[Array[Long]] = {
+      val toks = text.split(" ").filter(_.nonEmpty).toSeq
+      if (toks.length < 3) return None
+      val codes = toks.sliding(3).map(_.mkString(" ")).toSeq.distinct
+        .map(_.codePoints.toArray
+          .foldLeft(0L)((acc, cp) => (acc * 31 + cp) % 1000003L))
+      Some(Array.tabulate(64)(k => codes
+        .map(c => (c * (2L * k + 3) + (k.toLong * k + 7L * k + 1)) % 2147483647L)
+        .min))
+    }
+    val sigs = docsArr.flatMap { case (id, t) => sigOf(t).map(id -> _) }
+    val want = (for {
+      i <- sigs.indices.iterator
+      j <- (i + 1) until sigs.length
+      (ia, sa) = sigs(i)
+      (ib, sb) = sigs(j)
+      if (0 until 16).exists(b => (0 until 4).forall(x => sa(b*4+x) == sb(b*4+x)))
+      m = (0 until 64).count(x => sa(x) == sb(x))
+      if m >= 52
+    } yield (math.min(ia, ib), math.max(ia, ib)) -> m.toLong).toMap
+    assert(want.nonEmpty, "fixture has no near-dup pairs — vacuous gate")
+    assert(got == want)
+    // The interesting case must exist: a pair split across the base
+    // (even) and increment (odd) files — detected only because the
+    // increment arrival consulted state built by the base batch.
+    assert(want.keys.exists { case (a, b) => a % 2 != b % 2 },
+      "fixture has no cross-batch near-dup — the gate would not exercise state")
+  }
+
+  test("LSH index state: the pair emits in the batch its later doc arrives") {
+    import graft.streaming.EventStreams.{BandRow, LshPair}
+    implicit val sq = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+                        "RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[BandRow]
+      val q = EventStreams.lshIndexPairs(ms.toDS()).toDF.writeStream
+        .format("memory").queryName("t_lsh_idx").outputMode("append").start()
+      try {
+        val sigA = Array.tabulate(64)(_.toLong)
+        val sigB = sigA.clone(); sigB(63) = 999L          // 63/64 matches
+        val sigC = Array.tabulate(64)(k => 1000L + k)     // unrelated
+        def rows(id: Long, sig: Array[Long]) = (0 until 16).map(b =>
+          BandRow(b, sig(b*4), sig(b*4+1), sig(b*4+2), sig(b*4+3), id, sig))
+        // Batch 1 indexes A and C: no pairs yet.
+        ms.addData(rows(1, sigA) ++ rows(5, sigC))
+        q.processAllAvailable()
+        assert(spark.table("t_lsh_idx").isEmpty,
+          "no pair may emit before the later doc arrives")
+        // Batch 2: B lands in 15 of A's 16 band buckets (the last band
+        // differs) — the cross-batch lookup must find A in state and
+        // emit exactly one distinct pair with 63 matching lanes.
+        ms.addData(rows(2, sigB))
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table("t_lsh_idx").as[LshPair].collect().toSeq.distinct
+      assert(got == Seq(LshPair(1, 2, 63)), s"got $got")
+    } finally prev.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
+  }
+
   test("s29 KMV monitor: per-batch sketch readings equal the phase replays") {
     val d = "/root/testdata/sf0.001"
     val M = 2147483647L
