@@ -397,6 +397,21 @@ object LlmQueries {
         Multimodal.dHash(Multimodal.withPayload(docs(s, d))),
         maxHamming = 1, bits = 16).orderBy("da", "db")),
 
+    // MM6 — mm5 at the PRODUCTION fingerprint width (round 15, r14
+    // verdict item 7): 64-bit dHash (65 evenly-spaced byte probes —
+    // [[Multimodal.dHash]] takes the width natively), Hamming ≤ 3 via 4
+    // pigeonhole blocks × 16 bits — the l14b width/banding convention,
+    // which the text path already proves end-to-end; this gates the
+    // MULTIMODAL dedup path at the width a real image pipeline runs
+    // (16-bit perceptual spaces saturate on real corpora). Bit 63 rides
+    // the sign-proof shift+mask banding ([[DedupOps.fingerprintPairs]]);
+    // the oracle replays the probes via hex with the two's-complement
+    // top-bit convention of l14b's oracle.
+    "mm6_phash64_pairs" -> ((s, d) =>
+      DedupOps.fingerprintPairs(
+        Multimodal.dHash(Multimodal.withPayload(docs(s, d)), bits = 64),
+        maxHamming = 3, bits = 64).orderBy("da", "db")),
+
     // L14 — SimHash near-dup pairs at Hamming ≤ 1: pigeonhole-banded
     // candidates (two 8-bit blocks; a ≤1-distance pair must agree exactly
     // on one block) + exact bit_count verification — the scale companion
@@ -3824,6 +3839,37 @@ object LlmQueries {
         |       CAST(bit_count(xor(a.f, b.f)) AS BIGINT) AS hamming
         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.f, b.f)) <= 1
+        |ORDER BY da, db""".stripMargin,
+
+    // mm5's replay at 64 bits: 65 hex probes, bit 63 through the
+    // two's-complement convention (l14b's oracle), quadratic join ≤ 3.
+    "mm6_phash64_pairs" ->
+      """WITH b AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |         octet_length(encode(text)) AS n
+        |  FROM documents WHERE octet_length(encode(text)) > 0),
+        |pb AS (
+        |  SELECT doc_id, i.range AS i,
+        |    (strpos('0123456789ABCDEF',
+        |       substring(hx, CAST(2 * ((i.range * (n - 1)) // 64) + 1 AS INT), 1)) - 1) * 16
+        |    + (strpos('0123456789ABCDEF',
+        |       substring(hx, CAST(2 * ((i.range * (n - 1)) // 64) + 2 AS INT), 1)) - 1) AS p
+        |  FROM b, range(65) i),
+        |bits AS (
+        |  SELECT a.doc_id, a.i AS bit,
+        |    CASE WHEN a.p > c.p THEN 1 ELSE 0 END AS v
+        |  FROM pb a JOIN pb c ON a.doc_id = c.doc_id AND c.i = a.i + 1
+        |  WHERE a.i < 64),
+        |fp AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN v = 0 THEN 0
+        |                  WHEN bit = 63 THEN -9223372036854775807 - 1
+        |                  ELSE CAST(1 AS BIGINT) << bit END) AS BIGINT) AS f
+        |  FROM bits GROUP BY 1)
+        |SELECT a.doc_id AS da, b.doc_id AS db,
+        |       CAST(bit_count(xor(a.f, b.f)) AS BIGINT) AS hamming
+        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.f, b.f)) <= 3
         |ORDER BY da, db""".stripMargin,
 
     // Replays Multimodal.resize: StubCodec dims (w = n%640+1,

@@ -891,6 +891,63 @@ class LlmSpec extends SparkSpec {
     assert(got == naive)
   }
 
+  test("mm6 64-bit dHash pairs: naive equality on real docs, non-vacuous on twins") {
+    // Real-fixture equality first (the mm5 shape at the production
+    // width): the fixture has no exact payload twins at this sf, so the
+    // result may legitimately be empty — the oracle confirms exactly
+    // that — but the EQUALITY against the naive quadratic must still
+    // hold over all ~125k candidate pairs.
+    val dir = "/root/testdata/sf0.001"
+    def fp64(text: String): Long = {
+      val bytes = text.getBytes("UTF-8"); val n = bytes.length
+      var f = 0L
+      for (i <- 0 until 64) {
+        val a = bytes(((i.toLong * (n - 1)) / 64).toInt) & 0xff
+        val b = bytes((((i + 1).toLong * (n - 1)) / 64).toInt) & 0xff
+        if (a > b) f |= (1L << i)
+      }
+      f
+    }
+    val got = SparkEntry.queries("mm6_phash64_pairs")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"),
+                 r.getAs[Long]("hamming"))).toSet
+    val fps = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .filter(_.getString(1).nonEmpty)
+      .map(r => r.getLong(0) -> fp64(r.getString(1)))
+    val naive = (for {
+      (ia, fa) <- fps; (ib, fb) <- fps if ia < ib
+      h = java.lang.Long.bitCount(fa ^ fb).toLong if h <= 3
+    } yield (ia, ib, h)).toSet
+    assert(got == naive)
+    // Non-vacuous machinery proof on synthetic twins: identical payloads
+    // (hamming 0), a one-byte edit (small hamming — counted from the
+    // naive fingerprints, included iff ≤ 3), and an unrelated doc. The
+    // banded path (incl. the sign-proof bit-63 block) must reproduce the
+    // naive pair set, which is guaranteed nonempty via the exact twin.
+    import spark.implicits._
+    val base = ("the quick brown fox jumps over the lazy dog " * 8).trim
+    val twin = base
+    val near = base.updated(5, 'Q').toString
+    val far = ("completely different content with other bytes " * 8).trim
+    val docsDf = Seq((1L, base), (2L, twin), (3L, near), (4L, far))
+      .toDF("doc_id", "text")
+    val synth = graft.operators.DedupOps.fingerprintPairs(
+        graft.multimodal.Multimodal.dHash(
+          graft.multimodal.Multimodal.withPayload(docsDf), bits = 64),
+        maxHamming = 3, bits = 64)
+      .collect().map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"),
+                           r.getAs[Long]("hamming"))).toSet
+    val sfps = Seq(1L -> fp64(base), 2L -> fp64(twin), 3L -> fp64(near),
+                   4L -> fp64(far))
+    val snaive = (for {
+      (ia, fa) <- sfps; (ib, fb) <- sfps if ia < ib
+      h = java.lang.Long.bitCount(fa ^ fb).toLong if h <= 3
+    } yield (ia, ib, h)).toSet
+    assert(snaive.contains((1L, 2L, 0L)), "twin pair missing from naive")
+    assert(synth == snaive)
+  }
+
   test("l58 CMS heavy hitters: probes sit in the declared band, ranks total-ordered") {
     val out = SparkEntry.queries("l58_cms_heavyhitters")(
       spark, "/root/testdata/sf0.001").collect()
