@@ -53,7 +53,10 @@ object PlanAudit {
     "r39_trailing_window", "l48_ngram_novelty", "r40_var_stddev",
     "l49_mix_independence",
     "l60_kcore", "l61_source_overlap", "l62_kmv_distinct",
-    "l63_kmv_setops")
+    "l63_kmv_setops",
+    "l5g_ann_recall_scaled", "l64b_artifact_survivorship",
+    "l64c_artifact_source_overlap", "l64d_artifact_calibration",
+    "mm6_phash64_pairs", "l65_span_dedup")
 
   /** Execute `df` (noop traversal — AQE's final plan only exists after
     * execution) and compute the anti-pattern flags from the executed plan.

@@ -1937,4 +1937,65 @@ object DedupOps {
           when(col(s"s${k}_$b") > 0, lit(1L << (16 * k + b))).otherwise(0L)
         }.reduce(_ + _).as(s"simhash$bits"))
   }
+
+  /** Sub-document SPAN dedup (the L65 gate) — the dedup granularity BELOW
+    * the document: every duplicated word-`n`-gram occurrence is masked out,
+    * keeping only the corpus-wide FIRST occurrence (Lee et al. ACL'22
+    * "Deduplicating Training Data Makes Language Models Better" — their
+    * exact-substring dedup, at word-n-gram granularity). Doc-level exact
+    * (l1) and near-dup (l2/l2b) dedup keep or drop WHOLE documents;
+    * boilerplate runs shared across otherwise-distinct documents — the
+    * dominant duplication mode in web corpora per Lee'22 — survive both.
+    * This is the operator that strips them.
+    *
+    * Semantics (engine-independent, hash-gated): tokens are the
+    * empty-filtered whitespace split; a gram occurrence is the space-join
+    * of `n` consecutive tokens at 0-based start `s`; occurrence (doc, s)
+    * is a DUPLICATE iff an occurrence of the same gram text exists at
+    * strictly smaller (doc_id, s); a token position is dropped iff some
+    * duplicate occurrence covers it. Per doc: token count, dropped count,
+    * and the cleaned text (kept tokens re-joined — tokens adjacent across
+    * a removed span concatenate, the Lee'22 convention).
+    * First-occurrence-wins makes the output deterministic: the verdict for
+    * every occurrence depends only on the corpus content, never on
+    * partitioning or visit order.
+    *
+    * Scale shape: one hash aggregate keyed by the gram (min-(doc,s) —
+    * partial-aggregable, so a hot boilerplate gram combines map-side),
+    * one equi-join back on the gram, one doc-keyed collect_set of
+    * duplicate starts (bounded by the doc's OWN token count), then an
+    * array-local mask + rejoin — linear in corpus tokens end to end, no
+    * window over data-sized partitions, no all-pairs stage. At 100 TB the
+    * join/agg key becomes a 128-bit gram fingerprint instead of the gram
+    * text (the hashed variant of Lee'22's suffix-array pipeline); the
+    * fixture keys the text itself so the DuckDB oracle replays it
+    * verbatim.
+    */
+  def spanDedup(docs: DataFrame, n: Int = 6): DataFrame = {
+    require(n >= 2, s"span width must be at least 2 tokens; got $n")
+    val tok = docs.select(col("doc_id"), TextFunctions.tokens("text").as("w"))
+    val occ = tok
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(1, size(w) - ${n - 1}),
+           |          i -> array_join(slice(w, i, $n), ' '))""".stripMargin)))
+      .select(col("doc_id"), col("pos").cast("long").as("s"),
+              col("col").as("gram"))
+    val first = occ.groupBy(col("gram"))
+      .agg(min(struct(col("doc_id"), col("s"))).as("f"))
+    val dupStarts = occ.join(first, "gram")
+      .filter(struct(col("doc_id"), col("s")) =!= col("f"))
+      .groupBy(col("doc_id")).agg(collect_set(col("s")).as("ds0"))
+    tok.join(dupStarts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("w"),
+              coalesce(col("ds0"), typedLit(Seq.empty[Long])).as("ds"))
+      .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"),
+              expr(s"""filter(w, (t, i) ->
+                      |  NOT exists(ds, s -> i >= s AND i <= s + ${n - 1}))"""
+                     .stripMargin).as("kept"))
+      .select(col("doc_id"), col("n_tokens"),
+              (col("n_tokens") - size(col("kept")).cast("long"))
+                .as("n_dup_tokens"),
+              array_join(col("kept"), " ").as("clean_text"))
+  }
 }

@@ -929,6 +929,17 @@ object LlmQueries {
       finally reps.unpersist(blocking = false)
     },
 
+    // L65 — SUB-document span dedup (Lee et al. ACL'22 exact-substring
+    // dedup at word-6-gram granularity): every duplicated 6-gram
+    // occurrence is masked, the corpus-wide first occurrence survives,
+    // and each doc emits its cleaned text — the dedup granularity BELOW
+    // l1/l2's whole-document verdicts, where cross-document boilerplate
+    // runs live. Width 6 isolates the injected clone runs on the fixtures
+    // (24/500 docs at sf0.01) without swallowing random short collisions.
+    // [[DedupOps.spanDedup]] for the linear-in-corpus-tokens plan.
+    "l65_span_dedup" -> ((s, d) =>
+      DedupOps.spanDedup(docs(s, d), 6).orderBy("doc_id")),
+
     // L15 — deterministic dataset split assignment: every doc lands in
     // train/val/test (8/1/1) via a pure multiplicative hash of doc_id —
     // reproducible across runs, engines, and cluster sizes, which is the
@@ -3088,6 +3099,46 @@ object LlmQueries {
          |  CAST(0.2 AS DOUBLE) AS err_band,
          |  abs(5 * n_matches * u - 320 * c) <= 64 * u AS within_band
          |FROM m ORDER BY da, db""".stripMargin,
+
+    // Replays the span-dedup semantics literally: 0-based word-6-gram
+    // occurrences, first (doc_id, s) per gram survives (row_number),
+    // covered positions = union of [s, s+5] over duplicate occurrences,
+    // cleaned text = ordered string_agg of the kept words. A doc whose
+    // every position is covered keeps the empty string (matches Spark's
+    // array_join over the empty kept array).
+    "l65_span_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x != '') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, CAST(r.s AS BIGINT) AS s,
+        |    array_to_string(w[r.s + 1 : r.s + 6], ' ') AS gram
+        |  FROM t, unnest(range(0, greatest(len(w) - 5, 0))) AS r(s)),
+        |d AS (
+        |  SELECT doc_id, s FROM (
+        |    SELECT doc_id, s,
+        |      ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, s) AS rn
+        |    FROM g) WHERE rn > 1),
+        |cov AS (
+        |  SELECT DISTINCT d.doc_id, d.s + o.o AS p
+        |  FROM d, unnest(range(0, 6)) AS o(o)),
+        |pos AS (
+        |  SELECT doc_id, CAST(r.p AS BIGINT) AS p, w[r.p + 1] AS word
+        |  FROM t, unnest(range(0, len(w))) AS r(p)),
+        |kept AS (
+        |  SELECT pos.doc_id, pos.p, pos.word
+        |  FROM pos LEFT JOIN cov ON pos.doc_id = cov.doc_id AND pos.p = cov.p
+        |  WHERE cov.p IS NULL),
+        |k AS (
+        |  SELECT doc_id, COUNT(*) AS nk,
+        |    string_agg(word, ' ' ORDER BY p) AS ct
+        |  FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
+        |  CAST(len(t.w) - COALESCE(k.nk, 0) AS BIGINT) AS n_dup_tokens,
+        |  COALESCE(k.ct, '') AS clean_text
+        |FROM t LEFT JOIN k ON t.doc_id = k.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
 
     // Verdict shape (r30/l13b): the CMS estimate depends on Spark's hash
     // family, so the oracle replays the EXACT heavy-hitter side — counts,

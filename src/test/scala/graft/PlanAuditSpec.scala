@@ -203,7 +203,31 @@ class PlanAuditSpec extends SparkSpec {
     // Sketch combination over G-row frames; the gram/hash pass stays
     // codegen'd. The G-row pair join is a broadcast nested loop by
     // design — bounded by the language dimension, never data-sized.
-    "l63_kmv_setops" -> Set("WholeStageCodegen"))
+    "l63_kmv_setops" -> Set("WholeStageCodegen"),
+    // Scale-aware widths ride the l5d machinery: centroids/codebooks/
+    // probe lists are algorithm-sized and must BROADCAST; the distance
+    // lambdas stay codegen'd.
+    "l5g_ann_recall_scaled" -> Set("WholeStageCodegen", "BroadcastHashJoin"),
+    // The staged components frame is match-graph-sized — orders smaller
+    // than the corpus — so its join onto the doc table must BROADCAST.
+    "l64b_artifact_survivorship" -> Set("WholeStageCodegen",
+                                        "BroadcastHashJoin"),
+    // The cluster-source rollup is localCheckpoint-pinned (l61's own
+    // shape) — lineage-cut, so only codegen on the visible self-join +
+    // the universal no-cartesian flag are assertable.
+    "l64c_artifact_source_overlap" -> Set("WholeStageCodegen"),
+    // Match-sized signature work from the staged rep pairs: the lane
+    // evaluation is array-local and stays codegen'd.
+    "l64d_artifact_calibration" -> Set("WholeStageCodegen"),
+    // fingerprintPairs eagerly materializes its banded output (the l60
+    // precedent): the audited plan reads the cut frame, so only the
+    // no-cartesian flag is assertable here; banding structure is pinned
+    // by LlmSpec's synthetic quartet instead.
+    "mm6_phash64_pairs" -> Set.empty[String],
+    // Span dedup is linear in corpus tokens: gram aggregate + gram join +
+    // doc-keyed mask, all inside codegen — a positional self-join or
+    // window over data-sized partitions would break the span.
+    "l65_span_dedup" -> Set("WholeStageCodegen"))
 
   test("every audited gated query is cartesian-free with its required plan features") {
     // Keep the spec's coverage locked to the audit's default set — adding a
