@@ -1973,18 +1973,39 @@ object DedupOps {
     */
   def spanDedup(docs: DataFrame, n: Int = 6): DataFrame = {
     require(n >= 2, s"span width must be at least 2 tokens; got $n")
-    val tok = docs.select(col("doc_id"), TextFunctions.tokens("text").as("w"))
-    val occ = tok
+    val occ = spanOccurrences(docs, n)
+    val first = occ.groupBy(col("gram"))
+      .agg(min(struct(col("doc_id"), col("s"))).as("f"))
+    val dups = occ.join(first, "gram")
+      .filter(struct(col("doc_id"), col("s")) =!= col("f"))
+      .select(col("doc_id"), col("s"))
+    spanMask(docs, dups, n)
+  }
+
+  /** Word-`n`-gram occurrence table of a corpus: one row `(doc_id, s,
+    * gram)` per 0-based start position — [[spanDedup]]'s generator, shared
+    * with the streaming gram index (the s31 gate) so batch and stream
+    * tokenize/slice identically by construction.
+    */
+  def spanOccurrences(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"), TextFunctions.tokens("text").as("w"))
       .filter(size(col("w")) >= n)
       .select(col("doc_id"), posexplode(expr(
         s"""transform(sequence(1, size(w) - ${n - 1}),
            |          i -> array_join(slice(w, i, $n), ' '))""".stripMargin)))
       .select(col("doc_id"), col("pos").cast("long").as("s"),
               col("col").as("gram"))
-    val first = occ.groupBy(col("gram"))
-      .agg(min(struct(col("doc_id"), col("s"))).as("f"))
-    val dupStarts = occ.join(first, "gram")
-      .filter(struct(col("doc_id"), col("s")) =!= col("f"))
+
+  /** The masking epilogue of [[spanDedup]], factored so any producer of
+    * duplicate-occurrence verdicts `(doc_id, s)` — the batch first-
+    * occurrence aggregate, or the streaming gram index's cross-batch
+    * emissions — finishes through the identical doc-local mask: covered
+    * positions are the union of [s, s+n-1] over the doc's duplicate
+    * starts, kept tokens re-join with single spaces.
+    */
+  def spanMask(docs: DataFrame, dups: DataFrame, n: Int): DataFrame = {
+    val tok = docs.select(col("doc_id"), TextFunctions.tokens("text").as("w"))
+    val dupStarts = dups
       .groupBy(col("doc_id")).agg(collect_set(col("s")).as("ds0"))
     tok.join(dupStarts, Seq("doc_id"), "left")
       .select(col("doc_id"), col("w"),

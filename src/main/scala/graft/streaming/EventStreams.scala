@@ -1042,6 +1042,62 @@ object EventStreams {
     }
   }
 
+  /** STREAMING GRAM INDEX for sub-document span dedup (the s31 gate) —
+    * the streaming form of [[graft.operators.DedupOps.spanDedup]] the way
+    * s28 is of l1: documents arrive base-then-increment, each exploded
+    * into its word-n-gram occurrences `(gram, doc_id, s)`, and a
+    * `transformWithState` ValueState keyed BY THE GRAM is the persistent
+    * span index — the first occurrence ever seen under a gram claims the
+    * slot, every later occurrence (same micro-batch or any later one)
+    * emits a duplicate verdict `(doc_id, s)`. Cross-batch masking —
+    * increment arrivals masked against base-built gram state — is the
+    * sub-document form of the "classify the increment against the
+    * existing index" loop a production ingest runs continuously.
+    *
+    * Determinism: within a batch a gram's occurrences classify in
+    * (doc_id, s) order (sorted locally — rows per (gram, batch) are
+    * bounded by the gram's batch frequency), so the emitted verdicts are
+    * a pure function of (batch, doc_id, s) — the arrival order the
+    * oracle replays as `ROW_NUMBER() OVER (PARTITION BY gram ORDER BY
+    * doc_id % 2, doc_id, s)` under the even-base/odd-increment split.
+    * State is ONE empty-value slot per distinct gram (the key itself is
+    * the content) — the minimal sub-document index, RocksDB-backed and
+    * checkpoint-owned like s28's fingerprint slots.
+    */
+  def spanIndexDups(occ: org.apache.spark.sql.Dataset[EventStreams.GramOcc])
+      : org.apache.spark.sql.Dataset[EventStreams.SpanDup] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = occ.sparkSession
+    import spark.implicits._
+    occ.groupByKey(_.gram)
+      .transformWithState(new SpanIndexProcessor,
+                          TimeMode.None, OutputMode.Append)
+  }
+
+  /** Per-gram slot for [[spanIndexDups]]: one ValueState LONG seen-flag,
+    * no timers — the [[FpIndexProcessor]] shape with the key carrying
+    * the content, so the state VALUE is pure existence.
+    */
+  private class SpanIndexProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, EventStreams.GramOcc, EventStreams.SpanDup] {
+    import org.apache.spark.sql.streaming.{OutputMode, TTLConfig, TimeMode,
+      TimerValues, ValueState}
+    @transient private var seen: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getValueState[Long]("seen",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(gram: String, rows: Iterator[GramOcc],
+                                 timers: TimerValues): Iterator[SpanDup] = {
+      val occ = rows.map(r => (r.doc_id, r.s)).toArray.sorted
+      if (occ.isEmpty) return Iterator.empty
+      val drop = if (seen.exists) 0 else { seen.update(1L); 1 }
+      occ.iterator.drop(drop).map { case (d, s) => SpanDup(d, s) }
+    }
+  }
+
   /** Row-local banding for [[lshIndexPairs]]: distinct word 3-grams →
     * poly-hash codes (the [[graft.functions.PolyTokenHash]] fold,
     * (acc·31 + codepoint) mod 1000003 — the arithmetic every oracle
@@ -1092,6 +1148,11 @@ object EventStreams {
   case class SigEntry(doc_id: Long, sig: Array[Long])
   /** One verified near-dup pair, emitted when the later doc arrives. */
   case class LshPair(da: Long, db: Long, n_matches: Long)
+
+  /** One word-n-gram occurrence for [[spanIndexDups]]. */
+  case class GramOcc(gram: String, doc_id: Long, s: Long)
+  /** One duplicate-occurrence verdict from the streaming gram index. */
+  case class SpanDup(doc_id: Long, s: Long)
 
   /** Typed input row for [[kmvMonitor]]. */
   case class LangHash(lang: String, h2: Long)

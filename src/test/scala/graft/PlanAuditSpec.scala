@@ -265,7 +265,8 @@ class PlanAuditSpec extends SparkSpec {
     "s19_restart_recovery", "s20_static_anti_stream", "s21_tws_typecounts",
     "s22_file_sink", "s23_available_now", "s24_union_stream",
     "s25_interval_full_stream", "s26_changelog_restart", "s27_tws_liststate",
-    "s28_fp_index_stream", "s29_kmv_monitor_stream")
+    "s28_fp_index_stream", "s29_kmv_monitor_stream",
+    "s30_lsh_index_stream", "s31_span_index_stream")
 
   test("EVERY gated batch query is cartesian-free (full declared surface)") {
     // r12 verdict brief 3: the no-cartesian assertion extends from the

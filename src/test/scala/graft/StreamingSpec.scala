@@ -334,6 +334,83 @@ class StreamingSpec extends SparkSpec {
     } finally prev.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
   }
 
+  test("s31 span index: gate masks equal an independent arrival-order replay") {
+    val d = "/root/testdata/sf0.001"
+    val got = graft.operators.EventQueries.queries("s31_span_index_stream")(spark, d)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    // Independent replay in plain Scala: word 6-grams, first occurrence
+    // under the STREAMING arrival order (parity, doc_id, s) — even docs
+    // are the base batch — coverage union, mask, re-join.
+    val n = 6
+    val docsArr = spark.read.parquet(s"$d/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+      .sortBy { case (id, _) => (id % 2, id) }
+    val toks = docsArr.map { case (id, t) =>
+      id -> t.split(" ").filter(_.nonEmpty).toVector }
+    val seen = scala.collection.mutable.Set.empty[String]
+    val dup = scala.collection.mutable.Map.empty[Long, List[Int]]
+    var crossBatch = false
+    val firstParity = scala.collection.mutable.Map.empty[String, Long]
+    for ((id, w) <- toks; s <- 0 to w.length - n) {
+      val g = w.slice(s, s + n).mkString(" ")
+      if (!seen.add(g)) {
+        dup(id) = s :: dup.getOrElse(id, Nil)
+        if (id % 2 == 1 && firstParity(g) == 0L) crossBatch = true
+      } else firstParity(g) = id % 2
+    }
+    val want = toks.map { case (id, w) =>
+      val cov = dup.getOrElse(id, Nil).flatMap(s => s until s + n).toSet
+      val kept = w.zipWithIndex.collect { case (t, i) if !cov(i) => t }
+      id -> ((w.length.toLong, (w.length - kept.length).toLong,
+              kept.mkString(" ")))
+    }.toMap
+    assert(got == want)
+    assert(want.exists(_._2._2 > 0), "fixture has no duplicated span — vacuous")
+    // The interesting case must exist: an odd (increment) occurrence
+    // masked by a gram slot BUILT IN THE BASE BATCH — cross-batch state.
+    assert(crossBatch,
+      "fixture has no cross-batch span dup — the gate would not exercise state")
+    // ORDER-sensitivity proof: some gram's smallest doc_id is odd while
+    // an even doc also carries it — the base batch ran first, so the even
+    // occurrence survives and the odd one masks (the reverse of l65's
+    // (doc_id, s) order). Verified against l65's own batch output.
+    val l65 = graft.operators.DedupOps
+      .spanDedup(spark.read.parquet(s"$d/documents.parquet"), n)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(want.exists { case (id, (_, nd, _)) => l65(id) != nd },
+      "streaming order indistinguishable from batch order at this sf")
+  }
+
+  test("span index state: an increment occurrence masks against base state") {
+    import graft.streaming.EventStreams.{GramOcc, SpanDup}
+    implicit val sq = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+                        "RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[GramOcc]
+      val q = EventStreams.spanIndexDups(ms.toDS()).toDF.writeStream
+        .format("memory").queryName("t_span_idx").outputMode("append").start()
+      try {
+        // Batch 1: gram g1 occurs at (doc 2, s 0) and (doc 4, s 3) — the
+        // smaller (doc, s) claims the slot, the other emits in-batch.
+        ms.addData(Seq(GramOcc("g1", 4L, 3L), GramOcc("g1", 2L, 0L)))
+        q.processAllAvailable()
+        assert(spark.table("t_span_idx").as[SpanDup].collect().toSet ==
+          Set(SpanDup(4L, 3L)), "in-batch later occurrence must emit dup")
+        // Batch 2: g1 again (cross-batch dup) + a fresh gram (kept).
+        ms.addData(Seq(GramOcc("g1", 3L, 1L), GramOcc("g2", 3L, 5L)))
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table("t_span_idx").as[SpanDup].collect().toSet
+      assert(got == Set(SpanDup(4L, 3L), SpanDup(3L, 1L)), s"got $got")
+    } finally prev.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
+  }
+
   test("s29 KMV monitor: per-batch sketch readings equal the phase replays") {
     val d = "/root/testdata/sf0.001"
     val M = 2147483647L
