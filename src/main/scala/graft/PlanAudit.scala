@@ -56,7 +56,7 @@ object PlanAudit {
     "l63_kmv_setops",
     "l5g_ann_recall_scaled", "l64b_artifact_survivorship",
     "l64c_artifact_source_overlap", "l64d_artifact_calibration",
-    "mm6_phash64_pairs", "l65_span_dedup")
+    "mm6_phash64_pairs", "l65_span_dedup", "l5h_pq_distortion")
 
   /** Execute `df` (noop traversal — AQE's final plan only exists after
     * execution) and compute the anti-pattern flags from the executed plan.

@@ -286,6 +286,20 @@ object LlmQueries {
                 col("within_band"))
     },
 
+    // L5h — PQ quantization DISTORTION per label stratum: every corpus
+    // vector encoded with the l5e fixed-256 codebooks, ‖v − recon(v)‖²
+    // in exact ⌊x·2^20⌋ fixed point, rolled up per label (counts, error
+    // sum/max, exact-reconstruction count, floor-divided mean). The
+    // codebook-quality audit of the ANN family — l57 calibrates the
+    // MinHash signature family, l5f/l5g the search recall, this the
+    // COMPRESSION stage itself; a production index re-derives it after
+    // every codebook retrain. Donor vectors reconstruct exactly by
+    // construction (their subslices ARE codebook entries) — n_exact
+    // counts them, and LlmSpec pins the property per vector.
+    "l5h_pq_distortion" -> ((s, d) =>
+      SimilarityOps.pqDistortion(emb(s, d), codebookEntries = 256)
+        .orderBy("label")),
+
     // L8 — document quality scoring: token counts, average token length,
     // stopword ratio, alpha-space purity, composite keep/drop flag. One
     // narrow projection pass — the shape of a 100 TB quality filter.
@@ -2383,6 +2397,50 @@ object LlmQueries {
          |  CAST(0.5 AS DOUBLE) AS recall_floor,
          |  ${Q.duckRound4Ratio("n_hits", "n_exact")} >= 0.5 AS within_band
          |FROM hits, widths w""".stripMargin,
+
+    // Replays the l5c/l5e encode (fixed-256 donor cap, rounded-L2
+    // argmin, cid tie-break) and reconstruction, then the distortion in
+    // the SAME ⌊x·2^20⌋ fixed point as the engine — the error sum is an
+    // order-free integer, so a drifted codebook, a wrong argmin order,
+    // or a lossy reconstruction all hash-fail. Floor-divide mean (`//`),
+    // non-negative operands.
+    "l5h_pq_distortion" ->
+      """WITH e AS (SELECT vec_id, label,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS a
+        |           FROM embeddings),
+        |js AS (SELECT unnest(range(0, 8)) AS j),
+        |cents AS (
+        |  SELECT js.j, e.vec_id AS cid, e.a[js.j*8+1 : js.j*8+8] AS cent
+        |  FROM e, js WHERE e.vec_id % 50 = 0 AND e.vec_id < 12800),
+        |vs AS (SELECT e.vec_id, js.j, e.a[js.j*8+1 : js.j*8+8] AS sv FROM e, js),
+        |enc AS (
+        |  SELECT vec_id, j, cid FROM (
+        |    SELECT vs.vec_id, vs.j, c.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY vs.vec_id, vs.j ORDER BY
+        |        ROUND(list_reduce(list_prepend(0.0,
+        |          list_transform(range(1, 9),
+        |                         i -> (vs.sv[i] - c.cent[i]) * (vs.sv[i] - c.cent[i]))),
+        |          (acc, v) -> acc + v), 4) ASC, c.cid ASC) AS ern
+        |    FROM vs JOIN cents c ON vs.j = c.j) WHERE ern = 1),
+        |recon AS (
+        |  SELECT enc.vec_id, flatten(list(c.cent ORDER BY enc.j)) AS re
+        |  FROM enc JOIN cents c ON enc.j = c.j AND enc.cid = c.cid
+        |  GROUP BY enc.vec_id),
+        |d AS (
+        |  SELECT e.vec_id, e.label,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, 65),
+        |        i -> CAST(floor(e.a[i] * 1048576.0) AS BIGINT)
+        |           - CAST(floor(r.re[i] * 1048576.0) AS BIGINT))),
+        |      (acc, v) -> acc + v * v) AS sqerr_fp
+        |  FROM e JOIN recon r ON e.vec_id = r.vec_id)
+        |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+        |  CAST(SUM(sqerr_fp) AS BIGINT) AS sum_sqerr_fp,
+        |  CAST(MAX(sqerr_fp) AS BIGINT) AS max_sqerr_fp,
+        |  CAST(SUM(CASE WHEN sqerr_fp = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_exact,
+        |  CAST(SUM(sqerr_fp) // COUNT(*) AS BIGINT) AS avg_sqerr_fp
+        |FROM d GROUP BY label ORDER BY label""".stripMargin,
 
     "l6_label_centroids" ->
       s"""WITH e AS (

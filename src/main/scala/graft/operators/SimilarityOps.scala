@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Q
 import graft.functions.VectorFunctions
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
@@ -351,6 +352,82 @@ object SimilarityOps {
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "sim")
   }
+
+  /** Per-vector PQ QUANTIZATION DISTORTION (the l5h machinery): encode
+    * every corpus vector with [[pqTopK]]'s exact codebook arithmetic
+    * (same donor set, same rounded-L2 argmin, same reconstruction), then
+    * measure ‖v − recon(v)‖² in EXACT fixed point — both sides quantize
+    * to ⌊x·2^20⌋ LONGs (the l40 convention: float→double exact, ·2^20 an
+    * exponent shift, floor deterministic), so the squared error is an
+    * order-free integer sum both engines reproduce bit-for-bit (a float
+    * fold would be summation-order-dependent and could never hash-gate).
+    * LONG headroom: |x| ≤ 1 ⇒ per-dim diff ≤ 2^21, square ≤ 2^42, ×64
+    * dims ≤ 2^48.
+    *
+    * Donor vectors (the codebook subset) must reconstruct EXACTLY — their
+    * own subslices are codebook entries, the argmin hits d2 = 0 — so
+    * their distortion is 0 by construction; `LlmSpec` pins that property
+    * and that non-donors carry genuine error.
+    */
+  def pqVectorDistortion(corpus: DataFrame, m: Int = 8,
+                         centroidStride: Long = 50,
+                         codebookEntries: Int = 0): DataFrame = {
+    val dim = 64; val sub = dim / m
+    val subspace = explode(sequence(lit(0), lit(m - 1))).as("j")
+    val cents = corpus.filter(donorFilter(centroidStride, codebookEntries))
+      .select(col("vec_id").as("cid"), subspace, col("embedding"))
+      .withColumn("cent", slice(col("embedding"), col("j") * sub + 1, lit(sub)))
+      .select("j", "cid", "cent")
+    val vecsub = corpus.select(col("vec_id"), subspace, col("embedding"))
+      .withColumn("sv", slice(col("embedding"), col("j") * sub + 1, lit(sub)))
+      .select("vec_id", "j", "sv")
+    val diff = zip_with(
+      VectorFunctions.asDouble(col("sv")), VectorFunctions.asDouble(col("cent")),
+      (x, y) => x - y)
+    val codes = vecsub.join(broadcast(cents), "j")
+      .withColumn("d2", round(call_function("vec_dot", diff, diff), 4))
+      .groupBy(col("vec_id"), col("j"))
+      .agg(min(struct(col("d2"), col("cid"))).as("best"))
+      .select(col("vec_id"), col("j"), col("best.cid").as("cid"))
+    val recon = codes.join(broadcast(cents), Seq("j", "cid"))
+      .groupBy(col("vec_id"))
+      .agg(flatten(transform(
+        sort_array(collect_list(struct(col("j"), col("cent")))),
+        s => s.getField("cent"))).as("re"))
+    corpus.select(col("vec_id"), col("label"), col("embedding"))
+      .join(recon, "vec_id")
+      .select(col("vec_id"), col("label"),
+        expr("""aggregate(
+               |  zip_with(
+               |    transform(embedding,
+               |      x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0D) AS BIGINT)),
+               |    transform(re,
+               |      x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0D) AS BIGINT)),
+               |    (a, b) -> a - b),
+               |  0L, (acc, v) -> acc + v * v)""".stripMargin).as("sqerr_fp"))
+  }
+
+  /** Per-label PQ distortion rollup (the L5h gate) — the codebook-quality
+    * audit of the ANN family, the reading a production index re-derives
+    * after every codebook retrain: l57 calibrates the MinHash signature
+    * family against exact Jaccard, l5f/l5g calibrate search recall, this
+    * calibrates the COMPRESSION stage itself (how much geometry the m×8
+    * codes lose per label stratum). Exact integers end to end: counts,
+    * fixed-point error sums/extrema, and the floor-divided mean.
+    */
+  def pqDistortion(corpus: DataFrame, m: Int = 8, centroidStride: Long = 50,
+                   codebookEntries: Int = 0): DataFrame =
+    pqVectorDistortion(corpus, m, centroidStride, codebookEntries)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vectors"),
+           sum(col("sqerr_fp")).as("sum_sqerr_fp"),
+           max(col("sqerr_fp")).as("max_sqerr_fp"),
+           sum(when(col("sqerr_fp") === 0L, 1L).otherwise(0L))
+             .as("n_exact"))
+      .select(col("label"), col("n_vectors"), col("sum_sqerr_fp"),
+              col("max_sqerr_fp"), col("n_exact"),
+              Q.intDiv(col("sum_sqerr_fp"), col("n_vectors"))
+                .as("avg_sqerr_fp"))
 
   /** IVF-PQ: the composed billion-scale ANN rung (brute → IVF → PQ →
     * IVF-PQ; Jégou et al., "Product Quantization for Nearest Neighbor

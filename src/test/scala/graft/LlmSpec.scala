@@ -1115,6 +1115,37 @@ class LlmSpec extends SparkSpec {
     assert(pq == brute)
   }
 
+  test("l5h PQ distortion: donors reconstruct exactly, non-donors carry error") {
+    // A donor vector's subslices ARE codebook entries — its argmin hits
+    // d2 = 0 in every subspace, so its fixed-point distortion must be
+    // exactly 0. Non-donors quantize to OTHER vectors' subslices, so the
+    // corpus must carry genuine error or the gate is vacuous. Also pins
+    // the rollup arithmetic against a per-vector recomputation.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val perVec = SimilarityOps.pqVectorDistortion(emb, codebookEntries = 256)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val donors = perVec.keySet.filter(id => id % 50 == 0 && id < 12800)
+    assert(donors.nonEmpty)
+    donors.foreach(id =>
+      assert(perVec(id) == 0L, s"donor $id has nonzero distortion ${perVec(id)}"))
+    assert(perVec.exists { case (id, e) => !donors(id) && e > 0L },
+      "no non-donor carries quantization error — vacuous distortion gate")
+    // Rollup ≡ per-vector recomputation (sum / max / n_exact / floor mean).
+    val labels = emb.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val want = perVec.groupBy { case (id, _) => labels(id) }.map {
+      case (lab, m) =>
+        val errs = m.values
+        lab -> ((errs.size.toLong, errs.sum, errs.max,
+                 errs.count(_ == 0L).toLong, errs.sum / errs.size))
+    }
+    val got = SimilarityOps.pqDistortion(emb, codebookEntries = 256)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    assert(got == want)
+  }
+
   test("ivfPqTopK equals pure IVF at a saturating shortlist") {
     // With a shortlist wide enough to pass every probed-cell member to
     // the exact re-rank, the PQ/ADC stage can no longer affect recall

@@ -227,7 +227,10 @@ class PlanAuditSpec extends SparkSpec {
     // Span dedup is linear in corpus tokens: gram aggregate + gram join +
     // doc-keyed mask, all inside codegen — a positional self-join or
     // window over data-sized partitions would break the span.
-    "l65_span_dedup" -> Set("WholeStageCodegen"))
+    "l65_span_dedup" -> Set("WholeStageCodegen"),
+    // The codebooks must BROADCAST into the encode join (KBs at any
+    // corpus size); the fixed-point error fold stays codegen'd.
+    "l5h_pq_distortion" -> Set("WholeStageCodegen", "BroadcastHashJoin"))
 
   test("every audited gated query is cartesian-free with its required plan features") {
     // Keep the spec's coverage locked to the audit's default set — adding a
