@@ -1960,25 +1960,39 @@ object DedupOps {
     * every occurrence depends only on the corpus content, never on
     * partitioning or visit order.
     *
-    * Scale shape: one hash aggregate keyed by the gram (min-(doc,s) —
-    * partial-aggregable, so a hot boilerplate gram combines map-side),
-    * one equi-join back on the gram, one doc-keyed collect_set of
-    * duplicate starts (bounded by the doc's OWN token count), then an
-    * array-local mask + rejoin — linear in corpus tokens end to end, no
-    * window over data-sized partitions, no all-pairs stage. At 100 TB the
-    * join/agg key becomes a 128-bit gram fingerprint instead of the gram
-    * text (the hashed variant of Lee'22's suffix-array pipeline); the
-    * fixture keys the text itself so the DuckDB oracle replays it
-    * verbatim.
+    * Scale shape (formulation chosen by measurement — [[graft.MicroSpan]]
+    * races three plans over a planted-boilerplate corpus AND an
+    * adversarial template corpus where six grams carry ~80% of all
+    * occurrences): the verdict is a `row_number` window PARTITIONED BY
+    * THE GRAM — one occurrence build, one shuffle, one per-gram sort,
+    * no join. Unlike the per-language/per-status windows this engine
+    * replaced in earlier rounds (data-sized partitions), a per-gram
+    * partition is GRAM-FREQUENCY-sized: content-bounded, tiny for real
+    * grams, and measured faster than both join formulations in every
+    * tested regime — 2.2× over the min-struct-aggregate + join-back at
+    * the benign 100k rung, and still 1.2× at the adversarial template
+    * 1.6M-doc rung (48.4 s vs 58.0 s), where the join's theoretical
+    * advantage (AQE can skew-split a join probe but never a window
+    * partition) is real but amortized by its extra agg + join passes.
+    * The documented cliff: when hot grams are FEWER than the cluster's
+    * lanes AND their occurrence count exceeds the per-lane share
+    * (single-template corpora at ≥256 lanes), flip to the
+    * exchange-reuse join kept measured in MicroSpan. Then one doc-keyed
+    * collect_set of duplicate starts (bounded by the doc's OWN token
+    * count) and an array-local mask — linear in corpus tokens end to
+    * end, no all-pairs stage.
+    *
+    * At 100 TB the shuffle key becomes a 128-bit gram fingerprint
+    * instead of the gram text (the hashed variant of Lee'22's
+    * suffix-array pipeline); the fixture keys the text itself so the
+    * DuckDB oracle replays it verbatim.
     */
   def spanDedup(docs: DataFrame, n: Int = 6): DataFrame = {
     require(n >= 2, s"span width must be at least 2 tokens; got $n")
     val occ = spanOccurrences(docs, n)
-    val first = occ.groupBy(col("gram"))
-      .agg(min(struct(col("doc_id"), col("s"))).as("f"))
-    val dups = occ.join(first, "gram")
-      .filter(struct(col("doc_id"), col("s")) =!= col("f"))
-      .select(col("doc_id"), col("s"))
+    val w = Window.partitionBy(col("gram")).orderBy(col("doc_id"), col("s"))
+    val dups = occ.withColumn("rn", row_number().over(w))
+      .filter(col("rn") > 1).select(col("doc_id"), col("s"))
     spanMask(docs, dups, n)
   }
 

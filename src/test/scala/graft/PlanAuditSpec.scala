@@ -224,9 +224,10 @@ class PlanAuditSpec extends SparkSpec {
     // no-cartesian flag is assertable here; banding structure is pinned
     // by LlmSpec's synthetic quartet instead.
     "mm6_phash64_pairs" -> Set.empty[String],
-    // Span dedup is linear in corpus tokens: gram aggregate + gram join +
-    // doc-keyed mask, all inside codegen — a positional self-join or
-    // window over data-sized partitions would break the span.
+    // Span dedup is linear in corpus tokens: one gram-partitioned window
+    // (gram-frequency-sized partitions, the measured winner in MicroSpan)
+    // + a doc-keyed mask; the projections around the window stay inside
+    // codegen, and a positional self-join would surface as a cartesian.
     "l65_span_dedup" -> Set("WholeStageCodegen"),
     // The codebooks must BROADCAST into the encode join (KBs at any
     // corpus size); the fixed-point error fold stays codegen'd.
