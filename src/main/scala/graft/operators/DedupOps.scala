@@ -1344,6 +1344,20 @@ object DedupOps {
     */
   private def clusteredPairs(docs: DataFrame,
                              repPairFn: DataFrame => DataFrame): DataFrame = {
+    val (members, reps) = exactContraction(docs)
+    expandRepPairs(members, repPairFn(reps))
+  }
+
+  /** The exact-duplicate contraction itself: `members` (doc_id, rep_id,
+    * csize — one row per doc, rep = min doc_id of its text group) and
+    * `reps` (doc_id, text — one row per distinct text). ONE definition,
+    * shared by the clustered near-dup wrappers above and the staged
+    * match-graph artifact ([[MatchGraph]]), so the contraction semantics
+    * (sha2 grouping, min-id rep election) cannot drift between the
+    * from-scratch and staged paths.
+    */
+  private[operators] def exactContraction(docs: DataFrame)
+      : (DataFrame, DataFrame) = {
     val h = docs.select(col("doc_id"), col("text"),
                         sha2(col("text"), 256).as("ch"))
     val clusters = h.groupBy(col("ch"))
@@ -1353,7 +1367,16 @@ object DedupOps {
     val reps = h.join(clusters.select(col("rep_id")),
                       col("doc_id") === col("rep_id"))
       .select(col("doc_id"), col("text"))
-    val repPairs = repPairFn(reps)
+    (members, reps)
+  }
+
+  /** Doc-level expansion of representative-level pairs: cross-cluster
+    * pairs inherit the rep pair's jaccard, within-cluster pairs are exact
+    * duplicates (1.0). Shared with [[MatchGraph]] for the same
+    * no-drift-by-construction reason as [[exactContraction]].
+    */
+  private[operators] def expandRepPairs(members: DataFrame,
+                                        repPairs: DataFrame): DataFrame = {
     val ma = members.select(col("rep_id").as("da"), col("doc_id").as("ia"))
     val mb = members.select(col("rep_id").as("db"), col("doc_id").as("ib"))
     val cross = repPairs.join(ma, "da").join(mb, "db")

@@ -929,18 +929,14 @@ object EventQueries {
         val raw = s.read.parquet(s"$d/documents.parquet")
           .select(col("doc_id"), col("text"))
         withBaseIncrementStream(raw) { dir =>
-          val occ = s.readStream.schema(raw.schema)
-            .option("pathGlobFilter", "*.parquet")
-            .option("maxFilesPerTrigger", "1")
-            .parquet(dir)
-            .select(col("doc_id"), TextFunctions.tokens("text").as("w"))
-            .filter(size(col("w")) >= 6)
-            .select(col("doc_id"), posexplode(expr(
-              """transform(sequence(1, size(w) - 5),
-                |          i -> array_join(slice(w, i, 6), ' '))"""
-                .stripMargin)))
-            .select(col("col").as("gram"), col("doc_id"),
-                    col("pos").cast("long").as("s"))
+          // THE batch generator, applied to the unbounded frame (every op
+          // in it is streaming-compatible): batch l65 and streaming s31
+          // tokenize/slice identically by construction, not by copy.
+          val occ = DedupOps.spanOccurrences(
+              s.readStream.schema(raw.schema)
+                .option("pathGlobFilter", "*.parquet")
+                .option("maxFilesPerTrigger", "1")
+                .parquet(dir), 6)
             .as[EventStreams.GramOcc]
           val dups = EventStreams.spanIndexDups(occ).toDF
           val sunk = EventStreams.runToCompletion(s, dups, "s31_sink",

@@ -137,7 +137,11 @@ object GraphOps {
           .select(col("t").as("id"), col("r"))
       // Eager tiny result (persist + count, NOT localCheckpoint: lineage
       // stays intact for replay/recovery) so unpersisting eD below can't
-      // re-trigger the 5-round chain on a later action.
+      // re-trigger the 5-round chain on a later action. The returned
+      // frame stays persisted — CALLERS making repeated invocations in
+      // one session (property suites, probe loops) should unpersist it
+      // when done; a CacheManager entry, unlike a checkpoint's blocks,
+      // is not freed when the frame is garbage collected.
       val out = r
         .join(deg.select(col("s").as("id"), col("d").as("degree")), Seq("id"))
         .select(col("id").as("doc_id"), col("degree"),

@@ -259,8 +259,7 @@ object LlmQueries {
     // MicroAnn ladder, SURVEY §6), not by the fixture's luck.
     "l5g_ann_recall_scaled" -> { (s, d) =>
       val e = emb(s, d)
-      val n = e.count()
-      val cells = SimilarityOps.donorCount(e)
+      val (n, cells) = SimilarityOps.corpusStats(e)
       val np = SimilarityOps.scaledNprobe(cells)
       val slf = SimilarityOps.scaledShortlistFactor(n)
       val q = e.filter(col("vec_id") <= 9)

@@ -54,10 +54,22 @@ object MatchGraph {
   private val built =
     new java.util.concurrent.ConcurrentHashMap[String, Artifact]()
 
+  /** This process's artifact namespace: two JVMs sharing one tmpdir (a
+    * test suite beside a verify run) must never overwrite each other's
+    * artifacts mid-read, so each process stages under its own pid-scoped
+    * directory; `built` memoizes within the JVM, `rebuild` overwrites
+    * only this process's copy.
+    */
+  private val jvmScope: String = s"jvm-${ProcessHandle.current().pid()}"
+
   private def root(sfDir: String, threshold: Double, n: Int): String = {
-    val tag = java.lang.Integer.toHexString(sfDir.hashCode & 0x7fffffff)
+    // Full-digest corpus tag (truncated String.hashCode could collide
+    // two corpus dirs and silently serve one corpus' pairs to the other).
+    val tag = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(sfDir.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
     val t = math.round(threshold * 1e6)
-    s"${System.getProperty("java.io.tmpdir")}/graft-artifacts/match-t$t-n$n-$tag"
+    s"${System.getProperty("java.io.tmpdir")}/graft-artifacts/" +
+      s"$jvmScope/match-t$t-n$n-$tag"
   }
 
   /** Read-through: build once per JVM per corpus dir, then hand every
@@ -82,38 +94,22 @@ object MatchGraph {
                     n: Int): Artifact = {
     val r = root(sfDir, threshold, n)
     val docs = Tables.load(s, sfDir, "documents")
-    val h = docs.select(col("doc_id"), col("text"),
-                        sha2(col("text"), 256).as("ch"))
-    val clusters = h.groupBy(col("ch"))
-      .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("csize"))
-    // (doc_id, rep_id, csize): the exact-dup cluster map. Persisted — it
-    // feeds the rep frame, both sides of the pair expansion, and the
-    // component expansion.
-    val members = h.join(clusters, "ch")
-      .select(col("doc_id"), col("rep_id"), col("csize"))
-      .persist()
+    // THE contraction definition — shared with the from-scratch clustered
+    // wrappers ([[DedupOps.exactContraction]]), so the staged and
+    // from-scratch paths cannot drift by a one-sided edit. (doc_id,
+    // rep_id, csize) is persisted: it feeds both sides of the pair
+    // expansion and the component expansion.
+    val (members0, reps) = DedupOps.exactContraction(docs)
+    val members = members0.persist()
     try {
-      val reps = members.filter(col("doc_id") === col("rep_id"))
-        .join(h.select(col("doc_id"), col("text")), "doc_id")
-        .select(col("doc_id"), col("text"))
       // THE one pair-engine run this artifact amortizes.
       DedupOps.prefixJaccardPairs(reps, threshold, n)
         .write.mode("overwrite").parquet(s"$r/rep_pairs")
       val repPairs = s.read.parquet(s"$r/rep_pairs")
 
-      // Doc-level expansion — the l2 output contract (cross pairs inherit
-      // the rep pair's jaccard; within-cluster pairs are exact dups, 1.0).
-      val ma = members.select(col("rep_id").as("da"), col("doc_id").as("ia"))
-      val mb = members.select(col("rep_id").as("db"), col("doc_id").as("ib"))
-      val cross = repPairs.join(ma, "da").join(mb, "db")
-        .select(least(col("ia"), col("ib")).as("da"),
-                greatest(col("ia"), col("ib")).as("db"), col("jaccard"))
-      val within = members.as("x").join(members.as("y"),
-          col("x.rep_id") === col("y.rep_id") &&
-          col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
-                lit(1.0).as("jaccard"))
-      cross.unionByName(within)
+      // Doc-level expansion — the l2 output contract, the shared
+      // [[DedupOps.expandRepPairs]] definition.
+      DedupOps.expandRepPairs(members, repPairs)
         .write.mode("overwrite").parquet(s"$r/pairs")
 
       // Components on the REP graph (match-sized iterative state), then

@@ -220,6 +220,19 @@ object SimilarityOps {
                  entries: Int = 256): Long =
     corpus.filter(donorFilter(centroidStride, entries)).count()
 
+  /** One-pass (corpus size, donor-cell count): the l5g width inputs from
+    * a SINGLE aggregate over the embeddings scan — separate `count()` +
+    * [[donorCount]] jobs would scan the corpus twice for two scalars.
+    */
+  def corpusStats(corpus: DataFrame, centroidStride: Long = 50,
+                  entries: Int = 256): (Long, Long) = {
+    val r = corpus.agg(
+      count(lit(1)).as("n"),
+      sum(when(donorFilter(centroidStride, entries), 1L).otherwise(0L))
+        .as("c")).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
   /** SCALE-AWARE IVF probe width (round 15, r14 verdict item 2): l5f's
     * recall@5 at FIXED nprobe = 16 fell 0.78 → 0.60 from sf0.01 → sf0.1
     * because the cell count C grows with the corpus (donors ∝ N/50 until

@@ -177,11 +177,16 @@ class GraphPropSpec extends SparkSpec {
           r = adj.map { case (i, ns) =>
             i -> ((15000000L + 85L * ns.map(j => r(j) / deg(j)).sum) / 100L)
           }
-        val got = graft.operators.GraphOps.pageRank(
-            edges.toDF("da", "db")).collect()
-          .map(x => (x.getAs[Long]("doc_id"),
-                     (x.getAs[Long]("degree"), x.getAs[Long]("pr_scaled"))))
-          .toMap
+        // pageRank returns a persisted frame (its eager-materialize
+        // contract) — unpersist per iteration or 8 runs accumulate
+        // cached copies in the suite's session.
+        val prDf = graft.operators.GraphOps.pageRank(edges.toDF("da", "db"))
+        val got =
+          try prDf.collect()
+            .map(x => (x.getAs[Long]("doc_id"),
+                       (x.getAs[Long]("degree"), x.getAs[Long]("pr_scaled"))))
+            .toMap
+          finally prDf.unpersist(blocking = false)
         got == adj.keys.map(i => i -> ((deg(i), r(i)))).toMap
       }
     }

@@ -690,9 +690,12 @@ class LlmSpec extends SparkSpec {
     def m(rows: Array[org.apache.spark.sql.Row]) =
       rows.map(r => r.getAs[Long]("doc_id") ->
         ((r.getAs[Long]("degree"), r.getAs[Long]("pr_scaled")))).toMap
-    val generic = m(graft.operators.GraphOps.pageRank(
+    val genericDf = graft.operators.GraphOps.pageRank(
       DedupOps.simhashPairs(docsDf, maxHamming = 1)
-        .select(col("da"), col("db"))).collect())
+        .select(col("da"), col("db")))
+    val generic =
+      try m(genericDf.collect())
+      finally genericDf.unpersist(blocking = false)
     val quotient = m(DedupOps.simhashPageRank(docsDf).collect())
     assert(generic.nonEmpty, "fixture graph unexpectedly empty")
     assert(quotient == generic)
