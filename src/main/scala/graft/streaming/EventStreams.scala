@@ -608,6 +608,26 @@ object EventStreams {
     }
   }
 
+  /** Stateful-operator parallelism for the bounded gate runs (round 15,
+    * formerly a hardcoded 8): every micro-batch opens, commits, and
+    * snapshots one state store PER shuffle partition, so each partition
+    * is a fixed per-batch cost (store init + delta write + fsync) the
+    * bounded gates pay regardless of data volume. Conf'd
+    * (`spark.graft.stream.stateParts`) so a production deployment sizes
+    * it to cluster width × state volume and the A/B bench can force
+    * either width. The local default 8 is MEASURED, not assumed: the
+    * 40-gate s-family bench at sf0.1 read 50.2 s at 8, 51.3 s at 4,
+    * 53.0 s at 2 (min-of-2 each; OPTIMIZATION_r15.md) — per-partition
+    * state-store overhead is NOT the bounded gates' floor, and narrowing
+    * only trades away parallelism of the real per-batch work.
+    */
+  private def stateParts(spark: SparkSession): String = {
+    val v = spark.conf.getOption("spark.graft.stream.stateParts")
+      .getOrElse("8")
+    require(v.toInt >= 1, s"spark.graft.stream.stateParts must be >= 1, got $v")
+    v
+  }
+
   /** Run a streaming frame to completion against a bounded source and return
     * the final result as a batch DataFrame (memory sink, complete mode).
     * This is how S4 executes a *real* streaming query inside the oracle gate.
@@ -631,7 +651,7 @@ object EventStreams {
       // production deployment sizes this to cluster width x state volume.
       val partKey = "spark.sql.shuffle.partitions"
       val prevParts = spark.conf.get(partKey)
-      spark.conf.set(partKey, "8")
+      spark.conf.set(partKey, stateParts(spark))
       try streaming.writeStream
         .format("memory").queryName(name).outputMode(mode)
         .option("checkpointLocation", ckpt)
@@ -664,7 +684,7 @@ object EventStreams {
     try {
       val partKey = "spark.sql.shuffle.partitions"
       val prevParts = spark.conf.get(partKey)
-      spark.conf.set(partKey, "8")
+      spark.conf.set(partKey, stateParts(spark))
       val q = try streaming.writeStream
         .format("memory").queryName(name).outputMode(mode)
         .option("checkpointLocation", ckpt.toString)
@@ -719,7 +739,7 @@ object EventStreams {
     withScratchCheckpoint(name, wait = _.awaitTermination()) { ckpt =>
       val partKey = "spark.sql.shuffle.partitions"
       val prevParts = spark.conf.get(partKey)
-      spark.conf.set(partKey, "8")
+      spark.conf.set(partKey, stateParts(spark))
       try streaming.writeStream
         .format("memory").queryName(name).outputMode(mode)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
