@@ -101,6 +101,30 @@ object Tables {
     if (name == "events") loadEvents(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Scale-adaptive spread for a CPU-heavy first stage over a narrow scan
+    * (optimization guide §2.5, "input skew … repartition immediately after
+    * the read"). A small table arrives as one file / one row group, so its
+    * scan yields a single split and everything pipelined into it — explode,
+    * shingling, hashing, per-row scoring — runs on one core while the rest
+    * of the session idles (measured: the l34 bigram explode+aggregate
+    * 2.9 s single-split vs 0.55 s spread at sf0.1). Round-robin repartition
+    * to the session's parallelism when, and only when, the plan is narrower
+    * than that: a production-scale table already scans as >= cores splits,
+    * so this never adds a data-sized shuffle where the scan parallelizes by
+    * itself. Round-robin (not hash-by-key) keeps per-partition balance and,
+    * with Spark's default sort-before-repartition, is deterministic under
+    * task retry for deterministic inputs such as these scans.
+    *
+    * Callers must only use it where downstream results are independent of
+    * row order/placement (counts, mins, sorted aggregates) — every gated
+    * consumer is, and the oracle hash checks pin that.
+    */
+  def spread(df: DataFrame): DataFrame = {
+    if (df.isStreaming) return df // unbounded frames size their own batches
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   /** The events fixture has shipped `ts` in two physical shapes across
     * testdata generations: Parquet TIMESTAMP(NANOS) — which Spark's
     * vectorized reader rejects outright, hence the session-wide

@@ -24,11 +24,18 @@ object MicroGemm {
     sizes.foreach { case (n, bsArg) =>
       val bs = if (bsArg > 0) bsArg else MatrixOps.sweepTile(n)
       val t0 = System.nanoTime()
-      MatrixOps.multiplyPlanned(MatrixGen.matA(spark, n, n),
-                                MatrixGen.matB(spark, n, n), bs = bs)
-        .write.format("noop").mode("overwrite").save()
+      val df = MatrixOps.multiplyPlanned(MatrixGen.matA(spark, n, n),
+                                         MatrixGen.matB(spark, n, n), bs = bs)
+      df.write.format("noop").mode("overwrite").save()
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"gemm n=$n%6d bs=$bs%4d grid=${(n + bs - 1) / bs}%3d  $dt%8.2f s")
+      // GEMM_METRICS=1: per-node numOutputRows/time dump of a SECOND run
+      // (its own QueryExecution — the noop sink above builds one whose
+      // metrics a reused `df` would not carry) — guide §1.1's empirical
+      // loop for the sweep rungs, which MetricsProbe (declared queries
+      // only) cannot reach.
+      if (sys.env.get("GEMM_METRICS").contains("1"))
+        PlanAudit.dumpMetrics(df)
     }
     spark.stop()
   }

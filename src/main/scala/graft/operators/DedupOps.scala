@@ -731,8 +731,9 @@ object DedupOps {
     val T = math.floor(threshold * 1e6).toLong
     // One shingle frame shared by the regime probe and BOTH engines (r12
     // ADVICE: the probe previously re-exploded the corpus, once for the
-    // countDistinct and again for whichever engine ran).
-    val sh = shingles(docs, n).persist()
+    // countDistinct and again for whichever engine ran). Spread before the
+    // explode (guide §2.5, Tables.spread scaladoc).
+    val sh = shingles(graft.Tables.spread(docs), n).persist()
     // REGIME PICK (round 12). Signature-based candidate generation — any
     // inverted-index join on shingle codes — has enumeration mass
     // Σ_code pref_df(code)·df(code), which is near-linear when the code
@@ -1008,7 +1009,8 @@ object DedupOps {
     * materialized before unpersist.
     */
   def dupShingleFraction(docs: DataFrame, n: Int = 3): DataFrame = {
-    val sh = shingles(docs, n).persist()
+    // Spread before the explode (guide §2.5, Tables.spread scaladoc).
+    val sh = shingles(graft.Tables.spread(docs), n).persist()
     try {
       val perDoc = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
       val uniq = sh.groupBy(col("code"))

@@ -41,7 +41,11 @@ object LlmQueries {
     // explode+aggregate is cheap and pipelines, while the eager barriers
     // serialize (4.4 s lazy vs 4.7 s checkpointed) — unlike GraphOps'
     // six-reference banding pipeline where the cut won 2.5×.
-    val docBi = dd
+    // Round 15: the explode input is SPREAD (Tables.spread) — the corpus
+    // fixture scans as one split, so the bigram explode+partial-aggregate
+    // (the plan's dominant pipeline, ~2.3 s of task time at sf0.1) ran on
+    // one core; the spread is a no-op once the scan itself parallelizes.
+    val docBi = Tables.spread(dd)
       .select(col("doc_id"),
               explode(TextFunctions.wordNgrams("text", 2)).as("bigram"))
       .groupBy("doc_id", "bigram").agg(count(lit(1)).as("m"))
@@ -580,7 +584,8 @@ object LlmQueries {
     // oracle; the > 0.2 flag and max_frac read the same on both engines.
     "l54_topgram_mass" -> { (s, d) =>
       val dd = docs(s, d)
-      val top = dd
+      // Spread before the explode (guide §2.5, Tables.spread scaladoc).
+      val top = Tables.spread(dd)
         .select(col("doc_id"),
                 explode(TextFunctions.wordNgrams("text", 2)).as("gram"))
         .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("cnt"))
@@ -1016,7 +1021,8 @@ object LlmQueries {
     "l22_bigram_freq" -> { (s, d) =>
       val w = Window.partitionBy(col("lang"))
         .orderBy(col("cnt").desc, col("bigram").asc)
-      docs(s, d)
+      // Spread before the explode (guide §2.5, Tables.spread scaladoc).
+      Tables.spread(docs(s, d))
         .select(col("lang"),
                 explode(TextFunctions.wordNgrams("text", 2)).as("bigram"))
         .groupBy("lang", "bigram")
@@ -1164,7 +1170,8 @@ object LlmQueries {
       val bench = dd.filter(col("doc_id") < 10)
         .select(explode(TextFunctions.wordNgrams("text", 5)).as("gram"))
         .distinct()
-      val grams = dd.filter(col("doc_id") >= 10)
+      // Spread before the explode (guide §2.5, Tables.spread scaladoc).
+      val grams = Tables.spread(dd.filter(col("doc_id") >= 10))
         .select(col("doc_id"),
                 explode(TextFunctions.wordNgrams("text", 5)).as("gram"))
       val hits = grams.join(broadcast(bench), "gram")
@@ -1390,7 +1397,9 @@ object LlmQueries {
     // Dataflow: two counting aggregates + one broadcast-scalar frame +
     // two joins keyed on the bigram's words — no all-to-all.
     "l47_collocation_lift" -> { (s, d) =>
-      val dd = docs(s, d)
+      // Spread before the explodes (guide §2.5, Tables.spread scaladoc) —
+      // all four explode branches share the one repartition (ReuseExchange).
+      val dd = Tables.spread(docs(s, d))
       val uni = dd.select(explode(TextFunctions.tokens("text")).as("tok"))
         .groupBy(col("tok")).agg(count(lit(1)).as("cu"))
       val big = dd.select(explode(TextFunctions.wordNgrams("text", 2)).as("bigram"))

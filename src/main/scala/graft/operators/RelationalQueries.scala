@@ -652,7 +652,10 @@ object RelationalQueries {
     // per group — same shape as any exact-percentile job; the scale path
     // is l13b's approx_percentile (declared there).
     "r37_percentile_disc" -> { (s, d) =>
-      t(s, d, "lineitem")
+      // Spread before the aggregate (guide §2.5, Tables.spread scaladoc):
+      // percentile_disc buffers every group value, and on a ≤3-split
+      // fixture scan the partial buffers built on ≤3 cores.
+      Tables.spread(t(s, d, "lineitem"))
         .groupBy(col("l_returnflag"))
         .agg(
           expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice)")

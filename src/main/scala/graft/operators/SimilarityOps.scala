@@ -167,7 +167,10 @@ object SimilarityOps {
     // self-join, and SrpBands (b·r hyperplane dots per vector) is the
     // expensive narrow pass — uncached it would run once per side plus
     // once more under the final ORDER BY's range-sampling pass.
-    val sig = corpus.select(col("vec_id"),
+    // Spread the signature root (guide §2.5, Tables.spread scaladoc): the
+    // b·r hyperplane dots per vector otherwise run in the 1-split scan's
+    // single task before the persist.
+    val sig = graft.Tables.spread(corpus).select(col("vec_id"),
         posexplode(graft.functions.SrpBands(col("embedding"), bands, rowsPerBand))
           .as(Seq("band", "key")))
       .persist()
@@ -310,7 +313,11 @@ object SimilarityOps {
       .withColumn("cent", slice(col("embedding"), col("j") * sub + 1, lit(sub)))
       .select("j", "cid", "cent")
 
-    val vecsub = corpus.select(col("vec_id"), subspace, col("embedding"))
+    // Spread the encode root (guide §2.5, Tables.spread scaladoc): the
+    // |corpus|·m·|codebook| encode pipeline otherwise runs inside the
+    // 1-split fixture scan's single task.
+    val vecsub = graft.Tables.spread(corpus)
+      .select(col("vec_id"), subspace, col("embedding"))
       .withColumn("sv", slice(col("embedding"), col("j") * sub + 1, lit(sub)))
       .select("vec_id", "j", "sv")
 
@@ -391,7 +398,9 @@ object SimilarityOps {
       .select(col("vec_id").as("cid"), subspace, col("embedding"))
       .withColumn("cent", slice(col("embedding"), col("j") * sub + 1, lit(sub)))
       .select("j", "cid", "cent")
-    val vecsub = corpus.select(col("vec_id"), subspace, col("embedding"))
+    // Spread the encode root (guide §2.5, Tables.spread scaladoc).
+    val vecsub = graft.Tables.spread(corpus)
+      .select(col("vec_id"), subspace, col("embedding"))
       .withColumn("sv", slice(col("embedding"), col("j") * sub + 1, lit(sub)))
       .select("vec_id", "j", "sv")
     val diff = zip_with(
@@ -485,7 +494,9 @@ object SimilarityOps {
       .select(col("vec_id").as("cid"), subspace, col("embedding"))
       .withColumn("cent", slice(col("embedding"), col("j") * sub + 1, lit(sub)))
       .select("j", "cid", "cent")
-    val vecsub = corpus.select(col("vec_id"), subspace, col("embedding"))
+    // Spread the encode root (guide §2.5, Tables.spread scaladoc).
+    val vecsub = graft.Tables.spread(corpus)
+      .select(col("vec_id"), subspace, col("embedding"))
       .withColumn("sv", slice(col("embedding"), col("j") * sub + 1, lit(sub)))
       .select("vec_id", "j", "sv")
     val diff = zip_with(
@@ -555,7 +566,8 @@ object SimilarityOps {
     * one partial row per group per task regardless of corpus size.
     */
   def gramMatrix(emb: DataFrame): DataFrame = {
-    val e = emb
+    // Spread before the explode (guide §2.5, Tables.spread scaladoc).
+    val e = graft.Tables.spread(emb)
       .select(col("vec_id"), posexplode(col("embedding")))
       .select(col("vec_id"), col("pos").cast("long").as("dim"),
               graft.Q.fp45(col("col")).as("w"))
@@ -638,7 +650,18 @@ object SimilarityOps {
       : (DataFrame, DataFrame, Seq[(Long, Seq[Long])]) = {
     val s = corpus.sparkSession
     import s.implicits._
-    val fp = corpus.select(col("vec_id"),
+    // Spread before the checkpoint (guide §2.5, Tables.spread scaladoc):
+    // the checkpointed fp frame inherits the scan's partitioning, and on a
+    // 1-split fixture every Lloyd round's N·k distance fold would then run
+    // in one task. Per-round work is N·k·dim, so the spread only pays past
+    // a k floor (measured at sf0.1: k=8 regresses +0.4 s — task overhead ×
+    // rounds beats the parallelism — while k=√N=100 wins −1.4 s);
+    // crossover conf'd as spark.graft.kmeans.spreadMinK (default 32, the
+    // geometric middle of the measured points), the denseMinDocs pattern.
+    val spreadMinK = s.conf.getOption("spark.graft.kmeans.spreadMinK")
+      .map(_.toInt).getOrElse(32)
+    val fp = (if (k >= spreadMinK) graft.Tables.spread(corpus) else corpus)
+      .select(col("vec_id"),
         transform(col("embedding"),
           x => floor(x.cast("double") * lit(1048576L)).cast("long")).as("v"))
       .localCheckpoint(true)

@@ -173,7 +173,9 @@ object TextAnalysis {
     * shuffle keyed by doc — embarrassingly parallel at any corpus size.
     */
   def intraDocRepetition(docs: DataFrame): DataFrame =
-    docs
+    // Spread before the explode (guide §2.5): single-split corpus scans
+    // otherwise serialize the trigram explode on one core (Tables.spread).
+    graft.Tables.spread(docs)
       .select(col("doc_id"), col("source"),
               explode(graft.functions.TextFunctions.wordNgrams("text", 3))
                 .as("gram"))
@@ -199,6 +201,9 @@ object TextAnalysis {
     */
   def importanceResample(docsDf: DataFrame): DataFrame = {
     import graft.functions.TextFunctions
+    // Spread A/B'd and REJECTED here (round 15): tokens() is cheap per
+    // row and the added round-robin exchange re-runs in the rank/boundary
+    // passes — measured 2.78 s unspread vs 3.39 s spread at sf0.1.
     val toks = docsDf
       .select(col("doc_id"), col("lang"),
               explode(TextFunctions.tokens("text")).as("tok"))
@@ -261,7 +266,8 @@ object TextAnalysis {
     * Shared with `ScaleProbe`.
     */
   def ngramNovelty(docsDf: DataFrame): DataFrame = {
-    val grams = docsDf
+    // Spread before the explode (guide §2.5, Tables.spread scaladoc).
+    val grams = graft.Tables.spread(docsDf)
       .select(col("doc_id"), col("source"),
               explode(graft.functions.TextFunctions.wordNgrams("text", 5))
                 .as("gram"))

@@ -238,4 +238,21 @@ class EngineSqlSpec extends SparkSpec {
       expected.collectFirst { case (u, e) if got.get(u) != Some(e) =>
         (u, e, got.get(u)) }}")
   }
+
+  test("Tables.spread widens narrow plans, no-ops wide and streaming ones") {
+    import org.apache.spark.sql.functions._
+    val p = spark.sparkContext.defaultParallelism
+    // Narrow (coalesce(1)) frame → spread to the session parallelism,
+    // content unchanged (round-robin placement only moves rows).
+    val narrow = spark.range(100).toDF("id").coalesce(1)
+    val widened = Tables.spread(narrow)
+    assert(widened.rdd.getNumPartitions == p)
+    assert(widened.agg(sum(col("id"))).head().getLong(0) == 4950L)
+    // Already-wide frame → returned untouched (same plan object).
+    val wide = spark.range(100).toDF("id").repartition(p)
+    assert(Tables.spread(wide) eq wide)
+    // Streaming frame → returned untouched (a .rdd probe would throw).
+    val stream = spark.readStream.format("rate").load()
+    assert(Tables.spread(stream) eq stream)
+  }
 }
